@@ -1,0 +1,111 @@
+"""Relational operators — SURVEY §2.2-2.6 (projections, joins, aggs,
+windows, set ops) as composable ``DataFrame -> DataFrame`` functions.
+
+Design stance: small dims are explicitly ``broadcast()`` (the reference's
+dims are 161 rows — ``gold/bronzeToGold.py:91-104`` — and at 100 TB fact
+scale a broadcast hash join avoids shuffling the fact table entirely);
+everything else is left declarative so AQE picks sort-merge vs shuffled-hash
+and handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def enrich_left(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1/J2: left equi-join against a dimension on a shared key.
+
+    The reference merges on differently-named keys then drops the duplicate
+    (``gold/bronzeToGold.py:136-147``) and hand-dedups duplicated columns
+    (``:165-179``, P3); joining with ``on=key`` makes both problems
+    structurally impossible. Dim columns colliding with fact columns are
+    suffixed ``_dim`` before the join (the reference's suffix variant,
+    ``gold/test.py:161-180``).
+    """
+    collisions = (set(fact.columns) & set(dim.columns)) - {key}
+    for c in collisions:
+        dim = dim.withColumnRenamed(c, f"{c}_dim")
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, key, "left")
+
+
+def anti_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """J3/J5: rows of ``left`` with no match in ``right``
+    (``find_unique_employee.ipynb:88-112,118-128``)."""
+    return left.join(right, key, "left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """J4: rows of ``left`` with at least one match
+    (``find_unique_employee.ipynb:138``)."""
+    return left.join(right, key, "left_semi")
+
+
+def high_watermark_filter(
+    df: DataFrame, ts_col: str, watermark
+) -> DataFrame:
+    """P4: incremental filter ``ts > watermark``
+    (``gold/bronzeToGold2.py:38-50,103-110``).
+
+    Expressed as a plain predicate so it pushes into the parquet/Delta scan
+    (file-level skipping on min/max stats) — the reference read the entire
+    bronze table and filtered in memory.
+    """
+    return df.where(F.col(ts_col) > F.lit(watermark))
+
+
+def max_watermark(df: DataFrame, ts_col: str):
+    """A2: current high watermark; a single-column scan, not a full read
+    (the reference loaded the whole gold table for this one max,
+    ``gold/bronzeToGold2.py:43-45``)."""
+    return df.agg(F.max(ts_col).alias("wm")).collect()[0]["wm"]
+
+
+def topk_global(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """W1: deterministic global top-k (the newest-7 selection,
+    ``README.md:70-78``). ``order`` must be a total order for determinism."""
+    return df.orderBy(*order).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame, partition: list[str], order: list[Column], k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """W3: top-k per group via row_number (the Slack tail-5 buffer,
+    ``slack_bot/slack_notifier.py:206-241``, generalized)."""
+    w = Window.partitionBy(*partition).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def assign_contiguous_ids(
+    df: DataFrame, order: list[Column], id_col: str = "row_id"
+) -> DataFrame:
+    """W4: contiguous 1..N id assignment (``strava_like_data.ipynb:110``).
+
+    ``row_number`` over a global order — correct but single-partition for the
+    window; at 100 TB use ``zipWithIndex``-style two-pass (per-partition
+    counts + offset) — kept here as the semantic reference implementation.
+    """
+    return df.withColumn(id_col, F.row_number().over(Window.orderBy(*order)))
+
+
+def union_fragments(parts: list[DataFrame]) -> DataFrame:
+    """SO1: union-all by name (``pd.concat`` over parquet fragments,
+    ``bronze/readSampleDelta.py:52``)."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+def key_difference(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
+    """SO2: distinct keys of ``left`` minus keys of ``right``
+    (``find_unique_employee.ipynb:90-92``)."""
+    return left.select(key).distinct().exceptAll(right.select(key).distinct())

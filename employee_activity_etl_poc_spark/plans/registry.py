@@ -1,0 +1,723 @@
+"""Named query registry — the engine's public query surface.
+
+Every operator family from SURVEY.md §2 is exercised by at least one named
+query here, runnable on the driver's testdata tables (TESTDATA.md). Each
+entry carries BOTH the Spark plan (a ``(spark, sf_dir) -> DataFrame``
+callable) and, where SQL-expressible, a semantically identical ANSI-SQL
+oracle string for DuckDB — that pair is the correctness gate
+(CORRECTNESS_r{N}.json).
+
+Determinism rules applied throughout (so the order-insensitive value hash
+matches across engines):
+- double aggregates are ``round()``-ed (2dp for sums, 4dp for means);
+- timestamps are emitted as formatted strings, never raw;
+- integer-ization is always an explicit ``floor`` (Spark casts truncate,
+  DuckDB casts round — plain casts would diverge);
+- top-k queries order by a total (tie-free) key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from textwrap import dedent
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..operators import relational as R
+from ..quality import rules as DQ
+from ..sources.readers import load_table
+from . import kpi
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Query(fn, dedent(oracle).strip() if oracle else None, doc, tags)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ===========================================================================
+# Aggregations (SURVEY §2.4) + scan/filter pushdown (§2.2)
+# ===========================================================================
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A3/A9-style multi-aggregate groupBy with a pushed-down scan "
+    "predicate (TPC-H Q1 shape). One shuffle, map-side partial agg.",
+    tags=("agg", "scan"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "event_type_stats",
+    """
+    SELECT event_type,
+           count(*)                         AS n,
+           count(DISTINCT user_id)          AS n_users,
+           round(sum(value), 2)             AS total_value,
+           round(avg(value), 4)             AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    doc="A3+A4: groupBy multi-agg with count-distinct (the gold/2test1.py "
+    "transport report shape, gold/2test1.py:187-194).",
+    tags=("agg",),
+)
+def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_after_watermark",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           count(*)                 AS n,
+           round(sum(value), 2)     AS total_value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-25'
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    doc="P4/A2/ST6: incremental high-watermark filter (bronzeToGold2.py:38-50"
+    ",103-110) expressed as a pushed-down timestamp predicate; daily rollup.",
+    tags=("filter", "incremental"),
+)
+def events_after_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = R.high_watermark_filter(
+        load(spark, sf_dir, "events"), "ts", "2024-01-25 00:00:00"
+    )
+    return (
+        ev.groupBy(S.format_ts("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+@register(
+    "heavy_user_event_types",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type HAVING count(*) > 5
+    """,
+    doc="A5: duplicate/hot-key detection via groupBy-having "
+    "(test_real_data.py:17 generalized).",
+    tags=("agg", "quality"),
+)
+def heavy_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 5)
+    )
+
+
+# ===========================================================================
+# Joins (SURVEY §2.3)
+# ===========================================================================
+
+
+@register(
+    "revenue_by_segment",
+    """
+    SELECT c_mktsegment,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS revenue,
+           round(avg(o_totalprice), 4)  AS avg_order
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="J1: fact⟕broadcast-dim equi-join + rollup (the bronze⟕HR-xlsx "
+    "enrichment shape, gold/bronzeToGold.py:136-163).",
+    tags=("join", "broadcast"),
+)
+def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_order"),
+    )
+
+
+@register(
+    "brand_volume",
+    """
+    SELECT p_brand,
+           count(*)                                          AS n_items,
+           round(sum(l_quantity), 2)                         AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="J2: second enrichment join, dim broadcast so the 100TB fact side "
+    "never shuffles (gold/bronzeToGold2.py:126-145).",
+    tags=("join", "broadcast"),
+)
+def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "dormant_customers",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+    doc="J3: left-anti referential check — entities with no open activity "
+    "(the missing-employee report, find_unique_employee.ipynb:88-112).",
+    tags=("join", "anti"),
+)
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    open_orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return R.anti_join(customer, open_orders, "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "open_order_customers",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'
+    )
+    """,
+    doc="J4: left-semi keep-valid-rows (find_unique_employee.ipynb:138).",
+    tags=("join", "semi"),
+)
+def open_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    open_orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return R.semi_join(customer, open_orders, "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+# ===========================================================================
+# Windows / sorts / top-k (SURVEY §2.5)
+# ===========================================================================
+
+
+@register(
+    "latest_events_per_user",
+    """
+    SELECT user_id, event_id, event_type, rn FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    doc="W3: top-k per group via row_number (the Slack tail-5 startup "
+    "buffer, slack_bot/slack_notifier.py:206-241).",
+    tags=("window",),
+)
+def latest_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return R.topk_per_group(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()], 3
+    ).select("user_id", "event_id", "event_type", "rn")
+
+
+@register(
+    "newest_events",
+    """
+    SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events ORDER BY event_id DESC LIMIT 7
+    """,
+    doc="W1: deterministic global top-k (the newest-7 DELETE selection, "
+    "README.md:70-78).",
+    tags=("window", "limit"),
+)
+def newest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return R.topk_global(ev, [F.col("event_id").desc()], 7).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        S.format_ts("ts").alias("ts_str"),
+    )
+
+
+@register(
+    "event_row_numbers",
+    """
+    SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS row_id
+    FROM events WHERE user_id < 10
+    """,
+    doc="W4: contiguous 1..N id assignment (strava_like_data.ipynb:110); "
+    "global window kept to a filtered subset — at scale use the two-pass "
+    "per-partition-offset variant.",
+    tags=("window",),
+)
+def event_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    return R.assign_contiguous_ids(ev, [F.col("ts"), F.col("event_id")]).select(
+        "event_id", "row_id"
+    )
+
+
+# ===========================================================================
+# Set operations (SURVEY §2.6)
+# ===========================================================================
+
+
+@register(
+    "lineitem_union_fragments",
+    """
+    SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM (
+      SELECT * FROM lineitem WHERE l_linenumber <= 3
+      UNION ALL
+      SELECT * FROM lineitem WHERE l_linenumber > 3
+    ) GROUP BY l_linestatus
+    """,
+    doc="SO1: union-all of fragments then rollup (pd.concat over parquet "
+    "fragments, bronze/readSampleDelta.py:52).",
+    tags=("setop",),
+)
+def lineitem_union_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    parts = [li.where(F.col("l_linenumber") <= 3), li.where(F.col("l_linenumber") > 3)]
+    return (
+        R.union_fragments(parts)
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "customers_without_events",
+    """
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT user_id FROM events
+    """,
+    doc="SO2: set difference on keys (activity_ids - hr_ids, "
+    "find_unique_employee.ipynb:90-92).",
+    tags=("setop",),
+)
+def customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    events = load(spark, sf_dir, "events").select(F.col("user_id").alias("key"))
+    return R.key_difference(customer, events, "key")
+
+
+# ===========================================================================
+# KPI / DAX translations (SURVEY §2.4 A7-A9, §2.3 J6)
+# ===========================================================================
+
+ACTIVE_EVENT_TYPES = ("click", "view")  # stands in for the "active sport" set
+ACTIVE_SEGMENTS = ("AUTOMOBILE", "MACHINERY")  # stands in for active transport
+
+
+def _qualification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity qualification frame: the A7 SUMMARIZE + A8 flags, with the
+    J6 salary lookup decorrelated into a broadcast join."""
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("employee_id"),
+        F.col("c_acctbal").alias("salary"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    counts = kpi.summarize_per_entity(
+        load(spark, sf_dir, "events").where(F.col("event_type").isin(*ACTIVE_EVENT_TYPES)),
+        ["user_id"],
+    ).withColumnRenamed("user_id", "employee_id")
+    joined = customer.join(F.broadcast(counts), "employee_id", "left").withColumn(
+        "total_line_count", F.coalesce(F.col("total_line_count"), F.lit(0))
+    )
+    return kpi.with_qualification_flags(
+        joined, F.col("segment").isin(*ACTIVE_SEGMENTS)
+    )
+
+
+_QUAL_SQL_CTE = """
+    WITH qual AS (
+      SELECT c_custkey AS employee_id,
+             c_acctbal AS salary,
+             CAST(COALESCE(e.n, 0) AS BIGINT)        AS total_line_count,
+             COALESCE(e.n, 0) > 5                    AS qualify_sport,
+             c_mktsegment IN ('AUTOMOBILE','MACHINERY') AS qualify_commute
+      FROM customer LEFT JOIN (
+        SELECT user_id, count(*) AS n FROM events
+        WHERE event_type IN ('click','view') GROUP BY user_id
+      ) e ON c_custkey = e.user_id
+    )
+"""
+
+
+@register(
+    "user_qualification",
+    _QUAL_SQL_CTE
+    + """
+    SELECT employee_id, total_line_count, qualify_sport, qualify_commute FROM qual
+    """,
+    doc="A7+A8: SUMMARIZE + QualifySport/QualifyCommute flags "
+    "(FormulaePowerBI.txt:2-27).",
+    tags=("kpi", "agg", "join"),
+)
+def user_qualification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _qualification(spark, sf_dir).select(
+        "employee_id",
+        F.col("total_line_count").cast("long").alias("total_line_count"),
+        "qualify_sport",
+        "qualify_commute",
+    )
+
+
+@register(
+    "wellness_kpis",
+    _QUAL_SQL_CTE
+    + """
+    SELECT CAST(sum(CASE WHEN qualify_sport THEN 5 ELSE 0 END) AS BIGINT) AS total_wellness_days,
+           round(sum(CASE WHEN qualify_sport THEN salary * 5 / 251 ELSE 0.0 END), 2) AS total_equiv_salary,
+           round(sum(CASE WHEN qualify_commute THEN salary * 0.05 ELSE 0.0 END), 2) AS total_prime_sportive
+    FROM qual
+    """,
+    doc="A9: the three business KPI rollups — wellness days, salary "
+    "equivalent, sport bonus (FormulaePowerBI.txt:30-47).",
+    tags=("kpi", "agg"),
+)
+def wellness_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kpi.wellness_totals(_qualification(spark, sf_dir))
+
+
+# ===========================================================================
+# Data-quality rule engine (SURVEY §2.9, §2.2 P5-P8)
+# ===========================================================================
+
+EVENT_VALUE_RANGES: dict[str, tuple[float, float]] = {
+    "click": (1.0, 450.0),
+    "view": (1.0, 450.0),
+    "purchase": (5.0, 400.0),
+    "signup": (2.0, 480.0),
+    "error": (0.5, 489.0),
+}
+_VALIDATION_NOW = "2024-01-28 00:00:00"
+
+
+@register(
+    "activity_validation",
+    """
+    SELECT 'future_start_date' AS rule, 'hard' AS severity, event_id AS id
+    FROM events WHERE ts > TIMESTAMP '2024-01-28'
+    UNION ALL
+    SELECT 'low_value', 'hard', event_id
+    FROM events WHERE event_type = 'purchase' AND value < 1.0
+    UNION ALL
+    SELECT 'value_range', 'soft', event_id
+    FROM events WHERE
+         (event_type = 'click'    AND (value < 1.0 OR value > 450.0))
+      OR (event_type = 'view'     AND (value < 1.0 OR value > 450.0))
+      OR (event_type = 'purchase' AND (value < 5.0 OR value > 400.0))
+      OR (event_type = 'signup'   AND (value < 2.0 OR value > 480.0))
+      OR (event_type = 'error'    AND (value < 0.5 OR value > 489.0))
+    """,
+    doc="P5-P7: the validate_activities rule engine (sport_benefits.py:21-60)"
+    " — future-date, below-floor, and per-group range rules evaluated in one "
+    "scan; overlap semantics pinned (a row can trip several rules).",
+    tags=("quality",),
+)
+def activity_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.col("value")
+    range_violation = F.lit(False)
+    for etype, (lo, hi) in EVENT_VALUE_RANGES.items():
+        range_violation = F.when(
+            (F.col("event_type") == etype) & ((v < lo) | (v > hi)), F.lit(True)
+        ).otherwise(range_violation)
+    rules = [
+        DQ.Rule(
+            "future_start_date",
+            DQ.HARD,
+            F.col("ts") > F.lit(_VALIDATION_NOW).cast("timestamp"),
+        ),
+        DQ.Rule("low_value", DQ.HARD, (F.col("event_type") == "purchase") & (v < 1.0)),
+        DQ.Rule("value_range", DQ.SOFT, range_violation),
+    ]
+    return DQ.run_rules(ev, rules, id_col="event_id")
+
+
+# ===========================================================================
+# Scalar-function surface (SURVEY §2.7)
+# ===========================================================================
+
+
+@register(
+    "time_features",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           epoch_us(ts)                      AS ts_us,
+           (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')) // 1000000 AS elapsed_s,
+           printf('%02d:%02d:%02d',
+                  CAST(floor(value) AS BIGINT) // 3600,
+                  (CAST(floor(value) AS BIGINT) % 3600) // 60,
+                  CAST(floor(value) AS BIGINT) % 60)  AS dur_hhmmss
+    FROM events WHERE event_id < 200
+    """,
+    doc="F1/F2/F5/F15: µs-epoch conversions, timestamp formatting, elapsed "
+    "seconds, hh:mm:ss rendering (redPandaToDeltaLake.py:80-83, "
+    "find_unique_employee.ipynb:308-314, gmap_commute.py:178-182).",
+    tags=("scalar",),
+)
+def time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return ev.select(
+        "event_id",
+        S.format_ts("ts").alias("ts_str"),
+        S.timestamp_to_micros("ts").alias("ts_us"),
+        S.elapsed_seconds(anchor, F.col("ts")).alias("elapsed_s"),
+        S.hhmmss(F.floor("value")).alias("dur_hhmmss"),
+    )
+
+
+SPORT_LABELS = {
+    "click": "Vélo",
+    "view": "Marche",
+    "purchase": "Natation",
+    "signup": "Course à pied",
+}
+
+
+@register(
+    "sport_code_mapping",
+    """
+    SELECT CASE event_type
+             WHEN 'click' THEN 'Vélo'
+             WHEN 'view' THEN 'Marche'
+             WHEN 'purchase' THEN 'Natation'
+             WHEN 'signup' THEN 'Course à pied'
+             ELSE 'activité sportive'
+           END AS label,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    doc="F11: code→label mapping with default (slack_bot/slack_notifier.py:"
+    "81-92 sport_emojis / names).",
+    tags=("scalar",),
+)
+def sport_code_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(S.map_code("event_type", SPORT_LABELS, "activité sportive").alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "slack_messages",
+    """
+    WITH base AS (
+      SELECT event_id,
+             user_id,
+             CASE event_type
+               WHEN 'click' THEN 'Vélo'
+               WHEN 'view' THEN 'Marche'
+               WHEN 'purchase' THEN 'Natation'
+               WHEN 'signup' THEN 'Course à pied'
+               ELSE 'activité sportive'
+             END AS label,
+             CAST(floor(value * 1000) AS BIGINT) AS sec,
+             value * 10 AS meters
+      FROM events WHERE event_id < 100
+    ), dur AS (
+      SELECT event_id, user_id, label, meters,
+             concat_ws(' et ',
+               CASE WHEN sec // 86400 > 0 THEN (sec // 86400)::VARCHAR || ' jour(s)' END,
+               CASE WHEN (sec % 86400) // 3600 > 0 THEN ((sec % 86400) // 3600)::VARCHAR || ' heure(s)' END,
+               CASE WHEN (sec % 3600) // 60 > 0 THEN ((sec % 3600) // 60)::VARCHAR || ' minute(s)' END
+             ) AS d
+      FROM base
+    )
+    SELECT event_id,
+           'Utilisateur ' || user_id::VARCHAR || ' a fait ' || label
+           || ' pendant ' || (CASE WHEN d = '' THEN 'quelques secondes' ELSE d END)
+           || ' (' ||
+           (CASE WHEN meters >= 1000.0
+                 THEN printf('%.1f', round(meters / 1000.0, 1)) || ' km'
+                 ELSE CAST(floor(meters) AS BIGINT)::VARCHAR || ' m' END)
+           || ')' AS message
+    FROM dur
+    """,
+    doc="F11-F14: the Slack notification template — French duration "
+    "phrasing, distance label, message assembly — as pure column exprs "
+    "(slack_bot/slack_notifier.py:65-149).",
+    tags=("scalar", "format"),
+)
+def slack_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    sec = F.floor(F.col("value") * 1000)
+    meters = F.col("value") * 10
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.lit("Utilisateur "),
+            F.col("user_id").cast("string"),
+            F.lit(" a fait "),
+            S.map_code("event_type", SPORT_LABELS, "activité sportive"),
+            F.lit(" pendant "),
+            S.human_duration_fr(sec),
+            F.lit(" ("),
+            S.distance_label(meters),
+            F.lit(")"),
+        ).alias("message"),
+    )
+
+
+# ===========================================================================
+# Commute analytics (the gold/2test1.py pipeline: F6-F8 + A3/A6)
+# ===========================================================================
+
+SEGMENT_TRANSPORT = {
+    "AUTOMOBILE": "véhicule thermique/électrique",
+    "MACHINERY": "Vélo/Trottinette/Autres",
+    "BUILDING": "Transports en commun",
+    "FURNITURE": "Marche/running",
+    "HOUSEHOLD": "Transports en commun",
+}
+
+
+@register(
+    "commute_analytics",
+    """
+    WITH commute AS (
+      SELECT CASE c_mktsegment
+               WHEN 'AUTOMOBILE' THEN 'véhicule thermique/électrique'
+               WHEN 'MACHINERY' THEN 'Vélo/Trottinette/Autres'
+               WHEN 'BUILDING' THEN 'Transports en commun'
+               WHEN 'FURNITURE' THEN 'Marche/running'
+               WHEN 'HOUSEHOLD' THEN 'Transports en commun'
+               ELSE 'autre'
+             END AS transport_mode,
+             abs(c_acctbal) / 200.0 AS dist_km
+      FROM customer
+    ), flagged AS (
+      SELECT transport_mode, dist_km,
+             lower(trim(transport_mode)) IN ('marche/running', 'vélo/trottinette/autres') AS prime_sportive,
+             CASE WHEN lower(trim(transport_mode)) = 'marche/running' AND dist_km > 15.0 THEN TRUE
+                  WHEN lower(trim(transport_mode)) = 'vélo/trottinette/autres' AND dist_km > 25.0 THEN TRUE
+                  ELSE FALSE END AS commute_long
+      FROM commute
+    )
+    SELECT transport_mode,
+           count(*) AS n,
+           CAST(sum(CASE WHEN prime_sportive THEN 1 ELSE 0 END) AS BIGINT) AS n_prime,
+           CAST(sum(CASE WHEN commute_long THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+           round(avg(dist_km), 4) AS avg_km,
+           round(100.0 * sum(CASE WHEN prime_sportive THEN 1 ELSE 0 END) / count(*), 4) AS pct_prime
+    FROM flagged GROUP BY transport_mode
+    """,
+    doc="The commute-analytics gold job (gold/2test1.py:44-220): normalize "
+    "transport modes (F6), derive Prime_Sportive (F7) and Commute_long (F8),"
+    " per-mode report (A3/A6/A10).",
+    tags=("kpi", "scalar", "agg"),
+)
+def commute_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    commute = cust.select(
+        S.map_code("c_mktsegment", SEGMENT_TRANSPORT, "autre").alias("transport_mode"),
+        (F.abs(F.col("c_acctbal")) / 200.0).alias("dist_km"),
+    )
+    flagged = commute.select(
+        "transport_mode",
+        "dist_km",
+        S.prime_sportive("transport_mode").alias("prime_sportive"),
+        S.commute_long("transport_mode", "dist_km").alias("commute_long"),
+    )
+    return flagged.groupBy("transport_mode").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("prime_sportive").cast("int")).cast("long").alias("n_prime"),
+        F.sum(F.col("commute_long").cast("int")).cast("long").alias("n_long"),
+        F.round(F.avg("dist_km"), 4).alias("avg_km"),
+        F.round(
+            100.0 * F.sum(F.col("prime_sportive").cast("int")) / F.count("*"), 4
+        ).alias("pct_prime"),
+    )

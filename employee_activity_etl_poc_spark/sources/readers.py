@@ -1,0 +1,164 @@
+"""Batch sources — SURVEY §2.1 S6-S13, Spark-first.
+
+The reference reads Delta via delta-rs ``to_pandas()`` full scans
+(``gold/bronzeToGold.py:69-74``), raw-globs parquet fragments ignoring the
+Delta log (``bronze/readSampleDelta.py:13-73``), sniffs CSV dialects
+(``gold/2test1.py:66-113``), and loads tiny Excel dims with pandas
+(``gold/bronzeToGold.py:91,104``). Here every reader returns a *lazy*
+DataFrame so Catalyst gets predicate pushdown + column pruning; the only
+driver-side work is dialect sniffing on a small byte probe and the Excel
+dims (no native Spark reader; dims are ~161 rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# Columns physically stored as parquet TIMESTAMP(NANOS); Spark reads them as
+# int64 nanoseconds (spark.sql.legacy.parquet.nanosAsLong) and we convert to
+# µs-precision timestamps here, matching DuckDB's ns->µs truncation.
+_NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver testdata table (TESTDATA.md)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANOS_TS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    from ..schemas import TESTDATA_TABLES
+
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+# ---------------------------------------------------------------------------
+# CSV with dialect sniffing (S9)
+# ---------------------------------------------------------------------------
+
+def _sniff_csv(path: str, probe_bytes: int = 64 * 1024) -> tuple[str, str]:
+    """Probe the head of one file for (delimiter, encoding).
+
+    Mirrors the reference's retry ladder `,` -> `;` -> auto -> latin-1
+    (``gold/2test1.py:66-113``) and the BOM/utf-8-sig and tab cases
+    (``find_unique_employee.ipynb`` cell b0cab438,
+    ``Strava_Data/import_to_postgre.ipynb:34-38``) — but as ONE driver-side
+    probe followed by ONE distributed scan, instead of up to four full reads.
+    """
+    candidates = [p for p in ([path] if os.path.isfile(path) else sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".csv")
+    ))]
+    raw = b""
+    if candidates:
+        with open(candidates[0], "rb") as fh:
+            raw = fh.read(probe_bytes)
+    encoding = "UTF-8"
+    if raw.startswith(b"\xef\xbb\xbf"):
+        raw = raw[3:]
+    try:
+        head = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        encoding = "ISO-8859-1"
+        head = raw.decode("latin-1")
+    first = head.splitlines()[0] if head else ""
+    sep = max((",", ";", "\t", "|"), key=first.count)
+    if first.count(sep) == 0:
+        sep = ","
+    return sep, encoding
+
+
+def read_csv_sniffed(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S9: CSV source with delimiter/encoding sniffing."""
+    sep, encoding = _sniff_csv(path)
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("encoding", encoding)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+# ---------------------------------------------------------------------------
+# Excel dims via driver (S10)
+# ---------------------------------------------------------------------------
+
+def read_excel_dim(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    aliases: dict[str, str] | None = None,
+) -> DataFrame:
+    """S10: Excel source. No core-Spark reader exists; the dims are tiny
+    (161-row HR roster, ``gold/bronzeToGold.py:91,104``) so a driver-side
+    pandas read + ``createDataFrame`` is the deterministic, scale-safe
+    choice (the result is broadcast in every join that uses it).
+    """
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path)  # needs openpyxl
+    except ImportError as exc:  # pragma: no cover - env without openpyxl
+        raise NotImplementedError(
+            "Excel ingestion needs pandas+openpyxl on the driver; "
+            "convert the dim to CSV/parquet instead"
+        ) from exc
+    df = spark.createDataFrame(pdf, schema=schema)
+    if aliases:
+        from ..schemas import canonicalize
+
+        df = canonicalize(df, aliases)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Delta / JDBC (S6, S12) — gated: neither jar ships in this image
+# ---------------------------------------------------------------------------
+
+def delta_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+def read_delta(spark: SparkSession, path: str) -> DataFrame:
+    """S6: Delta source. Falls back to a plain parquet scan when the Delta
+    jar is absent (correct only for append-only tables with no tombstones —
+    which is exactly the reference's raw-parquet shortcut at
+    ``bronze/readSampleDelta.py:13-73``; with the jar present we read the
+    log properly instead).
+    """
+    if delta_available(spark):
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """S12: JDBC source (``pd.read_sql`` at ``find_unique_employee.ipynb:118``).
+    Thin declarative wrapper; partitioned reads should pass
+    partitionColumn/lowerBound/upperBound/numPartitions via ``properties``.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,65 @@
+"""Batch sinks — SURVEY §2.1 S3-S5, S8, S11.
+
+The reference appends 10-row pandas batches to Delta
+(``bronze/redPandaToDeltaLake.py:48-65``) — the classic small-file problem —
+and rewrites whole CSVs per run (``gold/bronzeToGold2.py:193-196``). Here
+sinks are plain DataFrame writers; partitioning by the processing date
+column (which the reference created for exactly this purpose,
+``gold/bronzeToGold.py:183``) keeps 100 TB tables prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .readers import delta_available
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_delta(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    merge_schema: bool = False,
+    partition_by: list[str] | None = None,
+) -> None:
+    """S3/S4/S5: Delta sink (append / overwrite / append+mergeSchema,
+    ``gold/bronzeToGold2.py:171-187``). Parquet fallback without the jar
+    (schema evolution then relies on ``mergeSchema`` at read time).
+    """
+    fmt = "delta" if delta_available(df.sparkSession) else "parquet"
+    writer = df.write.format(fmt).mode(mode)
+    if merge_schema and fmt == "delta":
+        writer = writer.option("mergeSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: CSV mirror of a gold table (``gold/bronzeToGold.py:192``)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_jdbc(
+    df: DataFrame, url: str, table: str, mode: str = "append",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S11: JDBC sink (``to_sql(method='multi')`` at
+    ``import_to_postgre.ipynb:71-79``; streaming variant goes through
+    ``foreachBatch`` in streaming/sinks.py)."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
