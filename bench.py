@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full computation of
+every output column, no collect-to-driver cost, no column pruning of the
+result — `count()` would let Catalyst skip computed columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from employee_activity_etl_poc_spark.plans.registry import REGISTRY  # noqa: E402
+from employee_activity_etl_poc_spark.session import get_spark  # noqa: E402
+
+# Representative spread: scans+aggs, broadcast joins, windows, KPIs, DQ,
+# dedup (exact + LSH), text analysis, similarity, mapInPandas multimodal.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_segment",
+    "brand_volume",
+    "event_type_stats",
+    "latest_events_per_user",
+    "user_qualification",
+    "wellness_kpis",
+    "activity_validation",
+    "slack_messages",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "token_counts",
+    "embedding_topk",
+    "multimodal_metadata",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    # JVM/codegen warmup so the first measured query isn't charged for it
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

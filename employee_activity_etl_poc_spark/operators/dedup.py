@@ -1,0 +1,259 @@
+"""Deduplication operators for LLM-scale corpora (BASELINE.json north-star).
+
+Four strategies, all shuffle-conscious:
+
+- **exact**: md5(content) -> groupBy hash. One shuffle on a short key;
+  at 100 TB this is the cheapest possible dedup (hash is computed map-side,
+  the shuffle carries 32-byte keys, AQE coalesces the output).
+- **minhash + LSH**: shingle -> k minhashes -> b bands; docs sharing a band
+  bucket are candidates; candidates verified with true shingle-set Jaccard.
+  Candidate generation is an equi-join on (band, signature) — i.e. a plain
+  shuffle join on a compact key, never an O(n²) cross join.
+- **simhash**: per-doc 16-bit signature from token-hash bit votes; identical
+  signatures (or signatures within small Hamming distance via multi-probe)
+  are candidates.
+- **embedding near-dup**: cosine over an embedding column; see
+  ``similarity.py`` for the bucketed scale path.
+
+All hashing is md5-derived so results are engine-portable (the DuckDB
+correctness oracle computes the identical signatures in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import jaccard, shingles, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """Groups of byte-identical content: (content_hash, n_docs, keeper_id).
+
+    The keeper is the minimum id (deterministic survivor policy)."""
+    return (
+        df.select(F.md5(F.col(content_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct content value."""
+    w_min = (
+        df.groupBy(F.md5(F.col(content_col)).alias("h"))
+        .agg(F.min(id_col).alias(id_col))
+        .drop("h")
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _hash_long(col: Column) -> Column:
+    """Portable 32-bit-ish hash: first 8 hex chars of md5, as a long.
+    Chosen over xxhash64/murmur because the DuckDB oracle can compute the
+    identical value (md5 is the shared primitive)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# Linear-permutation minhash parameters: h_i(x) = (a_i*x + b_i) mod P.
+# P is the standard >2^32 prime; a_i is capped at 2^28 bits so a*x stays
+# well under 2^63 (ANSI mode would error on long overflow). Parameters are
+# md5-derived constants — deterministic, reproducible in the SQL oracle.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    params = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"minhash_a_{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"minhash_b_{i}".encode()).hexdigest()[:8], 16)
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(shingle_arr: Column, num_perm: int = 16) -> Column:
+    """num_perm minhash values over a shingle array.
+
+    One md5 per shingle (the expensive part), then each permutation is a
+    two-op integer transform over the precomputed hash array — 16 perms cost
+    barely more than 1. No UDF; portable to the SQL oracle."""
+    hashes = F.transform(shingle_arr, _hash_long)
+    return minhash_from_hashes(hashes, num_perm)
+
+
+def _permuted_min(hash_arr: Column, a: int, b: int) -> Column:
+    # Closure factory (not default-arg lambdas): PySpark infers HOF lambda
+    # arity from the signature, so `lambda x, a=a` would read as a 2-arg HOF.
+    return F.array_min(
+        F.transform(
+            hash_arr, lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+        )
+    )
+
+
+def minhash_from_hashes(hash_arr: Column, num_perm: int = 16) -> Column:
+    return F.array(
+        *[_permuted_min(hash_arr, a, b) for a, b in _perm_params(num_perm)]
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of ``bands`` strings, each the comma-joined slice of the
+    signature for that band."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat_ws(
+            ",",
+            *[
+                F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                for r in range(rows_per_band)
+            ],
+        ),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash-LSH.
+
+    Pipeline: shingle -> signature -> band explode -> equi-join on
+    (band, key) -> verify true Jaccard >= threshold. The verify join
+    re-fetches shingle sets by id; at scale persist the shingle frame.
+    """
+    rows_per_band = num_perm // bands
+    base = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+        .where(F.size(tokens(F.col("t"))) >= shingle_k)
+        .select("doc", shingles("t", shingle_k).alias("sh"))
+    )
+    banded = base.select(
+        "doc",
+        F.posexplode(
+            lsh_band_keys(minhash_signature(F.col("sh"), num_perm), bands, rows_per_band)
+        ).alias("band", "key"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(text: Column | str) -> Column:
+    """16-bit simhash over tokens (with multiplicity): bit b is set when the
+    sum of ±1 votes from each token's hash bit b is positive."""
+    ws = tokens(text)
+    hashes = F.transform(ws, lambda w: _hash_long(w))
+
+    # Bit extraction via divide-then-mod (shiftright needs a literal int,
+    # not a lambda-bound Column; hashes are 32-bit so double division is
+    # exact well within the 2^53 mantissa).
+    def vote(b: Column) -> Column:
+        mask = F.pow(F.lit(2.0), b).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(((h / mask).cast("long") % 2) == 1, 1).otherwise(-1),
+        )
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda b: F.when(vote(b) > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash_duplicate_groups(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Docs sharing an identical simhash16: (simhash, n_docs, keeper_id).
+    Hamming-distance<=d probing = re-join with bit-flipped signatures."""
+    return (
+        df.select(simhash16(F.col(text_col)).alias("simhash"), F.col(id_col))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard (non-LSH candidate generation)
+# ---------------------------------------------------------------------------
+
+
+def blocked_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[Column],
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """All-pairs shingle Jaccard *within blocks* (e.g. same language ×
+    length bucket): the classic blocking baseline. O(block²) — the LSH
+    variant above is the scale path; this one is exact within its blocks."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        *[c.alias(f"blk{i}") for i, c in enumerate(block_cols)],
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).where(F.size(tokens(F.col(text_col))) >= shingle_k)
+    blk = [f"blk{i}" for i in range(len(block_cols))]
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = (F.col("a.doc") < F.col("b.doc"))
+    for c in blk:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    jac = jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, cond)
+        .where(jac >= threshold)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )

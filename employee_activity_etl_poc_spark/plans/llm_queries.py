@@ -1,0 +1,427 @@
+"""LLM-data-pipeline queries (BASELINE.json north-star): dedup, similarity
+search, text analysis, multimodal — registered alongside the SURVEY §2
+operator queries with DuckDB oracles wherever SQL-expressible.
+
+The sf0.01 corpus contains no natural near-duplicates (max trigram Jaccard
+0.02, max cosine 0.39), so the near-dup queries PLANT deterministic
+duplicates inside the query itself (union with copied / first-word-dropped
+rows) — both engines construct the identical corpus, so the planted pairs
+are real targets the operators must find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as SIM
+from ..operators import textops as TX
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS nc,
+             len(string_split(text, ' ')) AS nt,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ('the','a','of','and','to','in','is'))) AS ns,
+             length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS np
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(nc AS BIGINT) AS n_chars,
+           CAST(nt AS BIGINT) AS n_tokens,
+           round((nc - nt + 1) * 1.0 / nt, 4) AS avg_token_len,
+           round(ns * 1.0 / nt, 4) AS stopword_ratio,
+           round(np * 1.0 / nc, 4) AS punct_ratio,
+           round(least(1.0, nt / 100.0) * 0.5
+                 + round(ns * 1.0 / nt, 4) * 0.3
+                 + least(1.0, round((nc - nt + 1) * 1.0 / nt, 4) / 8.0) * 0.2, 4) AS quality
+    FROM base
+    """,
+    doc="Per-document quality features + composite score (length, token "
+    "shape, stopword density, symbol noise) — pure column exprs.",
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = TX.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+_LANG_SCORE_SQL = """
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
+             len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','de','un','les','des'))) AS s_fr,
+             len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','una','que','por'))) AS s_es,
+             len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ein','nicht'))) AS s_de
+      FROM documents
+"""
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    WITH scores AS ({_LANG_SCORE_SQL})
+    SELECT doc_id, lang,
+           CASE WHEN s_en + s_fr + s_es + s_de = 0 THEN 'unknown'
+                WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_de THEN 'es'
+                ELSE 'de' END AS lang_pred
+    FROM scores
+    """,
+    doc="Stopword-count language-ID heuristic with deterministic tie-break; "
+    "emits prediction next to the labeled lang column.",
+    tags=("llm", "text"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish regex token counting.",
+    tags=("llm", "text"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.n_tokens("text").cast("long").alias("n_ws_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, len(ws) - 2)]) AS s
+      FROM w WHERE len(ws) >= 3
+    )
+    SELECT doc_id, list_min([md5(x) for x in s]) AS fingerprint FROM sh
+    """,
+    doc="Winnowing-lite content fingerprint: min-md5 over 3-word shingles.",
+    tags=("llm", "text"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.size(TX.tokens("text")) >= 3)
+    return docs.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup — planted-duplicate corpora (deterministic in both engines)
+# ---------------------------------------------------------------------------
+
+
+def _with_exact_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies of every 7th doc, re-id'd +100000."""
+    copies = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(copies)
+
+
+def _with_near_copies(docs: DataFrame) -> DataFrame:
+    """documents ∪ first-word-dropped variants of doc_id<25, re-id'd."""
+    ws = F.split(F.col("text"), " ")
+    variants = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("lang"),
+        F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+    )
+    return docs.select("doc_id", "lang", "text").unionByName(variants)
+
+
+_EXACT_CORPUS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 7 = 0
+"""
+
+_NEAR_CORPUS_SQL = """
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, lang,
+             array_to_string((string_split(text, ' '))[2:], ' ')
+      FROM documents WHERE doc_id < 25
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL})
+    SELECT md5(text) AS content_hash,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    doc="Exact dedup via content-hash groupBy; min-id survivor policy. "
+    "Cheapest dedup at 100 TB: map-side hash, 32-byte shuffle key.",
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_exact_copies(load(spark, sf_dir, "documents"))
+    return D.exact_duplicate_groups(corpus, "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, len(ws) - 2)]) AS s
+      FROM w WHERE len(ws) >= 3
+    ),
+    sig AS (
+      SELECT doc_id, s,
+             [list_min([CAST('0x' || substr(md5(p::VARCHAR || '|' || x), 1, 8) AS BIGINT)
+                        for x in s])
+              for p in generate_series(0, 15)] AS mh
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             mh[4*b+1]::VARCHAR || ',' || mh[4*b+2]::VARCHAR || ',' ||
+             mh[4*b+3]::VARCHAR || ',' || mh[4*b+4]::VARCHAR AS key
+      FROM sig, generate_series(0, 3) t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(1.0 * len(list_intersect(x.s, y.s))
+                 / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
+    FROM pairs JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    WHERE 1.0 * len(list_intersect(x.s, y.s))
+          / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
+    """,
+    doc="MinHash(16 perms) + LSH(4 bands): candidates from a band-key "
+    "equi-join (never O(n²)), verified with true shingle Jaccard >= 0.5. "
+    "Finds the 25 planted first-word-dropped near-dups.",
+    tags=("llm", "dedup"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    return D.minhash_near_duplicates(
+        corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH corpus AS ({_EXACT_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    h AS (
+      SELECT doc_id,
+             [CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) for w in ws] AS hs
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum(
+               [CASE WHEN list_sum([CASE WHEN (x // CAST(power(2, b) AS BIGINT)) % 2 = 1
+                                         THEN 1 ELSE -1 END for x in hs]) > 0
+                     THEN CAST(power(2, b) AS BIGINT) ELSE 0 END
+                for b in generate_series(0, 15)]) AS BIGINT) AS simhash
+      FROM h
+    )
+    SELECT simhash, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM sig GROUP BY simhash HAVING count(*) > 1
+    """,
+    doc="16-bit SimHash signature groups (identical-signature candidates; "
+    "planted exact copies collide by construction, plus any natural 16-bit "
+    "collisions — identical in both engines).",
+    tags=("llm", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_exact_copies(load(spark, sf_dir, "documents"))
+    return D.simhash_duplicate_groups(corpus, "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_blocked",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    base AS (
+      SELECT doc_id, lang,
+             CAST(floor(length(text) / 200) AS BIGINT) AS lb,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, len(ws) - 2)]) AS sh
+      FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM corpus)
+      WHERE len(ws) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(1.0 * len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+    """,
+    doc="Blocked all-pairs n-gram Jaccard (blocks: lang × length-bucket) — "
+    "the exact-within-block baseline; LSH is the scale path.",
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    return D.blocked_jaccard_pairs(
+        corpus,
+        "text",
+        "doc_id",
+        block_cols=[F.col("lang"), F.floor(F.length("text") / 200).cast("long")],
+        threshold=0.4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-5 per query vector (exact ANN baseline); "
+    "JVM-side zip_with/aggregate fold, queries broadcast.",
+    tags=("llm", "similarity"),
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+    doc="Embedding-cosine near-dup pairs (threshold 0.99) over a corpus "
+    "with 20 planted exact copies.",
+    tags=("llm", "dedup", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    return SIM.near_duplicate_pairs(corpus, "vec_id", "embedding", threshold=0.99)
+
+
+@register(
+    "embedding_ann_lsh",
+    None,  # hyperplane buckets are not reasonably SQL-expressible; rows-only check
+    doc="Approximate top-k via deterministic random-hyperplane LSH buckets "
+    "(the scale path: bucket equi-join replaces the cross product).",
+    tags=("llm", "similarity", "scale"),
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.lsh_bucketed_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 577 AS BIGINT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 31) % 577 AS BIGINT) AS height,
+           CAST(octet_length(encode(text)) // 1024 + 1 AS BIGINT) AS n_frames,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS fmt
+    FROM documents
+    """,
+    doc="Binary media column + mapInPandas metadata extraction (decode is a "
+    "deterministic stub; the Arrow/batch/schema plumbing is real and this "
+    "oracle verifies it end-to-end).",
+    tags=("llm", "multimodal"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_payload(load(spark, sf_dir, "documents"))
+    return M.extract_media_metadata(docs)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) // 64 + 1 AS nf FROM documents
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+    FROM m, unnest(generate_series(0, CAST(greatest(nf - 1, 0) AS BIGINT), 2)) AS t(f)
+    """,
+    doc="Frame-sampling plan (every 2nd frame): JVM-side sequence+explode; "
+    "per-frame decode would be a second mapInPandas pass.",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_payload(load(spark, sf_dir, "documents"))
+    meta = M.extract_media_metadata(docs).withColumn(
+        "n_frames", (F.col("n_bytes") / 64).cast("long") + 1
+    )
+    return M.frame_sample_plan(meta, every_n=2).select(
+        "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )

@@ -721,3 +721,8 @@ def commute_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.sum(F.col("prime_sportive").cast("int")) / F.count("*"), 4
         ).alias("pct_prime"),
     )
+
+
+# LLM-pipeline queries (dedup / similarity / text / multimodal) register
+# themselves on import; kept in a sibling module for readability.
+from . import llm_queries  # noqa: E402,F401  (import-for-side-effect)

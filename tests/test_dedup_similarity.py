@@ -1,0 +1,84 @@
+"""Tests for dedup + similarity operators (north-star components)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from employee_activity_etl_poc_spark.operators import dedup as D
+from employee_activity_etl_poc_spark.operators import similarity as SIM
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups_and_drop(spark):
+    df = _docs(spark, [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "aa bb")])
+    groups = D.exact_duplicate_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3 and groups[0]["keeper_id"] == 1
+    kept = sorted(r["doc_id"] for r in D.drop_exact_duplicates(df, "text", "doc_id").collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = " ".join(base.split()[1:])  # drop first word
+    other = "completely different words that share nothing with the others one two"
+    df = _docs(spark, [(1, base), (2, near), (3, other)])
+    pairs = D.minhash_near_duplicates(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] > 0.7
+
+
+def test_simhash_identical_for_identical_text(spark):
+    df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")])
+    sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", D.simhash16("text").alias("s")).collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < 2**16
+    groups = D.simhash_duplicate_groups(df, "text", "doc_id").collect()
+    assert any(g["keeper_id"] == 1 and g["n_docs"] == 2 for g in groups)
+
+
+def test_blocked_jaccard_respects_blocks(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a b c d e f g"),
+            (2, "en", "b c d e f g h"),
+            (3, "fr", "a b c d e f g"),  # same text family, different block
+        ],
+        "doc_id long, lang string, text string",
+    )
+    pairs = D.blocked_jaccard_pairs(
+        df, "text", "doc_id", block_cols=[F.col("lang")], threshold=0.3
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_exact_match_ranks_first(spark):
+    v = [1.0, 0.0, 0.0]
+    corpus = _vecs(spark, [(1, v), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]), (4, v)])
+    out = SIM.brute_force_topk(corpus, corpus.where(F.col("vec_id") == 1), "vec_id", "embedding", k=2)
+    rows = [(r["neighbor_id"], r["rnk"]) for r in out.orderBy("rnk").collect()]
+    assert rows[0] == (4, 1)  # identical vector is nearest
+    sims = {r["neighbor_id"]: r["sim"] for r in out.collect()}
+    assert abs(sims[4] - 1.0) < 1e-6
+
+
+def test_lsh_bucket_same_vector_same_bucket(spark):
+    v = [0.5] * 8
+    corpus = _vecs(spark, [(1, v), (2, v), (3, [x * -1 for x in v])])
+    out = SIM.lsh_bucketed_topk(corpus, corpus.where(F.col("vec_id") == 1), "vec_id", "embedding", dim=8, k=5)
+    neigh = [r["neighbor_id"] for r in out.collect()]
+    assert 2 in neigh  # identical vector shares every hyperplane sign
+
+
+def test_near_duplicate_pairs(spark):
+    v = [0.1, 0.2, 0.3]
+    corpus = _vecs(spark, [(1, v), (2, v), (3, [9.0, -3.0, 0.5])])
+    pairs = SIM.near_duplicate_pairs(corpus, "vec_id", "embedding", threshold=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
