@@ -134,12 +134,15 @@ def minhash_near_duplicates(
     bands: int = 4,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash-LSH.
 
     Pipeline: shingle -> signature -> band explode -> equi-join on
-    (band, key) -> verify true Jaccard >= threshold. The verify join
-    re-fetches shingle sets by id; at scale persist the shingle frame.
+    (band, key) -> verify true Jaccard >= threshold. The shingle frame is
+    referenced four times (both join sides + both verify sides), so it is
+    persisted by default — one tokenize+md5 pass instead of four; pass
+    ``persist=False`` if the caller manages its own checkpoint/persist.
     """
     rows_per_band = num_perm // bands
     base = (
@@ -147,11 +150,21 @@ def minhash_near_duplicates(
         .where(F.size(tokens(F.col("t"))) >= shingle_k)
         .select("doc", shingles("t", shingle_k).alias("sh"))
     )
-    banded = base.select(
+    if persist:
+        base = base.persist()
+    # Materialize the md5-per-shingle hash array as its own projection so the
+    # 16 permutation transforms read one bound attribute instead of each
+    # re-embedding (and re-evaluating) the md5 expression tree — md5 is the
+    # dominant cost; this makes signatures ~num_perm× cheaper.
+    hashed = base.select("doc", F.transform("sh", _hash_long).alias("hs"))
+    sigs = hashed.select(
+        "doc", minhash_from_hashes(F.col("hs"), num_perm).alias("sig")
+    )
+    banded = sigs.select(
         "doc",
-        F.posexplode(
-            lsh_band_keys(minhash_signature(F.col("sh"), num_perm), bands, rows_per_band)
-        ).alias("band", "key"),
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias(
+            "band", "key"
+        ),
     )
     pairs = (
         banded.alias("a")
@@ -166,12 +179,15 @@ def minhash_near_duplicates(
     )
     sh_a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
         pairs.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        # project jaccard ONCE, then filter on the bound column — the
+        # intersect/union arrays are expensive and must not be re-evaluated
+        # per reference
+        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .where(F.col("j") >= threshold)
+        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
     )
 
 
@@ -180,11 +196,13 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def simhash16(text: Column | str) -> Column:
-    """16-bit simhash over tokens (with multiplicity): bit b is set when the
-    sum of ±1 votes from each token's hash bit b is positive."""
-    ws = tokens(text)
-    hashes = F.transform(ws, lambda w: _hash_long(w))
+def simhash16_from_hashes(hashes: Column) -> Column:
+    """16-bit simhash from a precomputed token-hash array (with
+    multiplicity): bit b is set when the sum of ±1 votes from each token's
+    hash bit b is positive.
+
+    Pass a *bound column* (project the hash array first) — inlining the md5
+    transform here would re-evaluate it once per bit."""
 
     # Bit extraction via divide-then-mod (shiftright needs a literal int,
     # not a lambda-bound Column; hashes are 32-bit so double division is
@@ -207,13 +225,22 @@ def simhash16(text: Column | str) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def simhash16(text: Column | str) -> Column:
+    """16-bit simhash over tokens. Convenience wrapper; prefer projecting
+    the hash array and calling :func:`simhash16_from_hashes` in hot paths."""
+    return simhash16_from_hashes(F.transform(tokens(text), _hash_long))
+
+
 def simhash_duplicate_groups(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
     """Docs sharing an identical simhash16: (simhash, n_docs, keeper_id).
     Hamming-distance<=d probing = re-join with bit-flipped signatures."""
+    hashed = df.select(
+        F.transform(tokens(F.col(text_col)), _hash_long).alias("hs"), F.col(id_col)
+    )
     return (
-        df.select(simhash16(F.col(text_col)).alias("simhash"), F.col(id_col))
+        hashed.select(simhash16_from_hashes(F.col("hs")).alias("simhash"), F.col(id_col))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .where(F.col("n_docs") > 1)
