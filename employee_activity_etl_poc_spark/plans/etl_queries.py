@@ -1,0 +1,216 @@
+"""Domain ETL queries: the reference's ACTUAL pipeline (generate → CDC wire
+→ parse → enrich → KPIs) as oracle-checked registry entries.
+
+These run on generated tables (S15's md5-derived determinism makes the
+DuckDB oracle re-derive the identical corpus — ``sources/generator.py``)
+and on the driver's ``events`` table for the CDC round-trip, so the whole
+bronze→gold→KPI path from SURVEY §3 sits inside the correctness gate, not
+just its relational skeleton.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalars as S
+from ..sources.generator import (
+    employees_oracle_sql,
+    generator_oracle_sql,
+    synthetic_activities,
+    synthetic_employees,
+    to_cdc_json,
+)
+from ..streaming.cdc import parse_cdc_envelope
+from .registry import load, register
+
+GEN_N = 5000
+GEN_EMPLOYEES = 161
+
+
+def _activities_cte() -> str:
+    return f"activities AS ({generator_oracle_sql(GEN_N, GEN_EMPLOYEES)})"
+
+
+def _employees_cte() -> str:
+    return f"employees AS ({employees_oracle_sql(GEN_EMPLOYEES)})"
+
+
+@register(
+    "synthetic_activities_sample",
+    f"""
+    WITH {_activities_cte()}
+    SELECT activity_id, employee_id,
+           strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS start_str,
+           sport_type, distance_m,
+           strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS end_str,
+           comment
+    FROM activities WHERE activity_id % 10 = 0
+    """,
+    doc="S15 row-level parity: every 10th generated activity, value-hashed "
+    "against the oracle's re-derivation — proves the generator is "
+    "engine-portable and partition-invariant (md5-per-row, not rand(seed)).",
+    tags=("source", "generator"),
+)
+def synthetic_activities_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        synthetic_activities(spark, GEN_N, GEN_EMPLOYEES)
+        .where(F.col("activity_id") % 10 == 0)
+        .select(
+            "activity_id",
+            "employee_id",
+            S.format_ts("start_ts").alias("start_str"),
+            "sport_type",
+            "distance_m",
+            S.format_ts("end_ts").alias("end_str"),
+            "comment",
+        )
+    )
+
+
+@register(
+    "synthetic_activities_profile",
+    f"""
+    WITH {_activities_cte()}
+    SELECT sport_type,
+           count(*) AS n,
+           count(DISTINCT employee_id) AS n_employees,
+           CAST(count(comment) AS BIGINT) AS n_comments,
+           round(avg(distance_m), 2) AS avg_distance_m,
+           CAST(sum(epoch_us(end_ts) - epoch_us(start_ts)) // 1000000 AS BIGINT) AS total_duration_s
+    FROM activities GROUP BY sport_type
+    """,
+    doc="S15 distribution profile: per-sport counts, comment fill rate "
+    "(~30%), distance/duration stats (strava_like_data.ipynb:43-94 shape).",
+    tags=("source", "generator", "agg"),
+)
+def synthetic_activities_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acts = synthetic_activities(spark, GEN_N, GEN_EMPLOYEES)
+    dur_us = F.unix_micros("end_ts") - F.unix_micros("start_ts")
+    return acts.groupBy("sport_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("employee_id").alias("n_employees"),
+        F.count("comment").cast("long").alias("n_comments"),
+        F.round(F.avg("distance_m"), 2).alias("avg_distance_m"),
+        F.floor(F.sum(dur_us) / 1_000_000).cast("long").alias("total_duration_s"),
+    )
+
+
+@register(
+    "cdc_envelope_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total_floor_value,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_str
+    FROM events
+    WHERE event_id % 10 <> 0
+    GROUP BY event_type
+    """,
+    doc="P1/ST8/F1 in the gate: events are serialized into Debezium-style "
+    "envelopes (op='d' for every 10th id) and parsed back with the SAME "
+    "column transform the streaming ingest uses; the oracle computes the "
+    "expected survivors directly — parse(to_json(x)) == x, with µs-epoch "
+    "timestamps surviving the round-trip exactly.",
+    tags=("streaming", "cdc"),
+)
+def cdc_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    shaped = ev.select(
+        F.col("event_id").alias("activity_id"),
+        F.col("user_id").alias("employee_id"),
+        F.col("ts").alias("start_ts"),
+        F.col("event_type").alias("sport_type"),
+        F.floor("value").cast("long").alias("distance_m"),
+        F.col("ts").alias("end_ts"),
+        F.lit(None).cast("string").alias("comment"),
+    )
+    op = F.when(F.col("activity_id") % 10 == 0, F.lit("d")).otherwise(F.lit("c"))
+    wire = to_cdc_json(shaped, op=op)
+    parsed = parse_cdc_envelope(
+        wire, processing_ts=F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    return parsed.groupBy(F.col("sport_type").alias("event_type")).agg(
+        F.count("*").alias("n"),
+        F.sum("distance_m").cast("long").alias("total_floor_value"),
+        S.format_ts(F.max("start_ts")).alias("max_ts_str"),
+    )
+
+
+@register(
+    "activity_gold_enrichment",
+    f"""
+    WITH {_activities_cte()}, {_employees_cte()}
+    SELECT e.bu, e.transport_mode,
+           count(*) AS n_activities,
+           count(DISTINCT a.employee_id) AS n_employees,
+           round(avg(a.distance_m), 2) AS avg_distance_m
+    FROM activities a JOIN employees e ON a.employee_id = e.employee_id
+    GROUP BY e.bu, e.transport_mode
+    """,
+    doc="The gold enrichment join (SURVEY §3.2, gold/bronzeToGold.py:136-163)"
+    " on the generated domain: fact ⟕ broadcast HR dim, BU×transport "
+    "rollup. The dim never shuffles the fact side.",
+    tags=("join", "broadcast", "gold"),
+)
+def activity_gold_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acts = synthetic_activities(spark, GEN_N, GEN_EMPLOYEES)
+    emps = synthetic_employees(spark, GEN_EMPLOYEES)
+    return (
+        acts.join(F.broadcast(emps), "employee_id")
+        .groupBy("bu", "transport_mode")
+        .agg(
+            F.count("*").alias("n_activities"),
+            F.countDistinct("employee_id").alias("n_employees"),
+            F.round(F.avg("distance_m"), 2).alias("avg_distance_m"),
+        )
+    )
+
+
+@register(
+    "domain_wellness_kpis",
+    f"""
+    WITH {_activities_cte()}, {_employees_cte()},
+    counts AS (
+      SELECT employee_id, count(*) AS total_line_count
+      FROM activities GROUP BY employee_id
+    ),
+    qual AS (
+      SELECT e.employee_id, e.salary,
+             COALESCE(c.total_line_count, 0) > 5 AS qualify_sport,
+             lower(trim(e.transport_mode)) IN
+               ('marche/running', 'vélo/trottinette/autres') AS qualify_commute
+      FROM employees e LEFT JOIN counts c ON e.employee_id = c.employee_id
+    )
+    SELECT CAST(sum(CASE WHEN qualify_sport THEN 5 ELSE 0 END) AS BIGINT) AS total_wellness_days,
+           round(sum(CASE WHEN qualify_sport THEN salary * 5 / 251 ELSE 0.0 END), 2) AS total_equiv_salary,
+           round(sum(CASE WHEN qualify_commute THEN salary * 0.05 ELSE 0.0 END), 2) AS total_prime_sportive
+    FROM qual
+    """,
+    doc="The three DAX KPIs (FormulaePowerBI.txt:30-47) over the generated "
+    "domain — the complete reference pipeline (generator → enrichment → "
+    "qualification flags → conditional rollups) in one oracle-checked plan.",
+    tags=("kpi", "gold"),
+)
+def domain_wellness_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    acts = synthetic_activities(spark, GEN_N, GEN_EMPLOYEES)
+    emps = synthetic_employees(spark, GEN_EMPLOYEES)
+    counts = acts.groupBy("employee_id").agg(F.count("*").alias("total_line_count"))
+    qual = emps.join(F.broadcast(counts), "employee_id", "left").select(
+        "salary",
+        (F.coalesce("total_line_count", F.lit(0)) > 5).alias("qualify_sport"),
+        S.prime_sportive("transport_mode").alias("qualify_commute"),
+    )
+    return qual.agg(
+        F.sum(F.when(F.col("qualify_sport"), 5).otherwise(0))
+        .cast("long")
+        .alias("total_wellness_days"),
+        F.round(
+            F.sum(F.when(F.col("qualify_sport"), F.col("salary") * 5 / 251).otherwise(0.0)),
+            2,
+        ).alias("total_equiv_salary"),
+        F.round(
+            F.sum(F.when(F.col("qualify_commute"), F.col("salary") * 0.05).otherwise(0.0)),
+            2,
+        ).alias("total_prime_sportive"),
+    )

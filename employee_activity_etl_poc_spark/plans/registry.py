@@ -723,6 +723,7 @@ def commute_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LLM-pipeline queries (dedup / similarity / text / multimodal) register
-# themselves on import; kept in a sibling module for readability.
-from . import llm_queries  # noqa: E402,F401  (import-for-side-effect)
+# LLM-pipeline queries (dedup / similarity / text / multimodal) and domain
+# ETL queries (generator / CDC / gold / KPIs) register themselves on import;
+# kept in sibling modules for readability.
+from . import etl_queries, llm_queries  # noqa: E402,F401  (import-for-side-effect)

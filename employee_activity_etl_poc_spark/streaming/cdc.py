@@ -1,0 +1,105 @@
+"""CDC envelope parsing + streaming sources (SURVEY §2.1 S1/S2, §2.2 P1,
+§2.8 ST8).
+
+The reference consumes Debezium JSON envelopes from Redpanda with a Python
+poll loop and per-message dict munging (``bronze/redPandaToDeltaLake.py:
+114-211``); its own Spark prototype sketches the declarative version at
+``bronze/consume_data2.py:24-39``. Here that prototype becomes the real
+path: one ``from_json`` projection works identically on a batch DataFrame
+(tests, backfills) and a streaming one (Kafka/file source) — the parse is a
+pure column transform, so the streaming/batch split costs nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CDC_ENVELOPE
+
+# Debezium op codes (bronze/redPandaToDeltaLake.py:92, slack_notifier.py:110):
+# c=insert, u=update, d=delete, r=snapshot read.
+OP_INSERT = "c"
+
+
+def parse_cdc_envelope(
+    df: DataFrame,
+    value_col: str = "value",
+    ops: tuple[str, ...] = (OP_INSERT,),
+    processing_ts: Column | None = None,
+) -> DataFrame:
+    """P1/ST8/F1: envelope -> canonical bronze rows.
+
+    ``from_json(value)`` -> keep ``payload.op`` in ``ops`` (insert-only by
+    default, the tombstone/update skip at ``redPandaToDeltaLake.py:90-93``)
+    -> project ``payload.after.*`` -> µs-epoch longs to timestamps
+    (``timestamp_micros``; exact, UTC — the deliberate divergence from the
+    reference's machine-local ``datetime.fromtimestamp``) -> stamp
+    ``processing_ts`` (``redPandaToDeltaLake.py:86``).
+
+    ``processing_ts`` is injectable so tests are deterministic; production
+    leaves the default ``current_timestamp()``.
+    """
+    parsed = df.select(
+        F.from_json(F.col(value_col).cast("string"), CDC_ENVELOPE).alias("env")
+    )
+    return (
+        parsed.where(F.col("env.payload.op").isin(*ops))
+        .select("env.payload.after.*")
+        .select(
+            "activity_id",
+            "employee_id",
+            F.timestamp_micros(F.col("start_us")).alias("start_ts"),
+            "sport_type",
+            "distance_m",
+            F.timestamp_micros(F.col("end_us")).alias("end_ts"),
+            "comment",
+            (
+                processing_ts if processing_ts is not None else F.current_timestamp()
+            ).alias("processing_ts"),
+        )
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """S1/S2: Kafka/Redpanda streaming source.
+
+    Replaces the reference's KafkaConsumer poll loop (``redPandaToDeltaLake.
+    py:114-121``) and its manual seek-to-beginning replay (``:25-46``) —
+    ``startingOffsets=earliest`` + a fresh checkpoint dir IS the replay
+    path; offsets live in the checkpoint, not in a broker consumer group,
+    which is what makes the Delta/parquet sink exactly-once (ST4 fix).
+
+    ``maxOffsetsPerTrigger`` subsumes the BATCH_SIZE=10 count trigger (ST1)
+    as a per-micro-batch rate cap. Needs the spark-sql-kafka package on the
+    cluster; unit tests use :func:`file_cdc_stream` instead.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return reader.load()
+
+
+def file_cdc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based stand-in source for the Kafka topic (SURVEY §7 step 6):
+    each text file is a batch of envelope JSON lines, yielding the same
+    ``value: string`` column the Kafka source produces. Used by tests and
+    by replay-from-archive backfills (topics are routinely mirrored to
+    object storage at scale — this source IS that replay path)."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.format("text").load(path)

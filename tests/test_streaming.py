@@ -1,0 +1,258 @@
+"""Streaming layer tests: CDC parse, exactly-once file-stream ingest,
+incremental gold, backlog-compressing notifier (SURVEY §2.8 ST1-ST8).
+
+No Kafka broker in the test environment; the file source stands in for the
+topic (same ``value: string`` shape the Kafka source yields)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from employee_activity_etl_poc_spark.sources.generator import (
+    synthetic_activities,
+    to_cdc_json,
+)
+from employee_activity_etl_poc_spark.streaming import (
+    activity_message,
+    bronze_ingest,
+    file_cdc_stream,
+    incremental_foreach_batch,
+    make_notifier,
+    parse_cdc_envelope,
+    run_to_completion,
+)
+
+def fixed_ts():
+    return F.lit("2024-06-01 12:00:00").cast("timestamp")
+
+
+@pytest.fixture(scope="module")
+def activities(spark):
+    return synthetic_activities(spark, 40, n_employees=10).cache()
+
+
+def _write_json_batch(df, path: str) -> None:
+    lines = [r["value"] for r in df.collect()]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Envelope parse (P1/ST8/F1) — batch DataFrame, same code path as streaming
+# ---------------------------------------------------------------------------
+
+
+def test_parse_cdc_envelope_roundtrip(spark, activities):
+    wire = to_cdc_json(activities)
+    parsed = parse_cdc_envelope(wire, processing_ts=fixed_ts())
+    assert parsed.columns == [
+        "activity_id",
+        "employee_id",
+        "start_ts",
+        "sport_type",
+        "distance_m",
+        "end_ts",
+        "comment",
+        "processing_ts",
+    ]
+    orig = {r["activity_id"]: r for r in activities.collect()}
+    back = {r["activity_id"]: r for r in parsed.collect()}
+    assert orig.keys() == back.keys()
+    some = next(iter(orig))
+    for col in ("employee_id", "start_ts", "sport_type", "distance_m", "end_ts"):
+        assert orig[some][col] == back[some][col]
+
+
+def test_parse_cdc_envelope_filters_non_inserts(spark, activities):
+    op = F.when(F.col("activity_id") % 4 == 0, F.lit("d")).otherwise(F.lit("c"))
+    wire = to_cdc_json(activities, op=op)
+    parsed = parse_cdc_envelope(wire, processing_ts=fixed_ts())
+    n_total = activities.count()
+    n_deletes = activities.where(F.col("activity_id") % 4 == 0).count()
+    assert parsed.count() == n_total - n_deletes
+    # explicit multi-op subscription keeps them
+    both = parse_cdc_envelope(wire, ops=("c", "d"), processing_ts=fixed_ts())
+    assert both.count() == n_total
+
+
+# ---------------------------------------------------------------------------
+# Bronze ingest: file stream -> dedup -> checkpointed parquet (ST1-ST4, ST7)
+# ---------------------------------------------------------------------------
+
+
+def test_bronze_ingest_exactly_once_and_dedup(spark, activities, tmp_path):
+    src = tmp_path / "topic"
+    sink = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    first = activities.where(F.col("activity_id") <= 25)
+    _write_json_batch(to_cdc_json(first), str(src / "batch0.json"))
+    # batch1 re-delivers 5 rows (at-least-once transport!) + 15 new ones
+    redelivered = activities.where(F.col("activity_id").between(21, 40))
+    _write_json_batch(to_cdc_json(redelivered), str(src / "batch1.json"))
+
+    def run_once():
+        stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+        # watermark wider than the generator's 1-year event-time span, so
+        # the planted "late" batch is within the lateness horizon (rows
+        # beyond it are *correctly* dropped — see the horizon test below)
+        q = bronze_ingest(stream, str(sink), str(ckpt), watermark=("start_ts", "400 days"))
+        run_to_completion(q)
+
+    run_once()
+    bronze = spark.read.parquet(str(sink))
+    # the 5 redelivered ids landed exactly once
+    assert bronze.count() == 40
+    assert bronze.select("activity_id").distinct().count() == 40
+
+    # restart with the same checkpoint and no new files: nothing re-processed
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 40
+
+    # a late third batch is picked up incrementally from the checkpoint
+    late = activities.where(F.col("activity_id") <= 3).withColumn(
+        "activity_id", F.col("activity_id") + 1000
+    )
+    _write_json_batch(to_cdc_json(late), str(src / "batch2.json"))
+    run_once()
+    assert spark.read.parquet(str(sink)).count() == 43
+
+
+def test_late_data_beyond_watermark_dropped(spark, tmp_path):
+    """Event-time rows older than the watermark horizon are dropped by the
+    dedup state — the documented late-data policy (the reference had none;
+    SURVEY §2.8 notes we add watermark semantics)."""
+    src = tmp_path / "topic"
+    sink = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def act(aid: int, day: str):
+        return spark.createDataFrame(
+            [(aid, 1, f"{day} 10:00:00", "Tennis", None, f"{day} 11:00:00", None)],
+            "activity_id long, employee_id long, start_s string, sport_type string,"
+            " distance_m long, end_s string, comment string",
+        ).select(
+            "activity_id",
+            "employee_id",
+            F.col("start_s").cast("timestamp").alias("start_ts"),
+            "sport_type",
+            "distance_m",
+            F.col("end_s").cast("timestamp").alias("end_ts"),
+            "comment",
+        )
+
+    def run_once():
+        stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+        run_to_completion(
+            bronze_ingest(
+                stream, str(sink), str(ckpt), watermark=("start_ts", "30 days")
+            )
+        )
+
+    _write_json_batch(to_cdc_json(act(1, "2024-12-31")), str(src / "b0.json"))
+    run_once()  # watermark persisted in checkpoint: Dec 31 - 30d = Dec 1
+    # next run: one row beyond the horizon (June, dropped) + one within
+    # (Dec 15, kept)
+    _write_json_batch(
+        to_cdc_json(act(2, "2024-06-01").unionByName(act(3, "2024-12-15"))),
+        str(src / "b1.json"),
+    )
+    run_once()
+    kept = sorted(
+        r["activity_id"] for r in spark.read.parquet(str(sink)).collect()
+    )
+    assert kept == [1, 3]
+
+
+# ---------------------------------------------------------------------------
+# Incremental gold via Trigger.AvailableNow + foreachBatch (ST6)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_gold_foreach_batch(spark, activities, tmp_path):
+    bronze_dir = tmp_path / "bronze"
+    gold_dir = tmp_path / "gold"
+    ckpt = tmp_path / "gold_ckpt"
+    activities.withColumn("processing_ts", fixed_ts()).write.parquet(str(bronze_dir))
+
+    dim = spark.createDataFrame(
+        [(i, f"BU{i % 3}") for i in range(1, 11)], ["employee_id", "bu"]
+    )
+
+    def transform(batch):
+        return batch.join(F.broadcast(dim), "employee_id", "left").withColumn(
+            "gold_processing_ts", fixed_ts()
+        )
+
+    def sink(batch, batch_id):
+        batch.write.mode("append").parquet(str(gold_dir))
+
+    source = spark.readStream.schema(
+        spark.read.parquet(str(bronze_dir)).schema
+    ).parquet(str(bronze_dir))
+    run_to_completion(
+        incremental_foreach_batch(source, transform, sink, str(ckpt))
+    )
+    gold = spark.read.parquet(str(gold_dir))
+    assert gold.count() == 40
+    assert "bu" in gold.columns and "gold_processing_ts" in gold.columns
+    # incremental: second run with the same checkpoint adds nothing
+    source2 = spark.readStream.schema(gold.drop("bu", "gold_processing_ts").schema).parquet(str(bronze_dir))
+    run_to_completion(
+        incremental_foreach_batch(source2, transform, sink, str(ckpt))
+    )
+    assert spark.read.parquet(str(gold_dir)).count() == 40
+
+
+# ---------------------------------------------------------------------------
+# Notifier: message exprs + batch-0 backlog compression (S14/ST5/W3)
+# ---------------------------------------------------------------------------
+
+
+def test_activity_message_shape(spark, activities):
+    msgs = activities.select(
+        "activity_id", activity_message().alias("message")
+    ).collect()
+    by_id = {r["activity_id"]: r["message"] for r in msgs}
+    acts = {r["activity_id"]: r for r in activities.collect()}
+    for aid, m in by_id.items():
+        assert "a fait" in m and "pendant" in m and "👏" in m
+        assert acts[aid]["sport_type"] in m
+        if acts[aid]["comment"]:
+            assert acts[aid]["comment"] in m
+        if acts[aid]["distance_m"] is None:
+            assert " m)" not in m and " km)" not in m
+
+
+def test_notifier_backlog_compression(spark, activities):
+    sent: list[str] = []
+    notifier = make_notifier(sent.append, max_buffer_size=5)
+    batch = activities.select(
+        "start_ts", activity_message().alias("message")
+    )
+    n = batch.count()
+
+    notifier(batch, 0)  # startup backlog: summary + newest 5, oldest first
+    assert len(sent) == 6
+    assert f"{n - 5} activité(s)" in sent[0]
+    newest5 = [
+        r["message"]
+        for r in batch.orderBy(F.col("start_ts").desc()).limit(5).collect()
+    ]
+    assert sent[1:] == list(reversed(newest5))
+
+    sent.clear()
+    live = batch.limit(3)
+    notifier(live, 1)  # live batch: everything, in time order
+    assert len(sent) == 3
+
+
+def test_notifier_small_backlog_no_summary(spark, activities):
+    sent: list[str] = []
+    notifier = make_notifier(sent.append, max_buffer_size=5)
+    batch = activities.limit(4).select("start_ts", activity_message().alias("message"))
+    notifier(batch, 0)
+    assert len(sent) == 4  # no skip summary when backlog fits
