@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import scalars as S
+from ..operators.enrichment import (
+    OFFICE_ADDRESS,
+    FakeCommuteClient,
+    derive_commute_metrics,
+    fetch_commutes,
+)
 from ..sources.generator import (
     employees_oracle_sql,
     generator_oracle_sql,
@@ -164,6 +170,68 @@ def activity_gold_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("employee_id").alias("n_employees"),
             F.round(F.avg("distance_m"), 2).alias("avg_distance_m"),
         )
+    )
+
+
+_COMMUTE_ORACLE = f"""
+    WITH {_employees_cte()},
+    req AS (
+      SELECT employee_id, home_address,
+        CASE transport_mode
+          WHEN 'Transports en commun' THEN 'transit'
+          WHEN 'véhicule thermique/électrique' THEN 'driving'
+          WHEN 'Marche/running' THEN 'walking'
+          WHEN 'Vélo/Trottinette/Autres' THEN 'bicycling'
+        END AS api_mode
+      FROM employees
+    ),
+    calc AS (
+      SELECT employee_id, api_mode,
+        CAST('0x' || substr(md5('gmapfail|' || home_address), 1, 8) AS BIGINT) % 20 = 0 AS fail,
+        CAST(floor(CAST('0x' || substr(md5('gmap|' || home_address || '|{OFFICE_ADDRESS}|' || api_mode), 1, 8) AS BIGINT)
+             / 4294967296.0 * 400 + 5) AS BIGINT) / 10.0 AS km,
+        CASE api_mode WHEN 'transit' THEN 25.0 WHEN 'driving' THEN 40.0
+                      WHEN 'walking' THEN 4.5 ELSE 15.0 END AS speed,
+        CASE WHEN api_mode IN ('driving', 'transit') THEN 1.4 ELSE 1.0 END AS rush_mult
+      FROM req
+    ),
+    mins AS (
+      SELECT employee_id, api_mode, fail, km,
+        CAST(floor(km / speed * 60) AS BIGINT) * 60 AS s_typ,
+        CAST(floor(km / speed * 60 * rush_mult) AS BIGINT) * 60 AS s_rush
+      FROM calc
+    )
+    SELECT employee_id, api_mode,
+      CASE WHEN NOT fail THEN round(km, 4) END AS distance_km_typical,
+      CASE WHEN NOT fail THEN printf('%02d:%02d:%02d', s_typ // 3600, (s_typ % 3600) // 60, s_typ % 60) END AS duration_hhmmss_typical,
+      CASE WHEN NOT fail THEN round(km, 4) END AS distance_km_rush,
+      CASE WHEN NOT fail THEN printf('%02d:%02d:%02d', s_rush // 3600, (s_rush % 3600) // 60, s_rush % 60) END AS duration_hhmmss_rush,
+      NOT fail AS commute_success
+    FROM mins
+"""
+
+
+@register(
+    "commute_enrichment",
+    _COMMUTE_ORACLE,
+    doc="§7 step 8: the Google-Maps commute pipeline — mapInPandas over an "
+    "injected directions client (deterministic fake; md5-derived responses "
+    "the oracle re-computes), per-mode dispatch, failure rows, then F16 "
+    "text parsing ('1 hours 36 mins', '12.3 km') + F15 hh:mm:ss as column "
+    "exprs. The whole external-enrichment path sits in the hash gate.",
+    tags=("enrichment", "mapInPandas", "scalar"),
+)
+def commute_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emps = synthetic_employees(spark, GEN_EMPLOYEES)
+    raw = fetch_commutes(emps, FakeCommuteClient)
+    return derive_commute_metrics(raw).select(
+        "employee_id",
+        "api_mode",
+        "distance_km_typical",
+        "duration_hhmmss_typical",
+        "distance_km_rush",
+        "duration_hhmmss_rush",
+        "commute_success",
     )
 
 

@@ -163,8 +163,10 @@ def synthetic_employees(
 ) -> DataFrame:
     """HR-dim generator (161 employees like DonneesRH.xlsx), same md5
     scheme — the DuckDB oracle re-derives it, see
-    :func:`employees_oracle_sql`."""
-    ids = spark.range(n)
+    :func:`employees_oracle_sql`. One partition: it's a broadcast-sized dim,
+    and fanning 161 rows across 32 tasks just pays 32 task/Python-worker
+    startups in every downstream mapInPandas."""
+    ids = spark.range(0, n, 1, numPartitions=1)
     rid = F.col("id")
 
     def u(salt: str) -> Column:
@@ -172,8 +174,14 @@ def synthetic_employees(
 
     mode_idx = F.floor(u("mode") * len(TRANSPORT_MODES)).cast("int")
     bu_idx = F.floor(u("bu") * len(BUSINESS_UNITS)).cast("int")
+    address = F.concat(
+        (F.floor(u("addr") * 999).cast("long") + 1).cast("string"),
+        F.lit(" rue de la Paix, Ville "),
+        F.floor(u("city") * 50).cast("long").cast("string"),
+    )
     return ids.select(
         (rid + 1).alias("employee_id"),
+        address.alias("home_address"),
         F.element_at(
             F.array(*[F.lit(m) for m in TRANSPORT_MODES]), mode_idx + 1
         ).alias("transport_mode"),
@@ -189,6 +197,11 @@ def employees_oracle_sql(n: int = 161, seed: str = "42") -> str:
     bus = ", ".join(f"'{b}'" for b in BUSINESS_UNITS)
     return f"""
       SELECT range + 1 AS employee_id,
+        (CAST(floor(CAST('0x' || substr(md5('{seed}_hr_addr|' || range::VARCHAR), 1, 8) AS BIGINT)
+                    / 4294967296.0 * 999) AS BIGINT) + 1)::VARCHAR
+          || ' rue de la Paix, Ville '
+          || CAST(floor(CAST('0x' || substr(md5('{seed}_hr_city|' || range::VARCHAR), 1, 8) AS BIGINT)
+                    / 4294967296.0 * 50) AS BIGINT)::VARCHAR AS home_address,
         ([{modes}])[CAST(floor(CAST('0x' || substr(md5('{seed}_hr_mode|' || range::VARCHAR), 1, 8) AS BIGINT)
                     / 4294967296.0 * {len(TRANSPORT_MODES)}) AS INT) + 1] AS transport_mode,
         ([{bus}])[CAST(floor(CAST('0x' || substr(md5('{seed}_hr_bu|' || range::VARCHAR), 1, 8) AS BIGINT)
