@@ -48,6 +48,18 @@ def semi_join(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     return left.join(right, key, "left_semi")
 
 
+def upsert_new(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """J5: insert-only upsert — rows of ``incoming`` whose key is absent
+    from ``existing``, appended to it (``hr_df[~hr_df.employee_id.isin(
+    existing_ids)]``, ``find_unique_employee.ipynb:118-128``).
+
+    This is the batch-DataFrame form; on Delta tables prefer
+    ``MERGE WHEN NOT MATCHED THEN INSERT`` (one transactional pass, no
+    read-modify-write race)."""
+    fresh = incoming.join(existing.select(key), key, "left_anti")
+    return existing.unionByName(fresh)
+
+
 def high_watermark_filter(
     df: DataFrame, ts_col: str, watermark
 ) -> DataFrame:

@@ -343,6 +343,118 @@ def event_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Event-time windows (tumbling / sliding / session) — the engine's
+# streaming-era extension; the reference has none (SURVEY §2.8). Same
+# expressions run under readStream + withWatermark.
+# ===========================================================================
+
+
+@register(
+    "events_tumbling_6h",
+    """
+    SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY (epoch_us(ts) // 21600000000)
+    """,
+    doc="Tumbling 6h event-time windows (epoch-aligned, UTC): one window "
+    "per row, one shuffle, map-side partial agg — the cheapest windowed "
+    "rollup shape at scale.",
+    tags=("window", "event-time"),
+)
+def events_tumbling_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import tumbling_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "6 hours",
+        [],
+        [F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")],
+    )
+    return out.select(
+        S.format_ts("window_start").alias("window_start"), "n", "total_value"
+    )
+
+
+@register(
+    "events_sliding_2d_1d",
+    """
+    SELECT strftime(make_timestamp(((epoch_us(ts) // 86400000000) - k) * 86400000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*)             AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    GROUP BY ((epoch_us(ts) // 86400000000) - k)
+    """,
+    doc="Sliding windows, 2-day length / 1-day step: each row feeds "
+    "length/step = 2 windows (the replication factor to watch at 100 TB — "
+    "pre-aggregate to tumbling steps and roll up when it grows).",
+    tags=("window", "event-time"),
+)
+def events_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sliding_agg
+
+    ev = load(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev,
+        "ts",
+        "2 days",
+        "1 day",
+        [],
+        [F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users")],
+    )
+    return out.select(
+        S.format_ts("window_start").alias("window_start"), "n", "n_users"
+    )
+
+
+@register(
+    "events_session_1h",
+    """
+    WITH m AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 3600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+    ),
+    g AS (
+      SELECT user_id, ts, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM m
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(max(us) + 3600000000),
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n
+    FROM g GROUP BY user_id, grp
+    """,
+    doc="Session windows (1h gap) per user via native session_window; the "
+    "oracle is the classic gaps-and-islands SQL — a new session starts "
+    "when the inter-event gap is >= the gap (interval end exclusive).",
+    tags=("window", "event-time", "session"),
+)
+def events_session_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import session_agg
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = session_agg(ev, "ts", "1 hour", ["user_id"], [F.count("*").alias("n")])
+    return out.select(
+        "user_id",
+        S.format_ts("session_start").alias("session_start"),
+        S.format_ts("session_end").alias("session_end"),
+        "n",
+    )
+
+
+# ===========================================================================
 # Set operations (SURVEY §2.6)
 # ===========================================================================
 
