@@ -137,13 +137,15 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY strftime(ts, '%Y-%m-%d')
     """,
     doc="P4/A2/ST6: incremental high-watermark filter (bronzeToGold2.py:38-50"
-    ",103-110) expressed as a pushed-down timestamp predicate; daily rollup.",
+    ",103-110) pushed down to the RAW stored value (ns int64) so the scan "
+    "skips row groups — filtering the converted timestamp would push only "
+    "IsNotNull and read everything; daily rollup.",
     tags=("filter", "incremental"),
 )
 def events_after_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = R.high_watermark_filter(
-        load(spark, sf_dir, "events"), "ts", "2024-01-25 00:00:00"
-    )
+    from ..sources.readers import load_table_incremental
+
+    ev = load_table_incremental(spark, sf_dir, "events", "ts", "2024-01-25 00:00:00")
     return (
         ev.groupBy(S.format_ts("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))

@@ -34,6 +34,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_incremental(
+    spark: SparkSession, sf_dir: str, name: str, ts_col: str, after: str
+) -> DataFrame:
+    """Incremental scan: only rows with ``ts_col`` strictly after ``after``
+    (an ISO timestamp string, UTC).
+
+    Pushdown-aware: for ns-stored columns the predicate is applied to the
+    RAW int64 before the µs conversion, so it reaches the parquet scan as
+    ``GreaterThan(ts, <ns>)`` (row-group min/max skipping). Filtering the
+    *converted* column instead leaves only IsNotNull pushable — a silent
+    full-table read at 100 TB. (P4 done right; the reference read the whole
+    table and filtered in memory, ``gold/bronzeToGold2.py:96-110``.)
+    """
+    from datetime import datetime, timezone
+
+    if ts_col in _NANOS_TS_COLUMNS.get(name, ()):
+        raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(raw.dtypes)[ts_col] == "bigint":
+            dt = datetime.fromisoformat(after).replace(tzinfo=timezone.utc)
+            ns = int(dt.timestamp() * 1_000_000) * 1000
+            raw = raw.where(F.col(ts_col) > F.lit(ns)).withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
+            )
+            return raw
+    return load_table(spark, sf_dir, name).where(
+        F.col(ts_col) > F.lit(after).cast("timestamp")
+    )
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from ..schemas import TESTDATA_TABLES
 
