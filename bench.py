@@ -39,6 +39,11 @@ HEADLINE = [
     "token_counts",
     "embedding_topk",
     "multimodal_metadata",
+    "events_tumbling_6h",
+    "events_session_1h",
+    "cdc_envelope_roundtrip",
+    "domain_wellness_kpis",
+    "commute_enrichment",
 ]
 
 

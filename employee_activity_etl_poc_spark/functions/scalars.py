@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------------------
 # Timestamps (F1-F5)
@@ -191,6 +192,25 @@ def distance_label(meters: Column | str) -> Column:
         m >= 1000.0,
         F.concat(F.format_number(F.round(m / 1000.0, 1), 1), F.lit(" km")),
     ).otherwise(F.concat(F.floor(m).cast("string"), F.lit(" m")))
+
+
+# returnType as an instance (not a DDL string): string DDL parsing needs an
+# active session, which would break importing this module before Spark is up.
+@F.udf(returnType=T.StringType())
+def distance_label_3g(meters) -> str | None:
+    """F13 exact parity: Python ``%.3g`` distance formatting
+    (``slack_bot/slack_notifier.py:94-105``) — "1.23 km" / "850 m" with
+    3 significant digits.
+
+    THE one deliberate Python UDF in the engine: %.3g has no built-in
+    column equivalent, and the call sites (notification text) are
+    low-volume side-effect paths, never table-scale hot paths. Everything
+    else uses :func:`distance_label` (pure column expr, codegen'd).
+    """
+    if meters is None:
+        return None
+    m = float(meters)
+    return f"{m / 1000:.3g} km" if m >= 1000 else f"{m:.3g} m"
 
 
 # ---------------------------------------------------------------------------

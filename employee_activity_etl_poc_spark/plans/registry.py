@@ -171,6 +171,30 @@ def heavy_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "table_row_counts",
+    """
+    SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem
+    UNION ALL SELECT 'orders', count(*) FROM orders
+    UNION ALL SELECT 'customer', count(*) FROM customer
+    UNION ALL SELECT 'events', count(*) FROM events
+    UNION ALL SELECT 'documents', count(*) FROM documents
+    """,
+    doc="A1: the Grafana row-count gauges (grafana/queries.yaml:1-7) over "
+    "every monitored table in one plan; each branch is a count-only scan "
+    "(no columns read — parquet footer metadata at best).",
+    tags=("monitoring", "agg"),
+)
+def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = [
+        load(spark, sf_dir, t).groupBy(F.lit(t).alias("tbl")).agg(
+            F.count("*").alias("n")
+        )
+        for t in ("lineitem", "orders", "customer", "events", "documents")
+    ]
+    return R.union_fragments(parts)
+
+
 # ===========================================================================
 # Joins (SURVEY §2.3)
 # ===========================================================================

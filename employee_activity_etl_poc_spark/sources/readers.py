@@ -140,14 +140,15 @@ def read_excel_dim(
     choice (the result is broadcast in every join that uses it).
     """
     try:
-        import pandas as pd
-
-        pdf = pd.read_excel(path)  # needs openpyxl
-    except ImportError as exc:  # pragma: no cover - env without openpyxl
+        import openpyxl  # noqa: F401  (the pandas xlsx engine)
+    except ImportError as exc:
         raise NotImplementedError(
             "Excel ingestion needs pandas+openpyxl on the driver; "
             "convert the dim to CSV/parquet instead"
         ) from exc
+    import pandas as pd
+
+    pdf = pd.read_excel(path)
     df = spark.createDataFrame(pdf, schema=schema)
     if aliases:
         from ..schemas import canonicalize
@@ -161,8 +162,12 @@ def read_excel_dim(
 # ---------------------------------------------------------------------------
 
 def delta_available(spark: SparkSession) -> bool:
+    # Class.forName, not attribute probing: py4j hands back a lazy
+    # JavaPackage for missing classes without raising.
     try:
-        spark._jvm.io.delta.tables.DeltaTable  # type: ignore[union-attr]
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "io.delta.tables.DeltaTable"
+        )
         return True
     except Exception:
         return False

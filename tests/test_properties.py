@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) for the scalar-function library —
+round-trips and reference-implementation equivalence over generated inputs.
+The reference had no property testing (SURVEY §5); these pin the F12/F13/
+F15/F16 semantics far beyond the hand-picked fixtures.
+
+Each property evaluates ALL generated examples in one Spark job (a single
+DataFrame), keeping hypothesis's example count decoupled from JVM roundtrip
+cost."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from employee_activity_etl_poc_spark.functions import scalars as S
+
+SETTINGS = dict(max_examples=12, deadline=None)
+
+
+def _eval(spark, values, make_col, in_type="long"):
+    """Evaluate ``make_col(col v)`` for every value in one job."""
+    df = spark.createDataFrame([(v,) for v in values], f"v {in_type}")
+    return [r["out"] for r in df.select(make_col(F.col("v")).alias("out")).collect()]
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**7), min_size=1, max_size=60))
+def test_hhmmss_roundtrip(spark, seconds):
+    outs = _eval(spark, seconds, S.hhmmss)
+    for s, out in zip(seconds, outs):
+        h, m, sec = out.split(":")
+        assert int(h) * 3600 + int(m) * 60 + int(sec) == s
+        assert len(m) == 2 and len(sec) == 2 and int(m) < 60 and int(sec) < 60
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=99), st.integers(min_value=0, max_value=59)
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_parse_duration_inverts_api_text(spark, pairs):
+    texts = [
+        (f"{h} hours {m} mins" if h > 0 else f"{m} mins") for h, m in pairs
+    ]
+    outs = _eval(spark, texts, S.parse_duration_seconds, in_type="string")
+    for (h, m), out in zip(pairs, outs):
+        assert out == h * 3600 + m * 60
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.001, max_value=9999.9, allow_nan=False),
+            st.sampled_from(["km", "m", "mi"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_parse_distance_km_units(spark, pairs):
+    texts = [f"{round(v, 3)} {u}" for v, u in pairs]
+    outs = _eval(spark, texts, S.parse_distance_km, in_type="string")
+    for (v, u), out in zip(pairs, outs):
+        v = round(v, 3)
+        expected = {"km": v, "m": v / 1000.0, "mi": v * S.MILES_TO_KM}[u]
+        assert abs(out - expected) < 1e-9
+
+
+def _human_duration_py(s: int) -> str:
+    """Reference implementation (slack_bot/slack_notifier.py:65-79 semantics)."""
+    days, hours, minutes = s // 86400, (s % 86400) // 3600, (s % 3600) // 60
+    frags = [
+        f"{days} jour(s)" if days else None,
+        f"{hours} heure(s)" if hours else None,
+        f"{minutes} minute(s)" if minutes else None,
+    ]
+    joined = " et ".join(f for f in frags if f)
+    return joined if joined else "quelques secondes"
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60))
+def test_human_duration_fr_matches_reference(spark, seconds):
+    outs = _eval(spark, seconds, S.human_duration_fr)
+    for s, out in zip(seconds, outs):
+        assert out == _human_duration_py(s)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=10**7, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_distance_label_3g_matches_python_format(spark, meters):
+    outs = _eval(spark, meters, S.distance_label_3g, in_type="double")
+    for m, out in zip(meters, outs):
+        expected = f"{m / 1000:.3g} km" if m >= 1000 else f"{m:.3g} m"
+        assert out == expected
+
+
+@settings(**SETTINGS)
+@given(st.lists(st.integers(min_value=-(2**52), max_value=2**52), min_size=1, max_size=60))
+def test_micros_roundtrip(spark, micros):
+    df = spark.createDataFrame([(v,) for v in micros], "v long")
+    outs = [
+        r["out"]
+        for r in df.select(
+            S.timestamp_to_micros(S.micros_to_timestamp(F.col("v"))).alias("out")
+        ).collect()
+    ]
+    assert outs == micros
+
+
+def test_excel_reader_gated_without_openpyxl(spark, tmp_path):
+    """S10: without openpyxl the Excel reader must fail with the documented
+    NotImplementedError, not an obscure stack."""
+    import pytest
+
+    from employee_activity_etl_poc_spark.sources.readers import read_excel_dim
+
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gating not exercised")
+    except ImportError:
+        pass
+    p = tmp_path / "dim.xlsx"
+    p.write_bytes(b"PK\x03\x04")  # never read: the gate fires first
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        read_excel_dim(spark, str(p))
