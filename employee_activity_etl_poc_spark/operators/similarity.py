@@ -12,16 +12,22 @@ Two tiers:
   100 TB the bucket join replaces the cross product with an equi-join
   shuffle on the signature key.
 
-Vectors are cast to double before any arithmetic so accumulation order and
-precision match the correctness oracle.
+Scale discipline applied throughout:
+- norms are computed ONCE per row in a projection before the join —
+  ``cosine()`` inside an O(n×q) join would redo the O(dim) norm fold per
+  PAIR, turning O((n+q)·dim) work into O(n·q·dim);
+- hyperplane weights are row-independent → materialized as array literals
+  on the driver (same md5 derivation), not re-hashed per row;
+- vectors are cast to double before any arithmetic so accumulation order
+  and precision match the correctness oracle.
 """
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-
-from .dedup import _hash_long
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -29,17 +35,25 @@ def dot(a: Column, b: Column) -> Column:
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
-
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Pairwise cosine. For joins, prefer projecting ``norm`` per side first
+    and dividing the dot product — see module docstring."""
     return dot(a, b) / (norm(a) * norm(b))
 
 
 def _as_double(df: DataFrame, vec_col: str, out: str = "v") -> DataFrame:
     return df.withColumn(out, F.col(vec_col).cast("array<double>"))
+
+
+def _with_norm(df: DataFrame, vec_col: str, id_col: str, id_out: str, v_out: str, n_out: str) -> DataFrame:
+    d = _as_double(df, vec_col)
+    return d.select(
+        F.col(id_col).alias(id_out), F.col("v").alias(v_out), norm(F.col("v")).alias(n_out)
+    )
 
 
 def brute_force_topk(
@@ -56,19 +70,18 @@ def brute_force_topk(
     stable across engines/precision; self-matches are excluded."""
     from pyspark.sql import Window
 
-    c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv")
-    )
-    q = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
-    )
+    c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn")
+    q = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn")
     sims = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("cv"), F.col("qv")), sim_decimals).alias("sim"),
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+                sim_decimals,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -80,37 +93,47 @@ def near_duplicate_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs (a < b, cosine >= threshold). Brute force;
     for scale, bucket with ``hyperplane_signature`` first."""
-    a = _as_double(df, vec_col).select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = _as_double(df, vec_col).select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    sim = cosine(F.col("va"), F.col("vb"))
+    a = _with_norm(df, vec_col, id_col, "id_a", "va", "na")
+    b = _with_norm(df, vec_col, id_col, "id_b", "vb", "nb")
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(sim >= threshold)
-        .select("id_a", "id_b", F.round(sim, 4).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .where(F.col("s") >= threshold)
+        .select("id_a", "id_b", F.round("s", 4).alias("sim"))
     )
+
+
+def _plane_weights(dim: int, n_planes: int) -> list[list[float]]:
+    """Driver-side hyperplane weights: component j of plane p is a
+    pseudo-random value in [-1, 1) from md5('plane{p}_{j}') — the identical
+    derivation the previous per-row expression used, now evaluated once."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"plane{p}_{j}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        out.append(row)
+    return out
 
 
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH signature (int in [0, 2^n_planes)).
 
-    Plane p's component j is a pseudo-random value in [-1, 1) derived from
-    md5(p, j) — reproducible across engines and runs with no RNG state."""
-    def plane_component(p: int, j: Column) -> Column:
-        h = _hash_long(F.concat(F.lit(f"plane{p}_"), j.cast("string")))
-        return (h % 2001 - 1000) / F.lit(1000.0)
-
+    Weights are literals: the projection per plane is one zip_with fold over
+    the vector; the whole signature is n_planes folds, zero hashing per row.
+    """
     sig = F.lit(0)
-    for p in range(n_planes):
+    for p, weights in enumerate(_plane_weights(dim, n_planes)):
+        w = F.array(*[F.lit(x) for x in weights])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: plane_component(p, j)),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+            F.zip_with(vec, w, lambda x, wj: x * wj), F.lit(0.0), lambda acc, x: acc + x
         )
-        sig = sig + F.when(proj >= 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        sig = sig + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
     return sig
 
 
@@ -130,15 +153,11 @@ def lsh_bucketed_topk(
     pattern scales to corpora where brute force is impossible."""
     from pyspark.sql import Window
 
-    c = _as_double(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("v").alias("cv"),
-        hyperplane_signature(F.col("v"), dim, n_planes).alias("bucket"),
+    c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").withColumn(
+        "bucket", hyperplane_signature(F.col("cv"), dim, n_planes)
     )
-    q = _as_double(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
-        hyperplane_signature(F.col("v"), dim, n_planes).alias("bucket"),
+    q = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").withColumn(
+        "bucket", hyperplane_signature(F.col("qv"), dim, n_planes)
     )
     sims = (
         c.join(F.broadcast(q), "bucket")
@@ -146,7 +165,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("cv"), F.col("qv")), 6).alias("sim"),
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

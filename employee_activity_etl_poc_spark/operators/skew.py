@@ -1,0 +1,97 @@
+"""Skew mitigation — salting rewrites for hot keys (SCALE.md).
+
+AQE's skew-join handling covers sort-merge joins at runtime; these are the
+*structural* rewrites for the two places AQE can't help:
+
+- a reduce-side aggregation where one group receives a disproportionate
+  share of rows (map-side partial aggregation already bounds this for
+  algebraic aggregates — the salted two-stage form is for high-cardinality
+  payload aggs like ``collect_list``/exact distinct, or engines/paths where
+  partials are unavailable);
+- a shuffle join against a dim too big to broadcast whose fact side has
+  hot keys: replicate the dim ``n_salt``× and scatter the hot fact rows.
+
+Both rewrites are RESULT-IDENTICAL to their plain forms (the salted agg is
+oracle-checked against the unsalted SQL in the registry) — salt only
+redistributes rows, never changes semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+# (partial_expr, merge_expr) builders per supported aggregate
+_ALGEBRAIC = {
+    "sum": (lambda c: F.sum(c), lambda p: F.sum(p)),
+    "count": (lambda c: F.count(c), lambda p: F.sum(p)),
+    "min": (lambda c: F.min(c), lambda p: F.min(p)),
+    "max": (lambda c: F.max(c), lambda p: F.max(p)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salt: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation: ``aggs`` maps output name ->
+    (function, column) with function in sum/count/min/max/avg.
+
+    Stage 1 groups on (keys, salt) — the hot key's rows spread over
+    ``n_salt`` reducers; stage 2 merges the per-salt partials on the real
+    keys (tiny input: |keys|×n_salt rows). ``avg`` decomposes into
+    sum+count so the merge stays exact.
+
+    Salt is derived from ``monotonically_increasing_id`` — its value is
+    partition-dependent, which is irrelevant: ANY row scatter is a valid
+    salt; the merge stage erases it.
+    """
+    salted = df.withColumn(_SALT, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt)))
+
+    partials, finals = [], []
+    for out, (fn, col) in aggs.items():
+        if fn == "avg":
+            partials += [
+                F.sum(col).alias(f"__{out}_s"),
+                F.count(col).alias(f"__{out}_c"),
+            ]
+            finals.append(
+                (F.sum(f"__{out}_s") / F.sum(f"__{out}_c")).alias(out)
+            )
+        elif fn in _ALGEBRAIC:
+            part, merge = _ALGEBRAIC[fn]
+            partials.append(part(col).alias(f"__{out}"))
+            finals.append(merge(F.col(f"__{out}")).alias(out))
+        else:
+            raise ValueError(f"unsupported salted aggregate: {fn}")
+
+    stage1 = salted.groupBy(*keys, _SALT).agg(*partials)
+    return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join for non-broadcastable dims: the dim is
+    replicated ``n_salt``× (explode over salt ids), fact rows get a random
+    salt, and the join key becomes (key, salt) — a hot fact key now lands
+    on ``n_salt`` reducers instead of one.
+
+    Cost: dim shuffle volume × n_salt — use only when a specific fact key
+    is hot enough to stall the stage (and prefer ``broadcast`` whenever the
+    dim fits)."""
+    salted_fact = fact.withColumn(
+        _SALT, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    replicated_dim = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return salted_fact.join(replicated_dim, [key, _SALT], how).drop(_SALT)

@@ -172,6 +172,44 @@ def heavy_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_event_rollup",
+    """
+    SELECT event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value,
+           round(avg(value), 4) AS avg_value,
+           round(max(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew rewrite (SCALE.md): two-stage salted aggregation — hot keys "
+    "scatter over 16 reducers, partials merge on the real key. The oracle "
+    "is the PLAIN group-by: salting must be result-invisible.",
+    tags=("agg", "skew", "scale"),
+)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg
+
+    out = salted_agg(
+        load(spark, sf_dir, "events"),
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "value"),
+            "total_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+@register(
     "table_row_counts",
     """
     SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem

@@ -1,0 +1,58 @@
+"""Salting rewrites must be result-identical to their plain forms."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from employee_activity_etl_poc_spark.operators.skew import salted_agg, salted_join
+from employee_activity_etl_poc_spark.sources.readers import load_table
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    plain = {
+        r["event_type"]: (r["n"], round(r["s"], 6), round(r["a"], 6))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], round(r["s"], 6), round(r["a"], 6))
+        for r in salted_agg(
+            ev,
+            ["event_type"],
+            {"n": ("count", "value"), "s": ("sum", "value"), "a": ("avg", "value")},
+            n_salt=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = (
+        orders.join(customer, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    salted = (
+        salted_join(orders, customer, "o_custkey", n_salt=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (99, "z")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "d"])
+    out = salted_join(fact, dim, "k", n_salt=4, how="left").collect()
+    assert len(out) == 3
+    assert {r["v"]: r["d"] for r in out} == {"a": "X", "b": "Y", "z": None}
