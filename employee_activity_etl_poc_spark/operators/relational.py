@@ -108,6 +108,49 @@ def assign_contiguous_ids(
     return df.withColumn(id_col, F.row_number().over(Window.orderBy(*order)))
 
 
+def assign_contiguous_ids_distributed(
+    df: DataFrame,
+    order: list[Column],
+    id_col: str = "row_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """W4 at scale: contiguous 1..N ids with NO single-partition window.
+
+    Two-pass zipWithIndex shape: range-partition by the order keys, number
+    rows *within* each partition (parallel windows), then add per-partition
+    offsets computed from partition counts (a ``num_partitions``-row
+    driver-side list — the only non-distributed step, and it's O(partitions)).
+
+    ``order`` must be a TOTAL order: ties may be split across range-
+    partition boundaries, so equal keys would get arbitrary relative ids.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or df.rdd.getNumPartitions()
+    ranged = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    # PERSIST is load-bearing: repartitionByRange samples its boundaries
+    # with an RDD-id-derived seed, so the counts pass and the output pass
+    # would otherwise recompute DIFFERENT partitionings and the offsets
+    # would not line up with the final partitions.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, n in counts:
+        offsets.append((pid, acc))
+        acc += n
+    offset_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        with_pid.join(F.broadcast(offset_df), "_pid")
+        .withColumn(id_col, (F.row_number().over(w) + F.col("_offset")).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
 def union_fragments(parts: list[DataFrame]) -> DataFrame:
     """SO1: union-all by name (``pd.concat`` over parquet fragments,
     ``bronze/readSampleDelta.py:52``)."""

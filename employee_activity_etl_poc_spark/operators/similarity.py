@@ -137,6 +137,82 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return sig
 
 
+def _ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> list[list[float]]:
+    """Deterministic centroid pick: the ``n_centroids`` vectors with the
+    smallest md5(id) — a pseudo-random but reproducible sample. A k-means
+    refinement (MLlib) would slot in here without changing the plan shape;
+    for bucketing purposes a spread sample is sufficient."""
+    rows = (
+        _as_double(corpus, vec_col)
+        .select(F.col(id_col).alias("i"), "v")
+        .withColumn("h", F.md5(F.col("i").cast("string")))
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Array of the ``n`` centroid indices nearest to ``vec`` (by dot
+    product against literal centroid arrays — one fold per centroid,
+    JVM-side)."""
+    scored = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # struct ordering compares fields left-to-right -> sort by similarity
+    best_first = F.reverse(F.array_sort(scored))
+    return F.transform(F.slice(best_first, 1, n), lambda s: s["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus rows live in the cell of their
+    nearest centroid; each query probes its ``n_probe`` nearest cells.
+
+    Same scale shape as LSH bucketing (cell equi-join instead of cross
+    product) but with data-adaptive cells — better recall on clustered
+    embeddings; ``n_probe`` trades recall for cost. The centroid list is a
+    driver-side literal (n_centroids × dim floats), never a shuffle."""
+    from pyspark.sql import Window
+
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").withColumn(
+        "cell", _nearest_centroids(F.col("cv"), cents, 1)[0]
+    )
+    q = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").withColumn(
+        "cell", F.explode(_nearest_centroids(F.col("qv"), cents, n_probe))
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -378,6 +378,22 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 
+@register(
+    "embedding_ann_ivf",
+    None,  # centroid assignment not reasonably SQL-expressible; rows-only check
+    doc="IVF-style approximate top-k: deterministic centroid sample, "
+    "nearest-cell assignment, n_probe=2 query fan-out — data-adaptive "
+    "cells vs LSH's oblivious hyperplanes; recall floor asserted in tests "
+    "against the exact brute-force results.",
+    tags=("llm", "similarity", "scale"),
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

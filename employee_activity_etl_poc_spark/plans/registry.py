@@ -343,6 +343,109 @@ def open_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "regional_supplier_volume",
+    """
+    SELECT r_name, n_name,
+           count(*)                                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+    doc="TPC-H Q5-shaped 4-way join chain (fact → orders filter → supplier "
+    "→ nation → region rollup): every dim side broadcast, the fact table "
+    "shuffles ONCE (for the final rollup) — the join-ordering/broadcast-"
+    "chain shape missing from the 2-way queries.",
+    tags=("join", "broadcast", "multiway"),
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate  > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim predicate pushed before the join "
+    "chain, fact-fact join (orders×lineitem) on the natural key, top-k by "
+    "aggregate (TakeOrderedAndProject — per-partition heaps, no global "
+    "sort).",
+    tags=("join", "multiway", "topk"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey", "revenue", S.format_ts("o_orderdate", "yyyy-MM-dd").alias("orderdate")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
 # ===========================================================================
 # Windows / sorts / top-k (SURVEY §2.5)
 # ===========================================================================
@@ -404,6 +507,26 @@ def event_row_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.assign_contiguous_ids(ev, [F.col("ts"), F.col("event_id")]).select(
         "event_id", "row_id"
     )
+
+
+@register(
+    "event_row_numbers_distributed",
+    """
+    SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS row_id
+    FROM events
+    """,
+    doc="W4 scale path over the WHOLE table: range-partition by the order "
+    "keys, parallel per-partition row_number, per-partition offsets added "
+    "(two-pass zipWithIndex shape — no single-partition window anywhere). "
+    "Oracle: the plain global row_number; the rewrite must be "
+    "result-identical.",
+    tags=("window", "scale"),
+)
+def event_row_numbers_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return R.assign_contiguous_ids_distributed(
+        ev, [F.col("ts"), F.col("event_id")], num_partitions=16
+    ).select("event_id", "row_id")
 
 
 # ===========================================================================

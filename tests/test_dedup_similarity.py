@@ -82,3 +82,27 @@ def test_near_duplicate_pairs(spark):
     corpus = _vecs(spark, [(1, v), (2, v), (3, [9.0, -3.0, 0.5])])
     pairs = SIM.near_duplicate_pairs(corpus, "vec_id", "embedding", threshold=0.99).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_ivf_topk_recall_floor(spark, sf_dir):
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_probe=2)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # approximate: every hit is ranked correctly WITHIN probed cells, and a
+    # reasonable share of the true top-5 is recovered with 2/8 cells probed
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    # determinism: same call twice yields identical rows
+    again = {(r["query_id"], r["neighbor_id"]) for r in
+             ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_probe=2).collect()}
+    assert again == approx_pairs

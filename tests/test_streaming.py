@@ -250,6 +250,57 @@ def test_notifier_backlog_compression(spark, activities):
     assert len(sent) == 3
 
 
+def test_tumbling_window_agg_under_readstream(spark, activities, tmp_path):
+    """The windows operators run unchanged under Structured Streaming with
+    a watermark (append mode emits a window once the watermark passes its
+    end; availableNow drains everything, so all windows finalize)."""
+    from employee_activity_etl_poc_spark.operators.windows import tumbling_agg
+
+    src = tmp_path / "topic"
+    sink = tmp_path / "win"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    _write_json_batch(to_cdc_json(activities), str(src / "b0.json"))
+
+    def run_once():
+        stream = parse_cdc_envelope(file_cdc_stream(spark, str(src))).withWatermark(
+            "start_ts", "1 hour"
+        )
+        windowed = tumbling_agg(
+            stream, "start_ts", "30 days", [], [F.count("*").alias("n")]
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .option("path", str(sink))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    run_once()
+    # append mode withholds the final window (watermark hasn't passed its
+    # end); a far-future sentinel row in a second run flushes it
+    sentinel = activities.limit(1).withColumn(
+        "start_ts", F.lit("2026-01-01 00:00:00").cast("timestamp")
+    ).withColumn("activity_id", F.lit(99999))
+    _write_json_batch(to_cdc_json(sentinel), str(src / "b1.json"))
+    run_once()
+
+    out = spark.read.parquet(str(sink))
+    batch = tumbling_agg(
+        activities, "start_ts", "30 days", [], [F.count("*").alias("n")]
+    )
+    stream_rows = {
+        (r["window_start"], r["n"]) for r in out.select("window_start", "n").collect()
+    }
+    batch_rows = {
+        (r["window_start"], r["n"]) for r in batch.select("window_start", "n").collect()
+    }
+    assert stream_rows == batch_rows and stream_rows
+
+
 def test_notifier_small_backlog_no_summary(spark, activities):
     sent: list[str] = []
     notifier = make_notifier(sent.append, max_buffer_size=5)
