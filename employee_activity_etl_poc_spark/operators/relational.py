@@ -60,6 +60,20 @@ def upsert_new(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
     return existing.unionByName(fresh)
 
 
+def merge_upsert(existing: DataFrame, incoming: DataFrame, key: str) -> DataFrame:
+    """Full upsert semantics (Delta ``MERGE WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT``) as a batch-DataFrame rewrite: incoming rows win on key
+    collision, untouched existing rows survive.
+
+    Implemented as incoming ∪ (existing ⟂ incoming-keys) — two narrow
+    branches and one anti-join, no full outer join. On Delta tables use the
+    native MERGE (transactional, file-pruned); this is the engine-neutral
+    batch equivalent, and the shape ``foreachBatch`` sinks use to upsert
+    update-mode streaming output."""
+    survivors = existing.join(incoming.select(key), key, "left_anti")
+    return survivors.unionByName(incoming)
+
+
 def high_watermark_filter(
     df: DataFrame, ts_col: str, watermark
 ) -> DataFrame:

@@ -172,6 +172,68 @@ def heavy_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont`, both linear interpolation). At 100 TB switch "
+    "to `approx_percentile` (t-digest, mergeable, bounded memory) — exact "
+    "percentile buffers the group; kept exact here for the hash gate.",
+    tags=("agg", "percentile"),
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@register(
+    "revenue_rollup_region_nation",
+    """
+    SELECT COALESCE(r_name, '<all>') AS r_name,
+           COALESCE(CASE WHEN GROUPING(n_name) = 1 THEN NULL ELSE n_name END,
+                    '<all>') AS n_name,
+           count(*) AS n,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="Hierarchical ROLLUP (region → nation → grand total) — the multi-"
+    "level report the reference produced with driver-side loops "
+    "(gold/2test1.py:196-200); subtotal rows labeled '<all>' so the "
+    "null-vs-subtotal ambiguity is explicit in both engines.",
+    tags=("agg", "rollup"),
+)
+def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"), F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("r_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+            "n",
+            "total_bal",
+        )
+    )
+
+
+@register(
     "salted_event_rollup",
     """
     SELECT event_type,

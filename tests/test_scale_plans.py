@@ -1,0 +1,65 @@
+"""Plan-level scale assertions: the physical plans must have the properties
+SCALE.md claims (pushdown, broadcast, no shuffle for bucketed joins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from employee_activity_etl_poc_spark.operators.relational import merge_upsert
+from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_watermark_filter_pushed_to_raw_scan(spark, sf_dir):
+    df = REGISTRY["events_after_watermark"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "GreaterThan(ts," in plan  # raw int64 predicate reached the scan
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    for q in ("brand_volume", "revenue_by_segment", "regional_supplier_volume"):
+        plan = _plan(REGISTRY[q].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_scan_is_column_pruned(spark, sf_dir):
+    plan = _plan(REGISTRY["pricing_summary"].fn(spark, sf_dir))
+    scan_line = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_comment" not in scan_line  # widest column not read
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both sides on the join key deletes the exchange — the
+    SCALE.md prescription for repeated fact-fact joins."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path / 'wh'}'")
+    spark.range(1000).withColumn("v", F.col("id") % 7).write.bucketBy(
+        8, "id"
+    ).sortBy("id").saveAsTable("bktdb.b_fact")
+    spark.range(500).withColumn("d", F.col("id") % 3).write.bucketBy(
+        8, "id"
+    ).sortBy("id").saveAsTable("bktdb.b_dim")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bktdb.b_fact").join(spark.table("bktdb.b_dim"), "id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucketing replaced it
+        assert joined.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_merge_upsert_update_and_insert(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "v", "x"]
+    )
+    incoming = spark.createDataFrame([(2, "B", 99), (4, "d", 40)], ["id", "v", "x"])
+    out = sorted(
+        (r["id"], r["v"], r["x"]) for r in merge_upsert(existing, incoming, "id").collect()
+    )
+    assert out == [(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)]
