@@ -703,6 +703,127 @@ def events_session_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "purchase_asof_click",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, max(value) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S')  AS ts_str,
+           round(c.click_value, 4)               AS click_value_asof,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S')  AS click_ts_str
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    doc="As-of join (backward, inclusive): every purchase matched to the "
+    "user's latest click at or before it — ONE shuffle + sorted window "
+    "pass (union + last-ignorenulls), no broadcast, no Python. Oracle is "
+    "DuckDB's native ASOF JOIN; right side pre-deduped per (key, ts) so "
+    "the match is well-defined in both engines.",
+    tags=("join", "asof", "timeseries"),
+)
+def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join_backward(purchases, clicks, "user_id", "ts", ["click_value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        S.format_ts("ts").alias("ts_str"),
+        F.round("click_value_asof", 4).alias("click_value_asof"),
+        S.format_ts("ts_asof").alias("click_ts_str"),
+    )
+
+
+@register(
+    "error_in_signup_window",
+    """
+    WITH intervals AS (
+      SELECT event_id AS signup_id, user_id, ts AS start_ts,
+             ts + to_seconds(CAST(floor(value * 50) AS BIGINT)) AS end_ts
+      FROM events WHERE event_type = 'signup'
+    ),
+    points AS (
+      SELECT event_id AS error_id, ts AS p_ts FROM events WHERE event_type = 'error'
+    )
+    SELECT i.signup_id, p.error_id,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS error_ts_str
+    FROM points p JOIN intervals i
+      ON p.p_ts >= i.start_ts AND p.p_ts < i.end_ts
+    """,
+    doc="Range join: error events matched into signup activity windows "
+    "(start <= p < end) via bin-bucketed equi-join — a theta-join Spark "
+    "would otherwise plan as BroadcastNestedLoop. Oracle is DuckDB's "
+    "native inequality join (its range-join optimizer handles it).",
+    tags=("join", "range", "timeseries"),
+)
+def error_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join_points_intervals
+
+    ev = load(spark, sf_dir, "events")
+    intervals = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.floor(F.col("value") * 50).cast("long") * 1_000_000
+        ).alias("end_ts"),
+    )
+    points = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("p_ts")
+    )
+    out = range_join_points_intervals(
+        points, intervals, "p_ts", "start_ts", "end_ts", bin_seconds=86400
+    )
+    return out.select(
+        "signup_id", "error_id", S.format_ts("p_ts").alias("error_ts_str")
+    )
+
+
+@register(
+    "hypertable_daily_rollup",
+    """
+    SELECT strftime(make_timestamp((epoch_us(ts) // 86400000000) * 86400000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Hypertable-style continuous aggregate: the DAILY tier rolls up "
+    "the HOURLY tier (24 rows/key), never the raw events — the cascade is "
+    "exact for algebraic aggregates, and the oracle aggregates straight "
+    "from raw to prove it.",
+    tags=("agg", "timeseries", "scale"),
+)
+def hypertable_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import hypertable_rollup
+
+    ev = load(spark, sf_dir, "events")
+    tiers = hypertable_rollup(ev, "ts", ["event_type"], "value", ["1 hour", "1 day"])
+    daily = tiers["1 day"]
+    return daily.select(
+        S.format_ts("window_start").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("total", 2).alias("total"),
+    )
+
+
 # ===========================================================================
 # Set operations (SURVEY §2.6)
 # ===========================================================================
