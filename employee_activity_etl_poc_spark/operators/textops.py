@@ -113,6 +113,53 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+# PII patterns kept RE2-compatible (no backrefs/lookarounds) so the same
+# regex runs identically under Spark's Java regex and DuckDB's RE2.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\+?[0-9][0-9 .-]{7,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact_pii(text: Column | str, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Replace each PII match with ``<KIND>`` — the standard pre-training
+    scrub pass; chained regexp_replace stays in whole-stage codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    for kind in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return c
+
+
+def chunk_tokens(
+    df, text_col: str, id_col: str, chunk_tokens_n: int = 64, overlap: int = 16
+):
+    """Split documents into fixed-token-count chunks with overlap — the
+    LLM-training chunking pass. JVM-side: tokenize once, posexplode over
+    chunk starts, slice+join per chunk. Stride = chunk - overlap; the last
+    chunk may be short; empty docs yield no chunks."""
+    stride = chunk_tokens_n - overlap
+    tokenized = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_ws")
+    ).withColumn("_n", F.size("_ws")).where(F.col("_n") > 0)
+    # chunk starts: 1, 1+stride, ... (1-based slice); token array rides
+    # through the explode so no re-join/re-tokenize
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.col("_n") - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return tokenized.select(
+        id_col, "_ws", F.posexplode(starts).alias("chunk_idx", "_start")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("_ws"), F.col("_start"), F.lit(chunk_tokens_n)), " "
+        ).alias("chunk_text"),
+    )
+
+
 def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
     """Winnowing-lite content fingerprint: lexicographic min of md5 over the
     doc's k-word shingles. Stable under reordering of equal content; cheap

@@ -137,6 +137,119 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.doc_fingerprint("text").alias("fingerprint"))
 
 
+@register(
+    "text_redaction",
+    """
+    WITH salted AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com or +33 6 '
+                  || doc_id::VARCHAR || ' 44 55 at 10.0.0.' || (doc_id % 256)::VARCHAR
+               AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9 .-]{7,}[0-9]', '<PHONE>', 'g'),
+             '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IPV4>', 'g')
+             AS redacted
+    FROM salted
+    """,
+    doc="PII redaction (pre-training scrub): emails/phones/IPs planted into "
+    "each doc, then chained regexp_replace with RE2-compatible patterns — "
+    "the identical regexes run in Spark (Java regex) and DuckDB (RE2), "
+    "and the redacted text hash-matches.",
+    tags=("llm", "text", "redaction"),
+)
+def text_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +33 6 "),
+            F.col("doc_id").cast("string"),
+            F.lit(" 44 55 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return salted.select("doc_id", TX.redact_pii("text").alias("redacted"))
+
+
+@register(
+    "document_chunks",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 100
+    ),
+    starts AS (
+      SELECT doc_id, ws,
+             generate_series(1, greatest(len(ws) - 16, 1), 48) AS ss
+      FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 48 AS INT) AS chunk_idx,
+           array_to_string(ws[s : s + 63], ' ') AS chunk_text
+    FROM starts, unnest(ss) AS u(s)
+    """,
+    doc="LLM-training chunking: 64-token chunks with 16-token overlap "
+    "(stride 48) — tokenize once, posexplode chunk starts, slice+join; "
+    "the token array rides through the explode (no re-tokenize, no join).",
+    tags=("llm", "text", "chunking"),
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return TX.chunk_tokens(docs, "text", "doc_id", chunk_tokens_n=64, overlap=16)
+
+
+@register(
+    "events_user_zscores",
+    """
+    WITH stats AS (
+      SELECT user_id, avg(value) AS mu, stddev_samp(value) AS sd, count(*) AS n
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id,
+           e.user_id,
+           round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN stats s ON e.user_id = s.user_id
+    WHERE s.n >= 2 AND s.sd > 0 AND e.user_id < 30
+    """,
+    doc="Per-group normalization via applyInPandas (grouped Arrow batches, "
+    "pandas ddof=1 std inside) — the grouped-UDF API surface; the oracle "
+    "is the pure-SQL window formulation. At scale prefer the SQL form "
+    "(codegen, no Python); the pandas form is the template for group "
+    "logic SQL can't express (per-group model scoring etc.).",
+    tags=("llm", "pandas-udf", "agg"),
+)
+def events_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 30)
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["event_id", "user_id", "z"])
+        sd = pdf["value"].std(ddof=1)
+        if not sd or sd != sd:
+            return pd.DataFrame(columns=["event_id", "user_id", "z"])
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "z": ((pdf["value"] - pdf["value"].mean()) / sd).round(4),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, z double"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup — planted-duplicate corpora (deterministic in both engines)
 # ---------------------------------------------------------------------------

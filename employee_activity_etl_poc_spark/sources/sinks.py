@@ -52,6 +52,33 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction (the reference's 10-records-per-commit bronze
+    produced one file per ~10 rows — ``bronze/redPandaToDeltaLake.py:136``;
+    OPTIMIZE on Delta, this rewrite on plain parquet).
+
+    Rewrites the table into ``ceil(rows / target_rows_per_file)`` files via
+    a staging directory (write-then-swap; readers mid-swap see old or new,
+    never half). Returns the new file count."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    staging = path.rstrip("/") + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "__pre_compact"
+    shutil.move(path, backup)
+    shutil.move(staging, path)
+    shutil.rmtree(backup)
+    return n_files
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, mode: str = "append",
     properties: dict[str, str] | None = None,

@@ -48,3 +48,41 @@ def test_canonicalize_activity_dialects(spark):
     # unknown columns pass through
     df = spark.createDataFrame([(1, "x")], ["ID", "mystery"])
     assert canonicalize(df, ACTIVITY_ALIASES).columns == ["activity_id", "mystery"]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from employee_activity_etl_poc_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # simulate the reference's 10-rows-per-commit fragmentation
+    for i in range(8):
+        spark.range(i * 10, (i + 1) * 10).write.mode("append").parquet(path)
+    n_before = len([f for f in __import__("os").listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 8
+    n_files = compact_parquet(spark, path, target_rows_per_file=50)
+    assert n_files == 2
+    out = spark.read.parquet(path)
+    assert out.count() == 80
+    assert sorted(r["id"] for r in out.collect()) == list(range(80))
+    n_after = len([f for f in __import__("os").listdir(path) if f.endswith(".parquet")])
+    assert n_after == 2
+
+
+def test_chunk_tokens_overlap_and_coverage(spark):
+    from employee_activity_etl_poc_spark.operators.textops import chunk_tokens
+    from pyspark.sql import functions as F
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc"), (3, "")], ["doc_id", "text"])
+    out = chunk_tokens(df, "text", "doc_id", chunk_tokens_n=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk_text"].split(" ")
+    # doc 1: chunks at starts 1 and 49 -> 64 and 52 tokens, 16-token overlap
+    assert len(by_doc[1]) == 2
+    assert by_doc[1][0] == [f"w{i}" for i in range(64)]
+    assert by_doc[1][1] == [f"w{i}" for i in range(48, 100)]
+    assert by_doc[1][0][-16:] == by_doc[1][1][:16]
+    # short doc: one chunk, whole text; empty doc: the tokenizer yields one
+    # empty token -> a single degenerate chunk (documented: pre-filter empties)
+    assert by_doc[2] == {0: ["short", "doc"]}
