@@ -41,6 +41,10 @@ HEADLINE = [
     "multimodal_metadata",
     "events_tumbling_6h",
     "events_session_1h",
+    "purchase_asof_click",
+    "error_in_signup_window",
+    "regional_supplier_volume",
+    "document_chunks",
     "cdc_envelope_roundtrip",
     "domain_wellness_kpis",
     "commute_enrichment",

@@ -145,18 +145,25 @@ def minhash_near_duplicates(
     ``persist=False`` if the caller manages its own checkpoint/persist.
     """
     rows_per_band = num_perm // bands
-    base = (
+    # Hash shingles to 32-bit longs IMMEDIATELY (one md5 pass), distinct,
+    # and persist the LONG arrays — signatures, band keys, and the verify
+    # Jaccard all derive from this one frame. Jaccard over hashed shingles
+    # equals string-shingle Jaccard up to 32-bit collisions, and since the
+    # SQL oracle computes the identical hashes, both engines agree exactly
+    # by construction. Long arrays also persist ~5× smaller than strings
+    # and intersect/union faster in the verify join.
+    hashed = (
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
         .where(F.size(tokens(F.col("t"))) >= shingle_k)
-        .select("doc", shingles("t", shingle_k).alias("sh"))
+        .select(
+            "doc",
+            F.array_distinct(
+                F.transform(shingles("t", shingle_k), _hash_long)
+            ).alias("hs"),
+        )
     )
     if persist:
-        base = base.persist()
-    # Materialize the md5-per-shingle hash array as its own projection so the
-    # 16 permutation transforms read one bound attribute instead of each
-    # re-embedding (and re-evaluating) the md5 expression tree — md5 is the
-    # dominant cost; this makes signatures ~num_perm× cheaper.
-    hashed = base.select("doc", F.transform("sh", _hash_long).alias("hs"))
+        hashed = hashed.persist()
     sigs = hashed.select(
         "doc", minhash_from_hashes(F.col("hs"), num_perm).alias("sig")
     )
@@ -177,15 +184,15 @@ def minhash_near_duplicates(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh_a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    hs_a = hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hs_b = hashed.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
-        pairs.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
+        pairs.join(hs_a, "doc_a")
+        .join(hs_b, "doc_b")
         # project jaccard ONCE, then filter on the bound column — the
         # intersect/union arrays are expensive and must not be re-evaluated
         # per reference
-        .select("doc_a", "doc_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .select("doc_a", "doc_b", jaccard(F.col("hs_a"), F.col("hs_b")).alias("j"))
         .where(F.col("j") >= threshold)
         .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
     )

@@ -307,9 +307,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicate_groups(corpus, "text", "doc_id")
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+def _minhash_oracle_sql() -> str:
+    """Oracle replicating the Spark MinHash EXACTLY: same 32-bit md5 shingle
+    hashes, same affine permutations (a_p·h + b_p mod P with the SAME
+    md5-derived constants), same band keys — so the CANDIDATE set, not just
+    the verified output, is identical by construction. (An earlier version
+    used a different hash family in the oracle; it matched only because the
+    planted pairs were high-Jaccard — borderline pairs could diverge.)"""
+    from ..operators.dedup import MINHASH_PRIME, _perm_params
+
+    perms = ", ".join(
+        f"list_min([({a} * h + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in _perm_params(16)
+    )
+    return f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
     sh AS (
@@ -318,13 +329,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                             for i in generate_series(1, len(ws) - 2)]) AS s
       FROM w WHERE len(ws) >= 3
     ),
-    sig AS (
-      SELECT doc_id, s,
-             [list_min([CAST('0x' || substr(md5(p::VARCHAR || '|' || x), 1, 8) AS BIGINT)
-                        for x in s])
-              for p in generate_series(0, 15)] AS mh
+    hh AS (
+      SELECT doc_id,
+             list_distinct([CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) for x in s]) AS hs
       FROM sh
     ),
+    sig AS (SELECT doc_id, hs, [{perms}] AS mh FROM hh),
     bands AS (
       SELECT doc_id, b,
              mh[4*b+1]::VARCHAR || ',' || mh[4*b+2]::VARCHAR || ',' ||
@@ -336,15 +346,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(1.0 * len(list_intersect(x.s, y.s))
-                 / len(list_distinct(list_concat(x.s, y.s))), 4) AS jaccard
-    FROM pairs JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
-    WHERE 1.0 * len(list_intersect(x.s, y.s))
-          / len(list_distinct(list_concat(x.s, y.s))) >= 0.5
-    """,
+           round(1.0 * len(list_intersect(x.hs, y.hs))
+                 / len(list_distinct(list_concat(x.hs, y.hs))), 4) AS jaccard
+    FROM pairs JOIN hh x ON x.doc_id = doc_a JOIN hh y ON y.doc_id = doc_b
+    WHERE 1.0 * len(list_intersect(x.hs, y.hs))
+          / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle_sql(),
     doc="MinHash(16 perms) + LSH(4 bands): candidates from a band-key "
-    "equi-join (never O(n²)), verified with true shingle Jaccard >= 0.5. "
-    "Finds the 25 planted first-word-dropped near-dups.",
+    "equi-join (never O(n²)), verified with hashed-shingle Jaccard >= 0.5. "
+    "Oracle replicates the identical hash family + permutation constants, "
+    "so candidates AND verdicts agree by construction. Finds the 25 "
+    "planted first-word-dropped near-dups.",
     tags=("llm", "dedup"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
