@@ -61,6 +61,54 @@ def parse_cdc_envelope(
     )
 
 
+def parse_cdc_with_quarantine(
+    df: DataFrame,
+    value_col: str = "value",
+    ops: tuple[str, ...] = (OP_INSERT,),
+    processing_ts: Column | None = None,
+) -> DataFrame:
+    """Envelope parse that KEEPS malformed input instead of silently
+    dropping it: rows where ``from_json`` fails (or the payload lacks an
+    ``after``) come back with ``quarantined=true`` and the raw bytes in
+    ``raw_value`` — route them to a dead-letter sink and alert, the
+    standard production posture. (The reference logged-and-skipped,
+    ``bronze/redPandaToDeltaLake.py:88-93``; ``parse_cdc_envelope`` keeps
+    that lean shape for trusted topics.)
+
+    One added column, same single-pass plan; the good-row output is
+    identical to ``parse_cdc_envelope``'s.
+    """
+    raw = F.col(value_col).cast("string")
+    parsed = df.select(
+        raw.alias("raw_value"),
+        F.from_json(raw, CDC_ENVELOPE).alias("env"),
+    )
+    bad = F.col("env").isNull() | F.col("env.payload.after").isNull()
+    wanted_op = F.col("env.payload.op").isin(*ops)
+    return (
+        parsed.where(bad | wanted_op)
+        .select(
+            "env.payload.after.*",
+            bad.alias("quarantined"),
+            F.when(bad, F.col("raw_value")).alias("raw_value"),
+        )
+        .select(
+            "activity_id",
+            "employee_id",
+            F.timestamp_micros(F.col("start_us")).alias("start_ts"),
+            "sport_type",
+            "distance_m",
+            F.timestamp_micros(F.col("end_us")).alias("end_ts"),
+            "comment",
+            (
+                processing_ts if processing_ts is not None else F.current_timestamp()
+            ).alias("processing_ts"),
+            "quarantined",
+            "raw_value",
+        )
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,

@@ -307,3 +307,91 @@ def test_notifier_small_backlog_no_summary(spark, activities):
     batch = activities.limit(4).select("start_ts", activity_message().alias("message"))
     notifier(batch, 0)
     assert len(sent) == 4  # no skip summary when backlog fits
+
+
+def test_quarantine_keeps_malformed_rows(spark, activities):
+    from employee_activity_etl_poc_spark.streaming.cdc import (
+        parse_cdc_with_quarantine,
+    )
+
+    good = to_cdc_json(activities.limit(10))
+    bad = spark.createDataFrame(
+        [("this is not json",), ('{"payload": {"op": "c"}}',)], ["value"]
+    )
+    out = parse_cdc_with_quarantine(
+        good.unionByName(bad), processing_ts=fixed_ts()
+    )
+    rows = out.collect()
+    quarantined = [r for r in rows if r["quarantined"]]
+    clean = [r for r in rows if not r["quarantined"]]
+    assert len(clean) == 10 and len(quarantined) == 2
+    assert {r["raw_value"] for r in quarantined} == {
+        "this is not json",
+        '{"payload": {"op": "c"}}',
+    }
+    for r in clean:
+        assert r["raw_value"] is None and r["activity_id"] is not None
+
+
+def test_stream_static_dim_join(spark, activities, tmp_path):
+    """Stream-static join: the streaming bronze rows enrich against a
+    static (batch) dim inside the stream — the in-flight gold path."""
+    from employee_activity_etl_poc_spark.sources.generator import synthetic_employees
+
+    src = tmp_path / "topic"
+    sink = tmp_path / "enriched"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    _write_json_batch(to_cdc_json(activities), str(src / "b0.json"))
+
+    dim = synthetic_employees(spark, 10)
+    stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+    enriched = stream.join(F.broadcast(dim), "employee_id", "left")
+    q = (
+        enriched.writeStream.format("parquet")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .option("path", str(sink))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    out = spark.read.parquet(str(sink))
+    assert out.count() == activities.count()
+    assert out.where(F.col("transport_mode").isNull()).count() == 0
+
+
+def test_notifier_attached_to_stream(spark, activities, tmp_path):
+    """End-to-end: file stream -> parse -> message exprs -> foreachBatch
+    notifier; the first micro-batch is compressed, later ones are live."""
+    from employee_activity_etl_poc_spark.streaming import activity_message
+
+    src = tmp_path / "topic"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    first = activities.where(F.col("activity_id") <= 30)
+    _write_json_batch(to_cdc_json(first), str(src / "b0.json"))
+
+    sent: list[str] = []
+    notifier = make_notifier(sent.append, max_buffer_size=5)
+
+    def run_once():
+        stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+        msgs = stream.select("start_ts", activity_message().alias("message"))
+        q = (
+            msgs.writeStream.foreachBatch(notifier)
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    run_once()
+    assert len(sent) == 6  # skip summary + newest 5
+    assert "25 activité(s)" in sent[0]
+
+    sent.clear()
+    late = activities.where(F.col("activity_id") > 30)
+    _write_json_batch(to_cdc_json(late), str(src / "b1.json"))
+    run_once()  # restart: batch_id advances, so this is live traffic
+    assert len(sent) == late.count()
