@@ -173,6 +173,81 @@ def _nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Col
     return F.transform(F.slice(best_first, 1, n), lambda s: s["i"])
 
 
+def refine_centroids_lloyd(
+    corpus: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    iterations: int = 2,
+) -> list[list[float]]:
+    """Lloyd's k-means refinement as plain DataFrame aggregations: assign
+    each vector to its nearest centroid (literal-array folds), average per
+    cluster (`array agg of element-wise sums / count`), repeat.
+
+    Each iteration is one groupBy over the corpus — fully distributed,
+    deterministic (no RNG), and the centroid list stays a driver-side
+    literal. Empty clusters keep their previous centroid."""
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = _as_double(corpus, vec_col).select(
+            "v", _nearest_centroids(F.col("v"), centroids, 1)[0].alias("cell")
+        )
+        sums = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.col("v")[j]).alias(f"s{j}") for j in range(dim)],
+        )
+        new = {r["cell"]: [r[f"s{j}"] / r["n"] for j in range(dim)] for r in sums.collect()}
+        centroids = [new.get(i, c) for i, c in enumerate(centroids)]
+    return centroids
+
+
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Exact top-k via Arrow-vectorized numpy matmul (the Pandas-UDF path
+    the zip_with fold trades against): queries are collected to the driver
+    (broadcast-sized by contract), each corpus Arrow batch computes ONE
+    normalized matmul against the whole query matrix.
+
+    Same output shape/semantics as :func:`brute_force_topk`; float sums
+    accumulate in a different order, so similarities can differ in the last
+    ulp — rank ties are resolved by (rounded sim, neighbor_id) to keep
+    results stable. Prefer this variant when |corpus|·|queries| is large:
+    BLAS beats interpreted folds by orders of magnitude."""
+    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
+
+    q_rows = _as_double(queries, vec_col).select(F.col(id_col).alias("qid"), "v").collect()
+    q_ids = np.array([r["qid"] for r in q_rows])
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ q_mat.T  # |batch| × |queries|
+            n_ids = pdf["nid"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], len(n_ids), 0).ravel(),
+                    "neighbor_id": np.repeat(n_ids, len(q_ids)),
+                    "sim": sims.ravel().round(sim_decimals),
+                }
+            )
+
+    c = _as_double(corpus, vec_col).select(F.col(id_col).alias("nid"), "v")
+    sims = c.mapInPandas(score, schema="query_id long, neighbor_id long, sim double")
+    sims = sims.where(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -509,6 +509,23 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_topk_vectorized",
+    None,  # fp sum order differs from the fold variant by ulps; the pair-set
+    # equality is asserted in tests instead of the value-hash gate
+    doc="Exact top-k via Arrow-vectorized numpy matmul in mapInPandas — "
+    "the BLAS path for when |corpus|×|queries| makes interpreted folds the "
+    "bottleneck; tests assert identical (query, neighbor, rank) sets to "
+    "the JVM fold variant.",
+    tags=("llm", "similarity", "pandas-udf"),
+)
+def embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk_vectorized(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@register(
     "embedding_ann_ivf",
     None,  # centroid assignment not reasonably SQL-expressible; rows-only check
     doc="IVF-style approximate top-k: deterministic centroid sample, "

@@ -106,3 +106,38 @@ def test_ivf_topk_recall_floor(spark, sf_dir):
     again = {(r["query_id"], r["neighbor_id"]) for r in
              ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_probe=2).collect()}
     assert again == approx_pairs
+
+
+def test_vectorized_topk_matches_fold_variant(spark, sf_dir):
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    fold = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    vec = brute_force_topk_vectorized(emb, queries, "vec_id", "embedding", k=5)
+    fold_pairs = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in fold.collect()}
+    vec_pairs = {(r["query_id"], r["neighbor_id"], r["rnk"]) for r in vec.collect()}
+    assert fold_pairs == vec_pairs
+
+
+def test_lloyd_refinement_improves_or_keeps_recall(spark, sf_dir):
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        _ivf_centroids,
+        refine_centroids_lloyd,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = _ivf_centroids(emb, "vec_id", "embedding", 8)
+    refined = refine_centroids_lloyd(emb, "embedding", seed, iterations=2)
+    assert len(refined) == 8 and len(refined[0]) == len(seed[0])
+    # refinement must actually move centroids (corpus isn't degenerate)
+    assert refined != seed
+    # deterministic
+    again = refine_centroids_lloyd(emb, "embedding", seed, iterations=2)
+    assert again == refined

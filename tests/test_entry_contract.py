@@ -38,7 +38,11 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     assert len(qs) >= 30
     missing = set(qs) - set(os_)
     # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing == {"embedding_ann_lsh", "embedding_ann_ivf"}
+    assert missing == {
+        "embedding_ann_lsh",
+        "embedding_ann_ivf",
+        "embedding_topk_vectorized",
+    }
 
 
 @pytest.fixture(scope="module")

@@ -63,3 +63,41 @@ def test_merge_upsert_update_and_insert(spark):
         (r["id"], r["v"], r["x"]) for r in merge_upsert(existing, incoming, "id").collect()
     )
     assert out == [(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)]
+
+
+def test_partitioned_gold_read_prunes_partitions(spark, tmp_path):
+    """Reading one gold_processing_date must scan only that partition —
+    the pruning the reference's date column existed for but never got."""
+    from employee_activity_etl_poc_spark.plans.gold_jobs import run_full_refresh
+    from employee_activity_etl_poc_spark.sources.generator import (
+        synthetic_activities,
+        synthetic_employees,
+    )
+
+    from employee_activity_etl_poc_spark.plans.gold_jobs import enrich_activities
+    from employee_activity_etl_poc_spark.sources.sinks import write_delta
+
+    acts = synthetic_activities(spark, 30, n_employees=10).withColumn(
+        "processing_ts", F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    hr = synthetic_employees(spark, 10)
+    sports = hr.select("employee_id", F.lit("Oui").alias("practices_sport"))
+    # two runs with different injected "now" -> two date partitions
+    run_full_refresh(
+        acts, sports, hr, str(tmp_path / "g"),
+        now=F.lit("2024-06-01 12:00:00").cast("timestamp"),
+    )
+    day2 = enrich_activities(
+        acts, sports, hr, now=F.lit("2024-06-02 12:00:00").cast("timestamp")
+    )
+    write_delta(
+        day2, str(tmp_path / "g"), mode="append",
+        partition_by=["gold_processing_date"],
+    )
+
+    df = spark.read.parquet(str(tmp_path / "g")).where(
+        F.col("gold_processing_date") == "2024-06-02"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-06-02" in plan
+    assert df.count() == 30
