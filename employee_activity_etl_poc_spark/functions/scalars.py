@@ -82,6 +82,19 @@ def normalize_str(col: Column | str) -> Column:
     return F.lower(F.trim(col))
 
 
+_ACCENTED = "àâäáãåçéèêëíìîïñóòôöõúùûüýÿ"
+_FOLDED = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def fold_accents(col: Column | str) -> Column:
+    """F6 edge: accent folding via ``translate`` — the reference instead
+    hardcoded accent-variant lists per comparison ("vélo"/"velo",
+    ``gold/2test1.py:31-33``); folding once at normalization kills the
+    whole variant-list category. Covers the French/Spanish range the
+    domain uses; extend the table (not the call sites) for more."""
+    return F.translate(normalize_str(col), _ACCENTED, _FOLDED)
+
+
 def map_code(col: Column | str, mapping: dict[str, str], default: str) -> Column:
     """F11: code -> label with default, as a chained-when expression.
 

@@ -109,6 +109,42 @@ def parse_cdc_with_quarantine(
     )
 
 
+def apply_cdc_batch(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    key: str = "activity_id",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Fold a micro-batch of CDC changes (op ∈ c/u/d + full row images)
+    into a table snapshot — the operator the reference never built (it
+    processed inserts only and ignored updates/deletes, ``slack_bot/
+    slack_notifier.py:110-111``).
+
+    Per key, only the HIGHEST-``seq_col`` change in the batch wins (Kafka
+    partitions preserve per-key order; ``seq`` is the offset or a
+    monotonically increasing change id). Then: delete drops the key,
+    insert/update upserts the ``after`` image. Runs identically as a batch
+    backfill or inside ``foreachBatch`` (where the sink does Delta MERGE).
+
+    ``changes`` columns: ``op``, ``seq_col``, and the row image columns.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    upserts = latest.where(F.col("op") != "d").drop("op", seq_col)
+    if snapshot is None:
+        return upserts
+    # rows untouched by this batch survive; deleted keys drop implicitly
+    # (anti-joined away from the snapshot, filtered out of the upserts)
+    survivors = snapshot.join(latest.select(key), key, "left_anti")
+    return survivors.unionByName(upserts)
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,

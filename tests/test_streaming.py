@@ -395,3 +395,43 @@ def test_notifier_attached_to_stream(spark, activities, tmp_path):
     _write_json_batch(to_cdc_json(late), str(src / "b1.json"))
     run_once()  # restart: batch_id advances, so this is live traffic
     assert len(sent) == late.count()
+
+
+def test_apply_cdc_batch_folds_ops(spark):
+    from employee_activity_etl_poc_spark.streaming.cdc import apply_cdc_batch
+
+    snapshot = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["activity_id", "v", "x"]
+    )
+    changes = spark.createDataFrame(
+        [
+            ("u", 100, 2, "B", 21),   # update row 2
+            ("d", 101, 3, None, None),  # delete row 3
+            ("c", 102, 4, "d", 40),   # insert row 4
+            ("u", 103, 4, "D", 41),   # ...then update it in the same batch
+            ("c", 104, 5, "e", 50),
+            ("d", 105, 5, None, None),  # insert then delete -> absent
+        ],
+        ["op", "seq", "activity_id", "v", "x"],
+    )
+    out = sorted(
+        (r["activity_id"], r["v"], r["x"])
+        for r in apply_cdc_batch(snapshot, changes, "activity_id").collect()
+    )
+    assert out == [(1, "a", 10), (2, "B", 21), (4, "D", 41)]
+    # bootstrap (no snapshot): inserts/updates only
+    boot = sorted(
+        (r["activity_id"], r["v"])
+        for r in apply_cdc_batch(None, changes, "activity_id").collect()
+    )
+    assert boot == [(2, "B"), (4, "D")]
+
+
+def test_fold_accents(spark):
+    from employee_activity_etl_poc_spark.functions.scalars import fold_accents
+
+    df = spark.createDataFrame(
+        [("  Vélo/Trottinette  ",), ("MARCHE/running",), ("déjà vu É",)], ["s"]
+    )
+    out = [r["o"] for r in df.select(fold_accents("s").alias("o")).collect()]
+    assert out == ["velo/trottinette", "marche/running", "deja vu e"]
