@@ -70,6 +70,49 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(run, schema=MEDIA_META_SCHEMA)
 
 
+FRAME_FEATURE_SCHEMA = (
+    "doc_id long, frame_idx long, f0 double, f1 double, f2 double, f3 double"
+)
+
+
+def _frame_feature_stub(doc_id: int, frame_idx: int) -> list[float]:
+    """Deterministic fake per-frame feature vector (4 dims, [0,1)) from
+    md5(doc, frame, dim). STUB — stands in for a CNN/CLIP embedding of the
+    decoded frame; the mapInPandas batching, schema, and downstream joins
+    are the real, tested plumbing."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"frame|{doc_id}|{frame_idx}|{j}".encode()).hexdigest()[:8], 16)
+        / 4294967296.0
+        for j in range(4)
+    ]
+
+
+def extract_frame_features(frames: DataFrame) -> DataFrame:
+    """Second decode pass: (doc_id, frame_idx) -> feature columns. In a
+    real pipeline this pass ALSO receives the payload slice; the fake
+    derives features from ids so the DuckDB oracle can replay it."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _frame_feature_stub(d, f)
+                for d, f in zip(pdf["doc_id"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    **{f"f{j}": [round(v[j], 6) for v in feats] for j in range(4)},
+                }
+            )
+
+    return frames.select("doc_id", "frame_idx").mapInPandas(
+        run, schema=FRAME_FEATURE_SCHEMA
+    )
+
+
 def frame_sample_plan(meta: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plan: one output row per sampled frame index.
 

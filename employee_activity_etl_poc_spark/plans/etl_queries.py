@@ -28,6 +28,7 @@ from ..sources.generator import (
     to_cdc_json,
 )
 from ..streaming.cdc import parse_cdc_envelope
+from .llm_queries import _LANG_SCORE_SQL as _LANG_SCORE_SQL_REF
 from .registry import load, register
 
 GEN_N = 5000
@@ -232,6 +233,97 @@ def commute_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distance_km_rush",
         "duration_hhmmss_rush",
         "commute_success",
+    )
+
+
+@register(
+    "cdc_apply_snapshot",
+    """
+    WITH snapshot AS (
+      SELECT event_id AS activity_id, user_id, round(value, 4) AS v
+      FROM events WHERE event_id < 2000
+    ),
+    changes AS (
+      SELECT CASE event_id % 3 WHEN 0 THEN 'd' WHEN 1 THEN 'u' ELSE 'c' END AS op,
+             event_id AS seq,
+             event_id % 2500 AS activity_id,
+             user_id,
+             round(value + 1000, 4) AS v
+      FROM events WHERE event_id >= 8000
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY activity_id ORDER BY seq DESC) AS rn
+        FROM changes
+      ) WHERE rn = 1
+    ),
+    survivors AS (
+      SELECT s.* FROM snapshot s
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.activity_id = s.activity_id)
+    ),
+    upserts AS (
+      SELECT activity_id, user_id, v FROM latest WHERE op <> 'd'
+    )
+    SELECT activity_id, user_id, v FROM survivors
+    UNION ALL
+    SELECT activity_id, user_id, v FROM upserts
+    """,
+    doc="apply_cdc_batch under the hash gate: a snapshot + a synthetic "
+    "change stream (per-key latest wins, deletes drop, upserts replace) "
+    "folded into the next snapshot; the oracle is the window+anti-join "
+    "SQL formulation.",
+    tags=("streaming", "cdc", "merge"),
+)
+def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.cdc import apply_cdc_batch
+
+    ev = load(spark, sf_dir, "events")
+    snapshot = ev.where(F.col("event_id") < 2000).select(
+        F.col("event_id").alias("activity_id"),
+        "user_id",
+        F.round("value", 4).alias("v"),
+    )
+    changes = ev.where(F.col("event_id") >= 8000).select(
+        F.when(F.col("event_id") % 3 == 0, "d")
+        .when(F.col("event_id") % 3 == 1, "u")
+        .otherwise("c")
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_id") % 2500).alias("activity_id"),
+        "user_id",
+        F.round(F.col("value") + 1000, 4).alias("v"),
+    )
+    return apply_cdc_batch(snapshot, changes, "activity_id")
+
+
+@register(
+    "lang_confusion_matrix",
+    f"""
+    WITH scores AS ({_LANG_SCORE_SQL_REF}),
+    pred AS (
+      SELECT lang,
+             CASE WHEN s_en + s_fr + s_es + s_de = 0 THEN 'unknown'
+                  WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                  WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                  WHEN s_es >= s_de THEN 'es'
+                  ELSE 'de' END AS lang_pred
+      FROM scores
+    )
+    SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred
+    """,
+    doc="Language-ID evaluation: labeled-vs-predicted confusion matrix "
+    "over the documents corpus — the accuracy rollup any classifier "
+    "heuristic in a data pipeline needs next to it.",
+    tags=("llm", "text", "eval"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
     )
 
 

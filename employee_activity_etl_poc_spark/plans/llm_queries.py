@@ -568,6 +568,37 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_features",
+    """
+    WITH m AS (
+      SELECT doc_id, octet_length(encode(text)) // 64 + 1 AS nf FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, CAST(f AS BIGINT) AS frame_idx
+      FROM m, unnest(generate_series(0, CAST(greatest(nf - 1, 0) AS BIGINT), 2)) AS t(f)
+    )
+    SELECT doc_id, frame_idx,
+      round(CAST('0x' || substr(md5('frame|' || doc_id::VARCHAR || '|' || frame_idx::VARCHAR || '|0'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f0,
+      round(CAST('0x' || substr(md5('frame|' || doc_id::VARCHAR || '|' || frame_idx::VARCHAR || '|1'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f1,
+      round(CAST('0x' || substr(md5('frame|' || doc_id::VARCHAR || '|' || frame_idx::VARCHAR || '|2'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f2,
+      round(CAST('0x' || substr(md5('frame|' || doc_id::VARCHAR || '|' || frame_idx::VARCHAR || '|3'), 1, 8) AS BIGINT) / 4294967296.0, 6) AS f3
+    FROM frames
+    """,
+    doc="The two-pass multimodal pipeline end-to-end: metadata mapInPandas "
+    "-> JVM frame explosion -> per-frame feature mapInPandas (stub CNN "
+    "features, md5-derived so the oracle replays the whole chain).",
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = M.attach_payload(load(spark, sf_dir, "documents"))
+    meta = M.extract_media_metadata(docs).withColumn(
+        "n_frames", (F.col("n_bytes") / 64).cast("long") + 1
+    )
+    frames = M.frame_sample_plan(meta, every_n=2)
+    return M.extract_frame_features(frames)
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH m AS (
