@@ -237,6 +237,44 @@ def commute_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_column_profile",
+    """
+    WITH base AS (SELECT * FROM events)
+    SELECT 'event_id' AS "column", count(*) AS n,
+           count(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+           count(DISTINCT event_id) AS n_distinct,
+           CAST(min(event_id) AS VARCHAR) AS min_str,
+           CAST(max(event_id) AS VARCHAR) AS max_str,
+           round(avg(event_id), 4) AS mean
+    FROM base
+    UNION ALL
+    SELECT 'event_type', count(*),
+           count(CASE WHEN event_type IS NULL THEN 1 END),
+           count(DISTINCT event_type),
+           CAST(min(event_type) AS VARCHAR), CAST(max(event_type) AS VARCHAR),
+           NULL
+    FROM base
+    UNION ALL
+    SELECT 'value', count(*),
+           count(CASE WHEN value IS NULL THEN 1 END),
+           count(DISTINCT value),
+           CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR),
+           round(avg(value), 4)
+    FROM base
+    """,
+    doc="One-scan table profiler (null rate / distinct / min / max / mean "
+    "per column, long format) — the systematic form of the reference's "
+    "ad-hoc health prints; swap countDistinct for HLL at 100 TB.",
+    tags=("quality", "profile"),
+)
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..quality.profile import profile_table
+
+    ev = load(spark, sf_dir, "events")
+    return profile_table(ev, ["event_id", "event_type", "value"])
+
+
+@register(
     "cdc_apply_snapshot",
     """
     WITH snapshot AS (

@@ -78,3 +78,22 @@ def test_referential_orphans(spark):
     dim = spark.createDataFrame([(1,), (2,), (3,)], "employee_id long")
     orphans = [r["employee_id"] for r in DQ.referential_orphans(fact, dim, "employee_id").collect()]
     assert orphans == [9]
+
+
+def test_profile_table_stats(spark):
+    from employee_activity_etl_poc_spark.quality.profile import profile_table
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, None, 30.0), (4, "b", 20.0)],
+        ["id", "s", "v"],
+    )
+    prof = {r["column"]: r for r in profile_table(df).collect()}
+    assert prof["id"]["n"] == 4 and prof["id"]["n_null"] == 0
+    assert prof["s"]["n_null"] == 1 and prof["s"]["n_distinct"] == 2
+    assert prof["v"]["mean"] == 20.0
+    assert prof["s"]["mean"] is None  # non-numeric: no mean
+    assert prof["id"]["min_str"] == "1" and prof["id"]["max_str"] == "4"
+    # approx mode runs and keeps shape
+    approx = profile_table(df, approx=True)
+    assert approx.count() == 3

@@ -86,3 +86,17 @@ def test_chunk_tokens_overlap_and_coverage(spark):
     # short doc: one chunk, whole text; empty doc: the tokenizer yields one
     # empty token -> a single degenerate chunk (documented: pre-filter empties)
     assert by_doc[2] == {0: ["short", "doc"]}
+
+
+def test_write_csv_roundtrip_with_header(spark, tmp_path):
+    from employee_activity_etl_poc_spark.sources.sinks import write_csv
+    from employee_activity_etl_poc_spark.sources.readers import read_csv_sniffed
+
+    df = spark.createDataFrame(
+        [(1, "Vélo", 12.5), (2, "Marche", None)], ["id", "sport", "km"]
+    )
+    write_csv(df, str(tmp_path / "out"))
+    back = read_csv_sniffed(spark, str(tmp_path / "out"))
+    assert back.columns == ["id", "sport", "km"]
+    rows = {r["id"]: (r["sport"], r["km"]) for r in back.collect()}
+    assert rows == {1: ("Vélo", 12.5), 2: ("Marche", None)}
