@@ -296,20 +296,34 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Recall is tunable via n_planes (fewer planes = bigger buckets) and
-    multi-probe; the join on ``bucket`` is a plain shuffle equi-join, so the
-    pattern scales to corpora where brute force is impossible."""
+    ``multi_probe`` (each query ALSO probes the buckets reached by flipping
+    its ``multi_probe`` least-confident... here: first N plane bits — each
+    probe multiplies candidate volume by ~1, recall rises toward exact).
+    The join on ``bucket`` is a plain shuffle equi-join, so the pattern
+    scales to corpora where brute force is impossible."""
     from pyspark.sql import Window
 
     c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").withColumn(
         "bucket", hyperplane_signature(F.col("cv"), dim, n_planes)
     )
-    q = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").withColumn(
-        "bucket", hyperplane_signature(F.col("qv"), dim, n_planes)
+    q_sig = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").withColumn(
+        "_sig", hyperplane_signature(F.col("qv"), dim, n_planes)
     )
+    probes = F.array_distinct(
+        F.array(
+            F.col("_sig"),
+            *[
+                F.col("_sig").bitwiseXOR(F.lit(2**p))
+                for p in range(min(multi_probe, n_planes))
+            ],
+        )
+    )
+    q = q_sig.withColumn("bucket", F.explode(probes)).drop("_sig")
     sims = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))

@@ -704,6 +704,53 @@ def events_session_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cheapest_supplier_per_part",
+    """
+    SELECT l_partkey AS partkey, s_suppkey AS suppkey, s_name,
+           round(s_acctbal, 2) AS acctbal
+    FROM (
+      SELECT l_partkey, l_suppkey FROM lineitem GROUP BY l_partkey, l_suppkey
+    ) pl JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_acctbal = (
+      SELECT min(s2.s_acctbal)
+      FROM (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem
+            GROUP BY l_partkey, l_suppkey) pl2
+      JOIN supplier s2 ON pl2.sk = s2.s_suppkey
+      WHERE pl2.pk = pl.l_partkey
+    )
+    """,
+    doc="TPC-H Q2 shape — correlated scalar subquery ('the supplier with "
+    "the minimum balance FOR THIS part') decorrelated by hand into a "
+    "per-key window min + filter: one shuffle on the key, no per-row "
+    "subquery execution. The oracle keeps the correlated form (DuckDB "
+    "decorrelates it itself) — same result, two optimizer strategies.",
+    tags=("join", "decorrelation", "window"),
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.lit(1).alias("_"))
+        .drop("_")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    joined = pairs.join(F.broadcast(sup), pairs.l_suppkey == sup.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.round("s_acctbal", 2).alias("acctbal"),
+        )
+    )
+
+
+@register(
     "purchase_asof_click",
     """
     WITH purchases AS (

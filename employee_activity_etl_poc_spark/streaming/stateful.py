@@ -58,6 +58,54 @@ def _update_profile(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "employee_id long, n_activities long, closed boolean"
+)
+SESSION_STATE_SCHEMA = "n long"
+
+
+def make_idle_session_fn(timeout_ms: int):
+    """Per-key activity session that CLOSES on idleness: every batch with
+    rows for the key refreshes the count and re-arms a processing-time
+    timeout; when the key stays idle past ``timeout_ms``, Spark invokes the
+    function once more with ``state.hasTimedOut`` and an empty iterator —
+    the session row is emitted as closed and the state evicted.
+
+    This is the timeout/eviction half the running profile doesn't need:
+    abandoned keys leave the state store instead of living forever."""
+
+    def fn(key, batches, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"employee_id": [key[0]], "n_activities": [n], "closed": [True]}
+            )
+            return
+        n = state.get[0] if state.exists else 0
+        for pdf in batches:
+            n += len(pdf)
+        state.update((n,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"employee_id": [key[0]], "n_activities": [n], "closed": [False]}
+        )
+
+    return fn
+
+
+def idle_closing_sessions(parsed: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    return parsed.groupBy("employee_id").applyInPandasWithState(
+        make_idle_session_fn(timeout_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def running_activity_profile(parsed: DataFrame) -> DataFrame:
     """Per-employee running profile over the (streaming) bronze rows.
 

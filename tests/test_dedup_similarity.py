@@ -141,3 +141,32 @@ def test_lloyd_refinement_improves_or_keeps_recall(spark, sf_dir):
     # deterministic
     again = refine_centroids_lloyd(emb, "embedding", seed, iterations=2)
     assert again == refined
+
+
+def test_multi_probe_lsh_recall_not_worse(spark, sf_dir):
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(probes: int) -> float:
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_bucketed_topk(
+                emb, queries, "vec_id", "embedding", dim=64, k=5, n_planes=3, multi_probe=probes
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r3 = recall(0), recall(2)
+    assert r3 >= r0  # probing more buckets never loses candidates
+    assert r3 > 0.1

@@ -95,3 +95,59 @@ def test_running_profile_accumulates_across_restarts(spark, tmp_path):
         ).cast("long")
     ).collect()[0][0]
     assert total_dur == batch_dur
+
+
+def test_idle_sessions_close_on_timeout(spark, tmp_path):
+    import time
+
+    from employee_activity_etl_poc_spark.streaming.stateful import (
+        idle_closing_sessions,
+    )
+
+    src = tmp_path / "topic"
+    sink = tmp_path / "sessions"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    acts = synthetic_activities(spark, 12, n_employees=2).cache()
+    emp_a = acts.where(F.col("employee_id") == 1)
+    emp_b = acts.where(F.col("employee_id") == 2)
+    assert emp_a.count() > 0 and emp_b.count() > 0
+
+    def write_batch(df, name):
+        lines = [r["value"] for r in to_cdc_json(df).collect()]
+        (src / name).write_text("\n".join(lines) + "\n")
+
+    def run_once():
+        stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+        q = (
+            idle_closing_sessions(stream, timeout_ms=200)
+            .writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").parquet(str(sink))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    write_batch(emp_a, "b0.json")
+    run_once()
+    rows1 = spark.read.parquet(str(sink)).collect()
+    # the open session row is emitted with the full batch count; the
+    # timeout may already fire in a trailing micro-batch of the same run
+    assert (1, False) in {(r["employee_id"], r["closed"]) for r in rows1}
+    assert all(r["n_activities"] == emp_a.count() for r in rows1)
+
+    time.sleep(1.0)  # let employee 1's 200ms idle timeout lapse
+    write_batch(emp_b, "b1.json")  # any new batch triggers timeout sweep
+    run_once()
+    rows = spark.read.parquet(str(sink)).collect()
+    closed_a = [r for r in rows if r["closed"] and r["employee_id"] == 1]
+    # exactly ONE closed session for the idle key, with the complete count,
+    # and its state is gone (no rows for employee 1 after the close)
+    assert len(closed_a) == 1
+    assert closed_a[0]["n_activities"] == emp_a.count()
+    open_b = [r for r in rows if r["employee_id"] == 2 and not r["closed"]]
+    assert open_b and open_b[0]["n_activities"] == emp_b.count()

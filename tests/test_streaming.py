@@ -435,3 +435,68 @@ def test_fold_accents(spark):
     )
     out = [r["o"] for r in df.select(fold_accents("s").alias("o")).collect()]
     assert out == ["velo/trottinette", "marche/running", "deja vu e"]
+
+
+def test_session_window_agg_under_readstream(spark, tmp_path):
+    """Session windows run under readStream + watermark; append mode emits
+    a session once the watermark passes its end (sentinel flushes)."""
+    from employee_activity_etl_poc_spark.operators.windows import session_agg
+
+    src = tmp_path / "topic"
+    sink = tmp_path / "sess"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def act(aid, emp, t):
+        return spark.createDataFrame(
+            [(aid, emp, t, "Tennis", None, t, None)],
+            "activity_id long, employee_id long, s string, sport_type string,"
+            " distance_m long, e string, comment string",
+        ).select(
+            "activity_id", "employee_id",
+            F.col("s").cast("timestamp").alias("start_ts"),
+            "sport_type", "distance_m",
+            F.col("e").cast("timestamp").alias("end_ts"),
+            "comment",
+        )
+
+    batch = (
+        act(1, 7, "2024-06-01 10:00:00")
+        .unionByName(act(2, 7, "2024-06-01 10:30:00"))  # same session (gap<1h)
+        .unionByName(act(3, 7, "2024-06-01 13:00:00"))  # new session
+        .unionByName(act(4, 9, "2024-06-01 10:10:00"))  # other key
+    )
+    _write_json_batch(to_cdc_json(batch), str(src / "b0.json"))
+    _write_json_batch(  # sentinel far in the future flushes all sessions
+        to_cdc_json(act(99, 1, "2026-01-01 00:00:00")), str(src / "b1.json")
+    )
+
+    def run_once():
+        stream = parse_cdc_envelope(file_cdc_stream(spark, str(src))).withWatermark(
+            "start_ts", "1 hour"
+        )
+        sessions = session_agg(
+            stream, "start_ts", "1 hour", ["employee_id"], [F.count("*").alias("n")]
+        )
+        q = (
+            sessions.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .option("path", str(sink))
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    run_once()
+    run_once()  # second run processes the sentinel file batch
+    out = {
+        (r["employee_id"], str(r["session_start"]), r["n"])
+        for r in spark.read.parquet(str(sink)).collect()
+        if r["employee_id"] != 1
+    }
+    assert out == {
+        (7, "2024-06-01 10:00:00", 2),
+        (7, "2024-06-01 13:00:00", 1),
+        (9, "2024-06-01 10:10:00", 1),
+    }
