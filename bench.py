@@ -59,11 +59,17 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # second run: plan/scan/JIT warm — the steady-state per-query cost,
+        # which is what extrapolates with data volume (cold-start is fixed)
+        t1 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.time() - t1, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +79,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm_queries": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

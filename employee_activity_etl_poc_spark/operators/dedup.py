@@ -135,6 +135,7 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.5,
     persist: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash-LSH.
 
@@ -173,6 +174,20 @@ def minhash_near_duplicates(
             "band", "key"
         ),
     )
+    if max_bucket_size is not None:
+        # Template filter (the standard web-dedup trick): a band bucket with
+        # > cap docs is boilerplate colliding en masse — its candidate pairs
+        # grow quadratically and drown the join. Drop those buckets; real
+        # near-dup clusters are small. One count-window over the banded
+        # frame, no extra shuffle beyond the one the join needs anyway.
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bn", F.count("*").over(wb))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     pairs = (
         banded.alias("a")
         .join(

@@ -28,7 +28,7 @@ from ..sources.generator import (
     to_cdc_json,
 )
 from ..streaming.cdc import parse_cdc_envelope
-from .llm_queries import _LANG_SCORE_SQL as _LANG_SCORE_SQL_REF
+from .sql_fragments import _LANG_SCORE_SQL as _LANG_SCORE_SQL_REF
 from .registry import load, register
 
 GEN_N = 5000

@@ -66,14 +66,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANG_SCORE_SQL = """
-      SELECT doc_id, lang,
-             len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) AS s_en,
-             len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','de','un','les','des'))) AS s_fr,
-             len(list_filter(string_split(text,' '), t -> t IN ('el','los','y','una','que','por'))) AS s_es,
-             len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ein','nicht'))) AS s_de
-      FROM documents
-"""
+from .sql_fragments import _LANG_SCORE_SQL  # noqa: E402
 
 
 @register(

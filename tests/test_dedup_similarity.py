@@ -170,3 +170,30 @@ def test_multi_probe_lsh_recall_not_worse(spark, sf_dir):
     r0, r3 = recall(0), recall(2)
     assert r3 >= r0  # probing more buckets never loses candidates
     assert r3 > 0.1
+
+
+def test_minhash_bucket_cap_keeps_planted_dups(spark, sf_dir):
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+    from employee_activity_etl_poc_spark.plans.llm_queries import _with_near_copies
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(corpus, "text", "doc_id").collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_near_duplicates(
+            corpus, "text", "doc_id", max_bucket_size=10
+        ).collect()
+    }
+    # planted near-dup clusters are size 2 — a generous cap must not lose them
+    assert capped == uncapped
+    # a cap of 1 kills every bucket -> no pairs at all
+    none = minhash_near_duplicates(
+        corpus, "text", "doc_id", max_bucket_size=1
+    ).count()
+    assert none == 0
