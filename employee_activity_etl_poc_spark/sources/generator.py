@@ -56,6 +56,9 @@ def synthetic_activities(
     Fully distributed (``spark.range`` partitions the id space; every column
     derives from the id alone, so generation scales linearly and repartition
     never changes values)."""
+    from .readers import _ensure_session_conf
+
+    _ensure_session_conf(spark)  # UTC: µs-epoch -> formatted strings
     ids = spark.range(n)  # id: 0..n-1
     rid = F.col("id")
 
@@ -166,6 +169,9 @@ def synthetic_employees(
     :func:`employees_oracle_sql`. One partition: it's a broadcast-sized dim,
     and fanning 161 rows across 32 tasks just pays 32 task/Python-worker
     startups in every downstream mapInPandas."""
+    from .readers import _ensure_session_conf
+
+    _ensure_session_conf(spark)
     ids = spark.range(0, n, 1, numPartitions=1)
     rid = F.col("id")
 

@@ -25,8 +25,26 @@ from pyspark.sql import types as T
 _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Queries may be invoked on a session WE did not build (the driver
+    constructs its own): pin the two runtime confs correctness depends on —
+    UTC timestamps (formatted strings must not shift with machine TZ) and
+    nanosAsLong (events.parquet stores TIMESTAMP(NANOS)). Both are
+    runtime-settable; failures (e.g. already-analyzed plans pinning the
+    legacy conf) are tolerated because the loader handles either shape."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver testdata table (TESTDATA.md)."""
+    _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
@@ -49,6 +67,7 @@ def load_table_incremental(
     """
     from datetime import datetime, timezone
 
+    _ensure_session_conf(spark)
     if ts_col in _NANOS_TS_COLUMNS.get(name, ()):
         raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(raw.dtypes)[ts_col] == "bigint":
