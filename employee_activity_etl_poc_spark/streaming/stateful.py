@@ -97,6 +97,12 @@ def make_idle_session_fn(timeout_ms: int):
 
 
 def idle_closing_sessions(parsed: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """NOTE: under ``Trigger.AvailableNow`` a query with processing-time
+    timeouts does NOT self-terminate — pending timers count as outstanding
+    work, so the query keeps scheduling (empty) batches to fire them. Use a
+    processing-time trigger for long-running deployment, or stop the
+    availableNow query explicitly after a bounded wait (what
+    ``run_to_completion(q, timeout_s=...)`` does)."""
     return parsed.groupBy("employee_id").applyInPandasWithState(
         make_idle_session_fn(timeout_ms),
         outputStructType=SESSION_OUTPUT_SCHEMA,

@@ -130,7 +130,10 @@ def test_idle_sessions_close_on_timeout(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        run_to_completion(q)
+        # ProcessingTimeTimeout keeps availableNow queries alive (pending
+        # timers count as work), so don't wait the full default timeout —
+        # a few seconds is enough for the data batches + one timer sweep
+        run_to_completion(q, timeout_s=10)
 
     write_batch(emp_a, "b0.json")
     run_once()
