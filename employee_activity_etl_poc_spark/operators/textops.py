@@ -74,13 +74,17 @@ def quality_features(text: Column | str) -> dict[str, Column]:
 
 def quality_score(text: Column | str) -> Column:
     """Composite [0,1] quality score: length credit + stopword density +
-    word-shape credit (weights 0.5 / 0.3 / 0.2)."""
+    word-shape credit (weights 0.5 / 0.3 / 0.2).
+
+    Final rounding is an explicit floor-based HALF_UP (`floor(x·10⁴+0.5)`)
+    — engine `round()`s disagree on .xxxx5 double boundaries (Spark
+    HALF_UP vs DuckDB's half-even behavior on doubles), and the weighted
+    sum lands on such boundaries in practice."""
     f = quality_features(text)
     length_credit = F.least(F.lit(1.0), f["n_tokens"] / F.lit(100.0))
     shape_credit = F.least(F.lit(1.0), f["avg_token_len"] / F.lit(8.0))
-    return F.round(
-        length_credit * 0.5 + f["stopword_ratio"] * 0.3 + shape_credit * 0.2, 4
-    )
+    raw = length_credit * 0.5 + f["stopword_ratio"] * 0.3 + shape_credit * 0.2
+    return F.floor(raw * 10000 + F.lit(0.5)) / 10000
 
 
 def bpe_ish_token_count(text: Column | str) -> Column:

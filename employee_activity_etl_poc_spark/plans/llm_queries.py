@@ -43,9 +43,10 @@ from .registry import load, register
            round((nc - nt + 1) * 1.0 / nt, 4) AS avg_token_len,
            round(ns * 1.0 / nt, 4) AS stopword_ratio,
            round(np * 1.0 / nc, 4) AS punct_ratio,
-           round(least(1.0, nt / 100.0) * 0.5
-                 + round(ns * 1.0 / nt, 4) * 0.3
-                 + least(1.0, round((nc - nt + 1) * 1.0 / nt, 4) / 8.0) * 0.2, 4) AS quality
+           floor((least(1.0, nt / 100.0) * 0.5
+                  + round(ns * 1.0 / nt, 4) * 0.3
+                  + least(1.0, round((nc - nt + 1) * 1.0 / nt, 4) / 8.0) * 0.2)
+                 * 10000 + 0.5) / 10000 AS quality
     FROM base
     """,
     doc="Per-document quality features + composite score (length, token "
