@@ -244,6 +244,56 @@ def events_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_split_counts",
+    """
+    WITH s AS (
+      SELECT lang,
+        CASE WHEN (CAST('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8) AS BIGINT) / 4294967296.0) < 0.1 THEN 'val'
+             WHEN (CAST('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8) AS BIGINT) / 4294967296.0) < 0.2 THEN 'test'
+             ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split, lang, count(*) AS n FROM s GROUP BY split, lang
+    """,
+    doc="Deterministic train/val/test split (80/10/10) by key hash — "
+    "partition-invariant, leak-safe (same key always lands on the same "
+    "side, in any engine), unlike RNG-stream df.sample.",
+    tags=("llm", "sampling"),
+)
+def documents_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "documents_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND (CAST('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 8) AS BIGINT) / 4294967296.0) < 0.5)
+       OR (lang = 'fr' AND (CAST('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 8) AS BIGINT) / 4294967296.0) < 0.25)
+       OR (lang = 'de' AND (CAST('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 8) AS BIGINT) / 4294967296.0) < 1.0)
+    """,
+    doc="Stratified deterministic sampling (per-language fractions, absent "
+    "strata dropped) — sampleBy semantics without the partition-dependent "
+    "RNG; row-identical in the oracle.",
+    tags=("llm", "sampling"),
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_keyed_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_keyed_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "fr": 0.25, "de": 1.0}
+    ).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------------
 # Dedup — planted-duplicate corpora (deterministic in both engines)
 # ---------------------------------------------------------------------------

@@ -272,6 +272,57 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_pivot_by_type",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(count(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup'   THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'error'    THEN 1 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id % 10
+    """,
+    doc="Pivot (long -> wide): event-type counts as columns per user "
+    "bucket. Pivot values are EXPLICIT (never inferred — inference costs "
+    "an extra distinct scan and makes the schema data-dependent).",
+    tags=("agg", "pivot"),
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "lineitem_unpivot_metrics",
+    """
+    SELECT metric, round(sum(v), 2) AS total FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 1000
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 1000
+    ) GROUP BY metric
+    """,
+    doc="Unpivot/melt (wide -> long) then rollup per metric — one scan in "
+    "Spark (Expand node), vs the oracle's 4-scan UNION ALL formulation.",
+    tags=("agg", "unpivot"),
+)
+def lineitem_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "v",
+    )
+    return long.groupBy("metric").agg(F.round(F.sum("v"), 2).alias("total"))
+
+
+@register(
     "table_row_counts",
     """
     SELECT 'lineitem' AS tbl, count(*) AS n FROM lineitem

@@ -197,3 +197,39 @@ def test_minhash_bucket_cap_keeps_planted_dups(spark, sf_dir):
         corpus, "text", "doc_id", max_bucket_size=1
     ).count()
     assert none == 0
+
+
+def test_split_is_key_consistent_and_exhaustive(spark, sf_dir):
+    """Leak-safety: every derived row (chunk) lands on the same split side
+    as its parent document, and the split partitions are disjoint+total."""
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        train_val_test_split,
+    )
+    from employee_activity_etl_poc_spark.operators.textops import chunk_tokens
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_split = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    assert set(doc_split.values()) == {"train", "val", "test"}
+    assert len(doc_split) == docs.count()
+
+    chunks = chunk_tokens(docs, "text", "doc_id")
+    chunk_split = train_val_test_split(chunks, "doc_id").select("doc_id", "split")
+    for r in chunk_split.collect():
+        assert r["split"] == doc_split[r["doc_id"]]
+
+
+def test_keyed_sample_repartition_invariant(spark, sf_dir):
+    from employee_activity_etl_poc_spark.operators.sampling import keyed_sample
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in keyed_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in keyed_sample(docs.repartition(13), "doc_id", 0.3).select("doc_id").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
