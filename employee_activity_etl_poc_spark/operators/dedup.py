@@ -270,6 +270,85 @@ def simhash_duplicate_groups(
 
 
 # ---------------------------------------------------------------------------
+# Connected components — near-dup pairs -> dedup clusters
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Union the pair graph into components: (node, component) where
+    component = min node id reachable — the step that turns near-duplicate
+    PAIRS into dedup CLUSTERS with a deterministic keeper (the component
+    id itself).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(diameter)
+    rounds (near-dup clusters are tiny — a handful of rounds). Each round
+    is one join + one groupBy over the EDGE list — fully distributed, no
+    driver-side graph. Terminates early when a round changes nothing
+    (count of label decreases == 0).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Cluster summary: (component=keeper id, n_members, members sorted).
+    The survivor policy is min-id, consistent with exact dedup."""
+    comp = connected_components(pairs, a_col, b_col)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Blocked n-gram Jaccard (non-LSH candidate generation)
 # ---------------------------------------------------------------------------
 

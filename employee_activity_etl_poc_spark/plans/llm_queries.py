@@ -482,6 +482,56 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_oracle_sql() -> str:
+    """Recursive-CTE oracle for connected components over the minhash
+    pairs: reach(node,label) closes transitively, min(label) per node is
+    the component — the declarative twin of the iterative label
+    propagation Spark runs."""
+    return f"""
+    WITH RECURSIVE
+    mh AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh
+      UNION
+      SELECT doc_b, doc_a FROM mh
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+    SELECT component,
+           count(*) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS members_str
+    FROM comp GROUP BY component
+    """
+
+
+@register(
+    "dedup_cluster_summary",
+    _cluster_oracle_sql(),
+    doc="Pairs -> CLUSTERS: connected components over the verified "
+    "near-dup pairs via iterative min-label propagation (one join + one "
+    "groupBy per round, O(diameter) rounds, early-terminating) — the step "
+    "that makes dedup actionable (keeper = min id per component). Oracle "
+    "is the recursive-CTE transitive closure over the identical pairs.",
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_near_duplicates(
+        corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    return D.dedup_clusters(pairs).select(
+        "component",
+        "n_members",
+        F.array_join(F.transform("members", lambda m: m.cast("string")), ",").alias(
+            "members_str"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -233,3 +233,31 @@ def test_keyed_sample_repartition_invariant(spark, sf_dir):
         for r in keyed_sample(docs.repartition(13), "doc_id", 0.3).select("doc_id").collect()
     }
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_connected_components_known_graph(spark):
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4, triangle 10-11-12 (redundant edge), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    clusters = {
+        r["component"]: (r["n_members"], list(r["members"]))
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters == {
+        1: (4, [1, 2, 3, 4]),
+        10: (3, [10, 11, 12]),
+        20: (2, [20, 21]),
+    }
