@@ -48,6 +48,8 @@ HEADLINE = [
     "cdc_envelope_roundtrip",
     "domain_wellness_kpis",
     "commute_enrichment",
+    "dedup_cluster_summary",
+    "documents_split_counts",
 ]
 
 
