@@ -100,6 +100,39 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pricing_summary_sql",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="The SQL dialect as a first-class surface: the same plan as "
+    "pricing_summary expressed through spark.sql over registered temp "
+    "views — one Catalyst optimizer, two front-ends, one hash.",
+    tags=("sql", "agg", "scan"),
+)
+def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import register_views
+
+    register_views(spark, {"lineitem_v": load(spark, sf_dir, "lineitem")})
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                         AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*)                                          AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
     "event_type_stats",
     """
     SELECT event_type,

@@ -52,6 +52,28 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions present
+    in ``df`` (dynamic partitionOverwriteMode), leaving every other
+    partition untouched — re-running a day's gold job replaces that day,
+    never truncates the table (static overwrite's failure mode).
+
+    Conf is set/restored around the write; on Delta use
+    ``replaceWhere`` for the same semantics transactionally."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    try:
+        spark.conf.set(key, "dynamic")
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def compact_parquet(
     spark,
     path: str,
