@@ -164,6 +164,43 @@ def chunk_tokens(
     )
 
 
+def term_frequencies(df, text_col: str, id_col: str):
+    """Long (doc, term, tf) frame: tokenize once, explode, count per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
+    """TF-IDF per (doc, term): tf × ln(N / df).
+
+    Two aggregations over the exploded token frame (per-doc tf, corpus df)
+    joined back — the document-frequency side is tiny (vocabulary-sized)
+    and broadcasts. ``min_df`` prunes hapax noise. The natural log runs on
+    identical doubles in any IEEE engine, so scores are oracle-comparable
+    after rounding."""
+    tf = term_frequencies(df, text_col, id_col)
+    n_docs = df.count()  # scalar; one count job, reused as a literal
+    df_counts = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+    return (
+        tf.join(F.broadcast(df_counts), "term")
+        .select(
+            id_col,
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
 def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
     """Winnowing-lite content fingerprint: lexicographic min of md5 over the
     doc's k-word shingles. Stable under reordering of equal content; cheap

@@ -245,6 +245,81 @@ def events_user_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "vocabulary_top_terms",
+    """
+    SELECT term, n, n_docs FROM (
+      SELECT term, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+             row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ) WHERE rn <= 50
+    """,
+    doc="Corpus vocabulary: top-50 terms by frequency with document "
+    "frequency — tokenize once, explode, one aggregation; deterministic "
+    "tie-break by term.",
+    tags=("llm", "text", "vocab"),
+)
+def vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+    from ..operators.relational import topk_global
+
+    return topk_global(counts, [F.col("n").desc(), F.col("term")], 50)
+
+
+@register(
+    "tfidf_scores",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfc AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term HAVING count(DISTINCT doc_id) >= 3
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN dfc USING (term) CROSS JOIN n
+    WHERE doc_id < 50
+    """,
+    doc="TF-IDF per (doc, term): per-doc term counts joined with the "
+    "broadcast vocabulary-df side, tf × ln(N/df) — the canonical sparse "
+    "text-feature pipeline; min_df=3 prunes hapax noise.",
+    tags=("llm", "text", "tfidf"),
+)
+def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    out = TX.tf_idf(docs, "text", "doc_id", min_df=3)
+    return out.where(F.col("doc_id") < 50).select("doc_id", "term", "tf", "tfidf")
+
+
+@register(
+    "event_value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           round(CAST(floor(value / 25.0) AS BIGINT) * 25.0, 1) AS bin_lo,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Fixed-width histogram (bin 25.0): floor-based binning so bucket "
+    "edges are engine-exact; the profiling companion to percentiles.",
+    tags=("agg", "histogram"),
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25.0).cast("long")
+    return ev.groupBy(
+        b.alias("bin"), F.round(b * 25.0, 1).alias("bin_lo")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
     "documents_split_counts",
     """
     WITH s AS (
