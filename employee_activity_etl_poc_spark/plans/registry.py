@@ -267,6 +267,47 @@ def revenue_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_outliers",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, count(*) AS n_outliers,
+           round(min(e.value), 4) AS min_outlier,
+           round(max(e.value), 4) AS max_outlier
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    GROUP BY e.event_type
+    """,
+    doc="IQR outlier detection per group (Tukey fences): per-type quartiles"
+    " computed once (tiny aggregate, broadcast back), outliers counted in "
+    "a second pass — the statistical generalization of the reference's "
+    "hard-coded distance ranges (sport_benefits.py:9-19).",
+    tags=("quality", "outliers", "percentile"),
+)
+def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    joined = ev.join(F.broadcast(q), "event_type").where(
+        (F.col("value") < F.col("q1") - 1.5 * iqr)
+        | (F.col("value") > F.col("q3") + 1.5 * iqr)
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_outliers"),
+        F.round(F.min("value"), 4).alias("min_outlier"),
+        F.round(F.max("value"), 4).alias("max_outlier"),
+    )
+
+
+@register(
     "salted_event_rollup",
     """
     SELECT event_type,

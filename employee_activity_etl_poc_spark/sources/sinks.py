@@ -106,8 +106,10 @@ def write_jdbc(
     properties: dict[str, str] | None = None,
 ) -> None:
     """S11: JDBC sink (``to_sql(method='multi')`` at
-    ``import_to_postgre.ipynb:71-79``; streaming variant goes through
-    ``foreachBatch`` in streaming/sinks.py)."""
+    ``import_to_postgre.ipynb:71-79``; the streaming variant is
+    ``streaming/ingest.py::incremental_foreach_batch`` with this function
+    as the per-batch sink — the exact shape of the reference's Spark
+    prototype at ``spark_consumer/spark_consumer.py:25-38``)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)

@@ -500,3 +500,35 @@ def test_session_window_agg_under_readstream(spark, tmp_path):
         (7, "2024-06-01 13:00:00", 1),
         (9, "2024-06-01 10:10:00", 1),
     }
+
+
+def test_streaming_progress_metrics(spark, activities, tmp_path):
+    from employee_activity_etl_poc_spark.streaming.metrics import (
+        progress_metrics,
+        throughput_summary,
+    )
+
+    src = tmp_path / "topic"
+    sink = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    _write_json_batch(to_cdc_json(activities), str(src / "b0.json"))
+
+    stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+    q = bronze_ingest(
+        stream, str(sink), str(ckpt), watermark=("start_ts", "400 days")
+    )
+    try:
+        q.awaitTermination(60)
+    except Exception:
+        pass
+    metrics = progress_metrics(q)
+    summary = throughput_summary(q)
+    run_to_completion(q)
+
+    assert summary["total_input_rows"] == activities.count()
+    assert summary["n_batches"] >= 1
+    data_batches = [m for m in metrics if m["num_input_rows"]]
+    assert data_batches and data_batches[0]["batch_duration_ms"] > 0
+    # the dedup operator reports its state
+    assert summary["max_state_rows"] == activities.count()
