@@ -112,6 +112,19 @@ def fetch_commutes(
     (per partition iterator), not per row — connection reuse, like the
     reference's single client instance (``gmap_commute.py:20-23``)."""
 
+    def call(client, origin, mode, scenario):
+        """A real HTTP client THROWS (quota, timeout, unroutable); a failed
+        call must become a failure ROW, not a dead task — one poisoned
+        address would otherwise kill the partition and, after retries, the
+        job (the reference had per-row try/except for the same reason,
+        gmap_commute.py:196-233)."""
+        if mode is None:
+            return None
+        try:
+            return client.directions(origin, office, mode, scenario)
+        except Exception:
+            return None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()
         for pdf in batches:
@@ -119,16 +132,8 @@ def fetch_commutes(
             for row in pdf.itertuples(index=False):
                 rd = row._asdict()
                 mode = TRANSPORT_TO_API_MODE.get(rd[transport_col])
-                typ = (
-                    client.directions(rd[address_col], office, mode, "typical")
-                    if mode
-                    else None
-                )
-                rush = (
-                    client.directions(rd[address_col], office, mode, "rush_hour")
-                    if mode
-                    else None
-                )
+                typ = call(client, rd[address_col], mode, "typical")
+                rush = call(client, rd[address_col], mode, "rush_hour")
                 out.append(
                     {
                         "employee_id": rd[id_col],

@@ -607,6 +607,74 @@ def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_quality_keepers",
+    f"""
+    WITH RECURSIVE
+    mh AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh
+      UNION
+      SELECT doc_b, doc_a FROM mh
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    corpus AS ({_NEAR_CORPUS_SQL}),
+    quality AS (
+      SELECT doc_id,
+             floor((least(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+                    + round(len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','of','and','to','in','is')))
+                            * 1.0 / len(string_split(text, ' ')), 4) * 0.3
+                    + least(1.0, round((length(text) - len(string_split(text, ' ')) + 1)
+                            * 1.0 / len(string_split(text, ' ')), 4) / 8.0) * 0.2)
+                   * 10000 + 0.5) / 10000 AS q
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT c.component, c.node, q.q,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.q DESC, c.node) AS rn
+      FROM comp c JOIN quality q ON q.doc_id = c.node
+    )
+    SELECT component, node AS keeper_id, round(q, 4) AS keeper_quality
+    FROM ranked WHERE rn = 1
+    """,
+    doc="Quality-weighted dedup survivors: clusters from the minhash pair "
+    "graph, each keeping its HIGHEST-quality member (tie-break min id) — "
+    "the production policy (keep the best copy, not the oldest), composed "
+    "from three oracle-verified operators (LSH dedup, connected "
+    "components, quality scoring) in one plan.",
+    tags=("llm", "dedup", "graph", "quality"),
+)
+def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_near_duplicates(
+        corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    comp = D.connected_components(pairs)
+    quality = corpus.select(
+        F.col("doc_id").alias("node"), TX.quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("node"))
+    return (
+        comp.join(quality, "node")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("keeper_id"),
+            F.round("q", 4).alias("keeper_quality"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -76,3 +76,27 @@ def test_rush_slowdown_only_motorized(spark):
         ).count()
         == 0
     )
+
+
+def test_throwing_client_yields_failure_rows_not_dead_tasks(spark):
+    """A client that raises for some addresses must produce
+    commute_success=False rows, never kill the job."""
+
+    class FlakyClient(FakeCommuteClient):
+        def directions(self, origin, destination, mode, scenario):
+            if origin.startswith("1"):  # a poisoned subset of addresses
+                raise TimeoutError("api timeout")
+            return super().directions(origin, destination, mode, scenario)
+
+    emps = synthetic_employees(spark, 60)
+    out = fetch_commutes(emps, FlakyClient).collect()
+    assert len(out) == 60
+    poisoned = {
+        r["employee_id"]
+        for r in emps.collect()
+        if r["home_address"].startswith("1")
+    }
+    assert poisoned
+    for r in out:
+        if r["employee_id"] in poisoned:
+            assert not r["commute_success"] and r["distance_text_typical"] is None
