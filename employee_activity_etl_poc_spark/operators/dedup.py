@@ -304,7 +304,13 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .persist()
     )
+    # Convergence check: labels only ever DECREASE (min-propagation), so
+    # the label sum is strictly monotone until fixpoint — an unchanged sum
+    # means convergence. One scalar aggregate per round instead of a
+    # join+count diff.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -321,15 +327,13 @@ def connected_components(
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
+    edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
 
