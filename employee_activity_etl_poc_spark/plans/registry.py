@@ -716,6 +716,77 @@ def event_row_numbers_distributed(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("event_id", "row_id")
 
 
+@register(
+    "events_interarrival",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(min(epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS min_gap_s,
+           CAST(max(epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS BIGINT) AS max_gap_s,
+           CAST(floor(avg((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0)) AS BIGINT) AS avg_gap_s
+    FROM seq WHERE prev_ts IS NOT NULL
+    GROUP BY user_id
+    """,
+    doc="lag() inter-arrival analysis per user (gap stats) — the lag/lead "
+    "window category the reference never had; tie-broken total order so "
+    "gaps are engine-deterministic.",
+    tags=("window", "lag"),
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ) / 1_000_000.0
+    seq = ev.select("user_id", gap_s.alias("gap"))
+    return (
+        seq.where(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.floor(F.min("gap")).cast("long").alias("min_gap_s"),
+            F.floor(F.max("gap")).cast("long").alias("max_gap_s"),
+            F.floor(F.avg("gap")).cast("long").alias("avg_gap_s"),
+        )
+    )
+
+
+@register(
+    "events_running_totals",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS running_value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_no
+    FROM events WHERE user_id < 10
+    """,
+    doc="Running cumulative sum per user (explicit ROWS frame — RANGE "
+    "frames over ties are non-deterministic across engines) + sequence "
+    "number: the running-aggregate window category.",
+    tags=("window", "frame"),
+)
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_value"),
+        F.row_number().over(w).alias("seq_no"),
+    )
+
+
 # ===========================================================================
 # Event-time windows (tumbling / sliding / session) — the engine's
 # streaming-era extension; the reference has none (SURVEY §2.8). Same
