@@ -1097,6 +1097,87 @@ def lineitem_union_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_revenue_cube",
+    """
+    SELECT COALESCE(c_mktsegment, '<all>') AS segment,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+    doc="CUBE over (segment, status): all four grouping combinations in "
+    "one pass (Expand + single shuffle) — the full cross-dimensional "
+    "report ROLLUP's hierarchy can't give; subtotals labeled '<all>'.",
+    tags=("agg", "cube"),
+)
+def order_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return (
+        joined.cube("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "active_user_intersection",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    """,
+    doc="Full-row INTERSECT (users who both purchased and signed up) — "
+    "set semantics the reference approximated with Python set objects; "
+    "compiles to a distinct + semi-join shape.",
+    tags=("setop", "intersect"),
+)
+def active_user_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchasers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id")
+    return purchasers.intersect(signups)
+
+
+@register(
+    "heavy_purchasers_not_heavy_signups",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING count(*) >= 8
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    GROUP BY user_id HAVING count(*) >= 8
+    """,
+    doc="Full-row EXCEPT over two aggregated cohorts (heavy purchasers "
+    "who are not heavy signups) — the distinct set-difference twin of the "
+    "key_difference operator, on derived rather than raw sets.",
+    tags=("setop", "except"),
+)
+def heavy_purchasers_not_heavy_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+
+    def cohort(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 8)
+            .select("user_id")
+        )
+
+    return cohort("purchase").subtract(cohort("signup"))  # EXCEPT DISTINCT
+
+
+@register(
     "customers_without_events",
     """
     SELECT c_custkey AS key FROM customer
