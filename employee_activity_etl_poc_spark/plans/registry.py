@@ -308,6 +308,41 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_deciles",
+    """
+    SELECT decile,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM (
+      SELECT value,
+             ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    ) GROUP BY decile
+    """,
+    doc="Equi-depth deciles via ntile over a tie-broken total order — the "
+    "equal-POPULATION histogram companion to the fixed-width one; at "
+    "scale swap for approx_percentile boundaries + a join (ntile's global "
+    "sort is the single-partition window to avoid).",
+    tags=("window", "histogram", "percentile"),
+)
+def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return (
+        ev.select("value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
     "salted_event_rollup",
     """
     SELECT event_type,
