@@ -308,6 +308,42 @@ def event_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_mode_value",
+    """
+    SELECT event_type, mode_bucket, n FROM (
+      SELECT event_type,
+             CAST(floor(value / 10) AS BIGINT) AS mode_bucket,
+             count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC,
+                                         CAST(floor(value / 10) AS BIGINT)) AS rn
+      FROM events GROUP BY event_type, CAST(floor(value / 10) AS BIGINT)
+    ) WHERE rn = 1
+    """,
+    doc="Per-group mode (most frequent value bucket): count + row_number "
+    "argmax with deterministic tie-break — the statistical mode aggregate "
+    "neither engine has as a grouped builtin.",
+    tags=("agg", "mode", "window"),
+)
+def event_type_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("long")
+    counts = ev.groupBy("event_type", bucket.alias("mode_bucket")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("mode_bucket")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "mode_bucket", "n")
+    )
+
+
+@register(
     "event_value_deciles",
     """
     SELECT decile,
