@@ -866,6 +866,49 @@ def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_revenue_share",
+    """
+    WITH nr AS (
+      SELECT r_name, n_name, sum(s_acctbal) AS bal
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+           round(bal, 2) AS bal,
+           round(100.0 * bal / sum(bal) OVER (PARTITION BY r_name), 4) AS pct_of_region
+    FROM nr
+    """,
+    doc="Share-of-total via a windowed aggregate over an aggregate (each "
+    "nation's % of its region): the ratio-metric shape every BI layer "
+    "needs — window input is the small aggregated frame, never the fact "
+    "table.",
+    tags=("window", "agg", "ratio"),
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sup = load(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    nr = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("s_acctbal").alias("bal"))
+    )
+    w = Window.partitionBy("r_name")
+    return nr.select(
+        "r_name",
+        "n_name",
+        F.round("bal", 2).alias("bal"),
+        F.round(100.0 * F.col("bal") / F.sum("bal").over(w), 4).alias(
+            "pct_of_region"
+        ),
+    )
+
+
+@register(
     "events_tumbling_6h",
     """
     SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
