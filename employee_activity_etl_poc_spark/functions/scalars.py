@@ -203,7 +203,9 @@ def distance_label(meters: Column | str) -> Column:
     # (plain casts round in some engines and truncate in others).
     return F.when(
         m >= 1000.0,
-        F.concat(F.format_number(F.round(m / 1000.0, 1), 1), F.lit(" km")),
+        # format_string, NOT format_number: the latter inserts locale
+        # thousands separators ("1,234.5 km") past 1000 km.
+        F.concat(F.format_string("%.1f", F.round(m / 1000.0, 1)), F.lit(" km")),
     ).otherwise(F.concat(F.floor(m).cast("string"), F.lit(" m")))
 
 

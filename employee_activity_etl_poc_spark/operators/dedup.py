@@ -311,6 +311,7 @@ def connected_components(
     # means convergence. One scalar aggregate per round instead of a
     # join+count diff.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -331,9 +332,21 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
     edges.unpersist()
+    if not converged:
+        # Min-label propagation moves one hop per round: a component whose
+        # diameter exceeds max_iter would silently SPLIT into several
+        # components (several keepers for one true cluster). Fail loudly —
+        # callers with genuinely long chains should raise max_iter or use a
+        # doubling (large-star/small-star) variant.
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "rounds: a component's diameter exceeds the iteration budget; "
+            "raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -165,6 +165,63 @@ def assign_contiguous_ids_distributed(
     )
 
 
+def exact_ntile_distributed(
+    df: DataFrame,
+    order: list[Column],
+    n_tiles: int,
+    tile_col: str = "tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n)`` semantics with NO single-partition window.
+
+    Same two-pass shape as :func:`assign_contiguous_ids_distributed`
+    (range-partition on the order keys, parallel within-partition windows,
+    per-partition offsets from an O(partitions) driver-side count list),
+    then the SQL ntile bucket formula applied to the global rank: with
+    ``total = q·n + r``, the first ``r`` tiles take ``q+1`` rows, the rest
+    ``q``. Exactly ntile's row-for-row assignment — equal order keys may
+    still straddle tiles, decided by the tie-break columns — but the only
+    global structure is the count list, never a global sort on one reducer.
+
+    ``order`` must be a TOTAL order for determinism (same contract as
+    ``ntile`` over a tie-broken ORDER BY).
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or df.rdd.getNumPartitions()
+    ranged = df.repartitionByRange(n_parts, *order).sortWithinPartitions(*order)
+    # persist: boundary sampling is seeded per-RDD-id; see
+    # assign_contiguous_ids_distributed for why both passes must see the
+    # SAME partitioning.
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+
+    counts = sorted(
+        (r["_pid"], r["n"])
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, total = [], 0
+    for pid, n in counts:
+        offsets.append((pid, total))
+        total += n
+    offset_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+
+    q, r = divmod(total, n_tiles)
+    cut = r * (q + 1)  # global rank of the last row in the "big" tiles
+    w = Window.partitionBy("_pid").orderBy(*order)
+    rank = F.row_number().over(w) + F.col("_offset")
+    if q == 0:
+        # fewer rows than tiles: row k -> tile k (ntile's degenerate case)
+        tile = rank
+    else:
+        tile = F.when(
+            rank <= F.lit(cut), F.ceil(rank / F.lit(q + 1))
+        ).otherwise(F.lit(r) + F.ceil((rank - F.lit(cut)) / F.lit(q)))
+    return (
+        with_pid.join(F.broadcast(offset_df), "_pid")
+        .withColumn(tile_col, tile.cast("int"))
+        .drop("_pid", "_offset")
+    )
+
+
 def union_fragments(parts: list[DataFrame]) -> DataFrame:
     """SO1: union-all by name (``pd.concat`` over parquet fragments,
     ``bronze/readSampleDelta.py:52``)."""

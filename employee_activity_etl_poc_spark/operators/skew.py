@@ -44,7 +44,10 @@ def salted_agg(
     Stage 1 groups on (keys, salt) — the hot key's rows spread over
     ``n_salt`` reducers; stage 2 merges the per-salt partials on the real
     keys (tiny input: |keys|×n_salt rows). ``avg`` decomposes into
-    sum+count so the merge stays exact.
+    sum+count so the merge stays exact. ``("count", "*")`` is the SQL
+    ``count(*)`` (rows, nulls included); ``("count", col)`` skips nulls in
+    ``col`` — the two differ whenever the column is nullable, so pick the
+    one your downstream (or oracle) means.
 
     Salt is derived from ``monotonically_increasing_id`` — its value is
     partition-dependent, which is irrelevant: ANY row scatter is a valid
@@ -103,7 +106,14 @@ def hybrid_salted_join(
     replicated ``n_salt``× only for its hot-key rows — versus
     :func:`salted_join`'s whole-dim replication.
 
-    ``hot_keys=None`` auto-detects via :func:`detect_hot_keys`."""
+    ``hot_keys=None`` auto-detects via :func:`detect_hot_keys`.
+
+    Same join-type restriction as :func:`salted_join` (inner/left only) —
+    checked up front so auto-detection work isn't wasted on a bad call."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"hybrid_salted_join supports how='inner'/'left' only (got {how!r})"
+        )
     if hot_keys is None:
         hot_keys = detect_hot_keys(fact, key)
     if not hot_keys:
@@ -130,7 +140,18 @@ def salted_join(
 
     Cost: dim shuffle volume × n_salt — use only when a specific fact key
     is hot enough to stall the stage (and prefer ``broadcast`` whenever the
-    dim fits)."""
+    dim fits).
+
+    Only ``inner``/``left`` are sound: the dim is replicated ``n_salt``×,
+    so a right/full join would emit each UNMATCHED dim row once per salt
+    replica (n_salt null-padded copies). Guarded rather than silently
+    wrong."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only (got {how!r}): "
+            "the replicated dim would duplicate unmatched dim rows under "
+            "right/full joins"
+        )
     salted_fact = fact.withColumn(
         _SALT, F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salt))
     )

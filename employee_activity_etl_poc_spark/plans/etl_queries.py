@@ -394,7 +394,10 @@ def domain_wellness_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     acts = synthetic_activities(spark, GEN_N, GEN_EMPLOYEES)
     emps = synthetic_employees(spark, GEN_EMPLOYEES)
     counts = acts.groupBy("employee_id").agg(F.count("*").alias("total_line_count"))
-    qual = emps.join(F.broadcast(counts), "employee_id", "left").select(
+    # `counts` is fact-derived (scales with employee cardinality) — never
+    # broadcast it; AQE picks the strategy. See SCALE.md: dims broadcast,
+    # facts never.
+    qual = emps.join(counts, "employee_id", "left").select(
         "salary",
         (F.coalesce("total_line_count", F.lit(0)) > 5).alias("qualify_sport"),
         S.prime_sportive("transport_mode").alias("qualify_commute"),

@@ -356,20 +356,24 @@ def event_type_mode_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) GROUP BY decile
     """,
-    doc="Equi-depth deciles via ntile over a tie-broken total order — the "
-    "equal-POPULATION histogram companion to the fixed-width one; at "
-    "scale swap for approx_percentile boundaries + a join (ntile's global "
-    "sort is the single-partition window to avoid).",
-    tags=("window", "histogram", "percentile"),
+    doc="Equi-depth deciles — exact ntile(10) semantics over a tie-broken "
+    "total order, computed DISTRIBUTED (range-partition + parallel "
+    "windows + per-partition offsets + the ntile bucket formula on the "
+    "global rank) instead of the single-partition `ntile OVER (ORDER BY)` "
+    "window. The oracle is the plain ntile SQL: the rewrite must be "
+    "row-for-row identical.",
+    tags=("window", "histogram", "percentile", "scale"),
 )
 def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    tiled = R.exact_ntile_distributed(
+        ev.select("value", "event_id"),
+        order=[F.col("value"), F.col("event_id")],
+        n_tiles=10,
+        tile_col="decile",
+    )
     return (
-        ev.select("value", F.ntile(10).over(w).alias("decile"))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count("*").alias("n"),
             F.round(F.min("value"), 4).alias("lo"),
@@ -400,7 +404,8 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events"),
         keys=["event_type"],
         aggs={
-            "n": ("count", "value"),
+            "n": ("count", "*"),  # count(*) — rows, not non-null values
+
             "total_value": ("sum", "value"),
             "avg_value": ("avg", "value"),
             "max_value": ("max", "value"),
@@ -1328,7 +1333,11 @@ def _qualification(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "events").where(F.col("event_type").isin(*ACTIVE_EVENT_TYPES)),
         ["user_id"],
     ).withColumnRenamed("user_id", "employee_id")
-    joined = customer.join(F.broadcast(counts), "employee_id", "left").withColumn(
+    # No broadcast hint on `counts`: it is a per-user aggregate of the FACT
+    # table, so its size scales with user cardinality — broadcasting it is
+    # OOM-shaped at 100× users. The preserved (left) side of a left join
+    # can't be broadcast, so leave the strategy to AQE.
+    joined = customer.join(counts, "employee_id", "left").withColumn(
         "total_line_count", F.coalesce(F.col("total_line_count"), F.lit(0))
     )
     return kpi.with_qualification_flags(

@@ -65,14 +65,17 @@ def load_table_incremental(
     full-table read at 100 TB. (P4 done right; the reference read the whole
     table and filtered in memory, ``gold/bronzeToGold2.py:96-110``.)
     """
-    from datetime import datetime, timezone
+    from datetime import datetime, timedelta, timezone
 
     _ensure_session_conf(spark)
     if ts_col in _NANOS_TS_COLUMNS.get(name, ()):
         raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(raw.dtypes)[ts_col] == "bigint":
             dt = datetime.fromisoformat(after).replace(tzinfo=timezone.utc)
-            ns = int(dt.timestamp() * 1_000_000) * 1000
+            # Integral µs arithmetic — float .timestamp() has ~0.5 µs error
+            # for 2024-era epochs, enough to move the pushdown boundary.
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+            ns = ((dt - epoch) // timedelta(microseconds=1)) * 1000
             raw = raw.where(F.col(ts_col) > F.lit(ns)).withColumn(
                 ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
             )
