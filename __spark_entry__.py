@@ -31,11 +31,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["wellness_kpis"].fn(spark, "/root/testdata/sf0.001")
 
 
+# Explicit gate ordering: the driver's correctness harness verifies a
+# PREFIX of this dict (50 queries in round 1), so the queries that most
+# need an external correctness signal go first — the LLM-pipeline surface
+# (dedup / similarity / text / multimodal), the domain-ETL composites, and
+# every plan changed this round — followed by a representative slice of the
+# relational catalog. Everything else keeps registration order after them.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # LLM pipeline: dedup
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_ngram_blocked",
+    "dedup_cluster_summary",
+    "dedup_quality_keepers",
+    # LLM pipeline: similarity / embeddings
+    "embedding_topk",
+    "embedding_near_dup",
+    "embedding_ann_lsh",
+    "embedding_topk_vectorized",
+    "embedding_ann_ivf",
+    # LLM pipeline: text analysis
+    "text_quality",
+    "lang_id_heuristic",
+    "token_counts",
+    "doc_fingerprints",
+    "text_redaction",
+    "document_chunks",
+    "vocabulary_top_terms",
+    "tfidf_scores",
+    # LLM pipeline: sampling / splits
+    "documents_split_counts",
+    "documents_stratified_sample",
+    # LLM pipeline: multimodal plumbing
+    "multimodal_metadata",
+    "multimodal_frame_features",
+    "multimodal_frame_sample",
+    # domain ETL composites
+    "commute_enrichment",
+    "events_column_profile",
+    "cdc_apply_snapshot",
+    "lang_confusion_matrix",
+    "domain_wellness_kpis",
+    "synthetic_activities_sample",
+    "synthetic_activities_profile",
+    "cdc_envelope_roundtrip",
+    "activity_gold_enrichment",
+    # plans changed this round (re-verify under the gate)
+    "event_value_deciles",
+    "salted_event_rollup",
+    "user_qualification",
+    "wellness_kpis",
+    "slack_messages",
+    "events_after_watermark",
+    "events_user_zscores",
+    "event_value_histogram",
+    # representative relational catalog
+    "pricing_summary",
+    "event_type_stats",
+    "revenue_by_segment",
+    "latest_events_per_user",
+    "purchase_asof_click",
+    "error_in_signup_window",
+    "events_session_1h",
+    "hypertable_daily_rollup",
+)
+
+
+def _ordered() -> dict[str, object]:
+    prio = [n for n in _DRIVER_PRIORITY if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(prio)]
+    return {n: REGISTRY[n] for n in (*prio, *rest)}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator query from SURVEY.md §2."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {name: q.oracle for name, q in _ordered().items() if q.oracle is not None}

@@ -218,10 +218,10 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def simhash16_from_hashes(hashes: Column) -> Column:
-    """16-bit simhash from a precomputed token-hash array (with
+def simhash_from_hashes(hashes: Column, n_bits: int = 16) -> Column:
+    """``n_bits``-wide simhash from a precomputed token-hash array (with
     multiplicity): bit b is set when the sum of ±1 votes from each token's
-    hash bit b is positive.
+    hash bit b is positive. Token hashes are 32-bit, so ``n_bits <= 32``.
 
     Pass a *bound column* (project the hash array first) — inlining the md5
     transform here would re-evaluate it once per bit."""
@@ -239,12 +239,17 @@ def simhash16_from_hashes(hashes: Column) -> Column:
         )
 
     bits = F.transform(
-        F.sequence(F.lit(0), F.lit(15)),
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda b: F.when(vote(b) > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
             F.lit(0).cast("long")
         ),
     )
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def simhash16_from_hashes(hashes: Column) -> Column:
+    """16-bit simhash (see :func:`simhash_from_hashes`)."""
+    return simhash_from_hashes(hashes, 16)
 
 
 def simhash16(text: Column | str) -> Column:
@@ -266,6 +271,75 @@ def simhash_duplicate_groups(
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_duplicate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 2,
+    n_bits: int = 32,
+) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance ``max_hamming`` —
+    the probing step :func:`simhash_duplicate_groups` lacks (identical
+    signatures only cannot catch near-dups, which is simhash's point).
+
+    Manku-style block-split probing (the WWW'07 web-dedup construction):
+    split the ``n_bits`` signature into ``max_hamming + 1`` contiguous
+    blocks; by pigeonhole, two signatures within Hamming ``max_hamming``
+    agree EXACTLY on at least one block. Each doc emits one row per block
+    (``(block_id, block_bits)`` key), candidates come from a plain
+    equi-join on that key, and the exact Hamming distance
+    (``bit_count(a XOR b)``) verifies. d+1 rows per doc versus
+    ``C(n_bits, d)`` explicit bit-flip probes — the difference between an
+    equi-join and a blow-up at scale. Pairs agreeing on several blocks are
+    collapsed by ``distinct``.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    n_blocks = max_hamming + 1
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), _hash_long).alias("hs"),
+    )
+    sig = hashed.select("id", simhash_from_hashes(F.col("hs"), n_bits).alias("sig"))
+
+    base, rem = divmod(n_bits, n_blocks)
+    block_cols, lo = [], 0
+    for i in range(n_blocks):
+        size = base + (1 if i < rem else 0)
+        block_cols.append(
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("sig"), lo)
+                .bitwiseAND(F.lit((1 << size) - 1))
+                .alias("blkval"),
+            )
+        )
+        lo += size
+    probed = sig.select(
+        "id", "sig", F.explode(F.array(*block_cols)).alias("p")
+    ).select("id", "sig", F.col("p.blk").alias("blk"), F.col("p.blkval").alias("blkval"))
+
+    a = probed.select(
+        F.col("id").alias("doc_a"), F.col("sig").alias("sig_a"), "blk", "blkval"
+    )
+    b = probed.select(
+        F.col("id").alias("doc_b"), F.col("sig").alias("sig_b"), "blk", "blkval"
+    )
+    return (
+        a.join(b, ["blk", "blkval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -107,6 +107,71 @@ def near_duplicate_pairs(
     )
 
 
+def bucketed_near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    multi_probe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: hyperplane-LSH candidate
+    generation + cosine verify — the equi-join replacement for
+    :func:`near_duplicate_pairs`' ``id_a < id_b`` theta-join (a
+    BroadcastNestedLoop / cartesian at scale).
+
+    One side sits in its own signature bucket; the other probes its own
+    bucket plus ``multi_probe`` single-bit flips. Bit-flip probing is
+    symmetric (XOR is an involution), so a pair within Hamming distance 1
+    on a probed plane meets regardless of id order; the ``id_a < id_b``
+    filter then keeps exactly one emission per pair — provably no
+    duplicates, no ``distinct`` shuffle needed.
+
+    Recall contract: catches every pair whose signatures are equal or
+    differ on one probed plane. Cosine-1.0 duplicates (exact copies) have
+    IDENTICAL signatures, so they are always caught; near-1.0 pairs are
+    caught with probability rising in ``multi_probe``/falling in
+    ``n_planes`` — the standard LSH trade. Verification is exact (cosine
+    on the original vectors), so precision is 1.0 either way.
+    """
+    base = _with_norm(df, vec_col, id_col, "id", "v", "n").withColumn(
+        "_sig", hyperplane_signature(F.col("v"), dim, n_planes)
+    )
+    probes = F.array_distinct(
+        F.array(
+            F.col("_sig"),
+            *[
+                F.col("_sig").bitwiseXOR(F.lit(2**p))
+                for p in range(min(multi_probe, n_planes))
+            ],
+        )
+    )
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("_sig").alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .where(F.col("s") >= threshold)
+        .select("id_a", "id_b", F.round("s", 4).alias("sim"))
+    )
+
+
 def _plane_weights(dim: int, n_planes: int) -> list[list[float]]:
     """Driver-side hyperplane weights: component j of plane p is a
     pseudo-random value in [-1, 1) from md5('plane{p}_{j}') — the identical

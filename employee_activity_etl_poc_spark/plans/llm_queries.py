@@ -523,6 +523,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    h AS (
+      SELECT doc_id,
+             [CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) for w in ws] AS hs
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum(
+               [CASE WHEN list_sum([CASE WHEN (x // CAST(power(2, b) AS BIGINT)) % 2 = 1
+                                         THEN 1 ELSE -1 END for x in hs]) > 0
+                     THEN CAST(power(2, b) AS BIGINT) ELSE 0 END
+                for b in generate_series(0, 31)]) AS BIGINT) AS simhash
+      FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    doc="SimHash near-dup pairs within Hamming distance 2 over a 32-bit "
+    "signature — Manku-style block-split probing (3 blocks; pigeonhole "
+    "guarantees a candidate equi-join hit) + exact bit_count verify; the "
+    "oracle is the brute-force all-pairs form of the SAME hash family, so "
+    "candidate generation is provably lossless, not just empirically. "
+    "Catches the planted one-word-dropped variants identical-signature "
+    "grouping misses.",
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    return D.simhash_near_duplicate_pairs(
+        corpus, "text", "doc_id", max_hamming=2, n_bits=32
+    )
+
+
+@register(
     "dedup_ngram_blocked",
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
@@ -720,15 +760,21 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE list_cosine_similarity(a.v, b.v) >= 0.99
     """,
     doc="Embedding-cosine near-dup pairs (threshold 0.99) over a corpus "
-    "with 20 planted exact copies.",
-    tags=("llm", "dedup", "similarity"),
+    "with 20 planted exact copies. The GATED plan is the LSH-BUCKETED one "
+    "(hyperplane candidate buckets + exact cosine verify — equi-join "
+    "shaped, scale-safe); the brute-force theta-join lives on as the "
+    "test-only twin and the SQL oracle. Exact copies share every bucket, "
+    "so recall vs the brute-force oracle is total here.",
+    tags=("llm", "dedup", "similarity", "scale"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.unionByName(
         emb.where(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 100000)
     )
-    return SIM.near_duplicate_pairs(corpus, "vec_id", "embedding", threshold=0.99)
+    return SIM.bucketed_near_duplicate_pairs(
+        corpus, "vec_id", "embedding", dim=64, threshold=0.99
+    )
 
 
 @register(

@@ -261,3 +261,98 @@ def test_connected_components_known_graph(spark):
         10: (3, [10, 11, 12]),
         20: (2, [20, 21]),
     }
+
+
+def test_simhash_hamming_pairs_match_brute_force(spark, sf_dir):
+    """Block-split candidate generation is LOSSLESS for d <= max_hamming
+    (pigeonhole) — verify against the brute-force all-pairs form."""
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        simhash_from_hashes,
+        simhash_near_duplicate_pairs,
+        tokens,
+        _hash_long,
+    )
+    from employee_activity_etl_poc_spark.plans.llm_queries import _with_near_copies
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    corpus = _with_near_copies(load_table(spark, sf_dir, "documents"))
+    probed = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_duplicate_pairs(
+            corpus, "text", "doc_id", max_hamming=2, n_bits=32
+        ).collect()
+    }
+
+    sig = corpus.select(
+        F.col("doc_id").alias("id"),
+        simhash_from_hashes(
+            F.transform(tokens(F.col("text")), _hash_long), 32
+        ).alias("sig"),
+    )
+    a = sig.select(F.col("id").alias("doc_a"), F.col("sig").alias("sa"))
+    b = sig.select(F.col("id").alias("doc_b"), F.col("sig").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["h"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("h"),
+        )
+        .where(F.col("h") <= 2)
+        .collect()
+    }
+    assert probed == brute and len(probed) > 0
+
+
+def test_simhash_hamming_catches_one_word_change(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill nearby every single afternoon in autumn"
+    )
+    variant = base.replace("lazy", "sleepy")
+    other = "entirely unrelated text about spark shuffles and parquet row groups"
+    df = _docs(spark, [(1, base), (2, variant), (3, other)])
+    pairs = D.simhash_near_duplicate_pairs(
+        df, "text", "doc_id", max_hamming=3, n_bits=32
+    ).collect()
+    assert (1, 2) in {(p["doc_a"], p["doc_b"]) for p in pairs}
+    assert all({p["doc_a"], p["doc_b"]} != {1, 3} for p in pairs)
+
+
+def test_bucketed_near_dup_matches_brute_force(spark, sf_dir):
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        bucketed_near_duplicate_pairs,
+        near_duplicate_pairs,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    brute = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in near_duplicate_pairs(corpus, "vec_id", "embedding", 0.99).collect()
+    }
+    bucketed_rows = bucketed_near_duplicate_pairs(
+        corpus, "vec_id", "embedding", dim=64, threshold=0.99
+    ).collect()
+    bucketed = {(r["id_a"], r["id_b"], r["sim"]) for r in bucketed_rows}
+    # exact copies share every bucket -> full recall here; and NO duplicate
+    # pair emissions (the id_a<id_b + static-side construction is dedup-free)
+    assert bucketed == brute and len(bucketed_rows) == len(bucketed) > 0
+
+
+def test_connected_components_raises_when_diameter_exceeds_budget(spark):
+    import pytest
+    from employee_activity_etl_poc_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+    # and a sufficient budget converges cleanly on the same graph
+    comp = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(comp.values()) == {1}

@@ -68,6 +68,9 @@ def test_hhmmss_and_distance_label(spark):
     assert _one(spark, S.hhmmss(F.lit(3725))) == "01:02:05"
     assert _one(spark, S.distance_label(F.lit(850))) == "850 m"
     assert _one(spark, S.distance_label(F.lit(12345))) == "12.3 km"
+    # no locale thousands separator past 1000 km (format_string, not
+    # format_number)
+    assert _one(spark, S.distance_label(F.lit(1234500))) == "1234.5 km"
 
 
 def test_map_code_default(spark):

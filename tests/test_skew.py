@@ -92,3 +92,36 @@ def test_hybrid_join_no_hot_keys_falls_back(spark):
     dim = spark.createDataFrame([(1, "X"), (2, "Y")], ["k", "d"])
     out = hybrid_salted_join(fact, dim, "k", hot_keys=[])
     assert sorted((r["k"], r["d"]) for r in out.collect()) == [(1, "X"), (2, "Y")]
+
+
+def test_salted_join_rejects_outer_variants(spark):
+    import pytest
+    from employee_activity_etl_poc_spark.operators.skew import (
+        hybrid_salted_join,
+        salted_join,
+    )
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "x"])
+    dim = spark.createDataFrame([(1, "d"), (2, "unmatched")], ["k", "y"])
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(fact, dim, "k", how=how)
+        with pytest.raises(ValueError, match="inner"):
+            hybrid_salted_join(fact, dim, "k", hot_keys=[1], how=how)
+    # the sound variants still work
+    assert salted_join(fact, dim, "k", how="left").count() == 1
+
+
+def test_salted_agg_count_star_counts_nulls(spark):
+    from employee_activity_etl_poc_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0)], "k string, v double"
+    )
+    out = {
+        r["k"]: (r["n_rows"], r["n_vals"])
+        for r in salted_agg(
+            df, ["k"], {"n_rows": ("count", "*"), "n_vals": ("count", "v")}, n_salt=4
+        ).collect()
+    }
+    assert out == {"a": (2, 1), "b": (1, 1)}
