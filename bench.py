@@ -50,6 +50,12 @@ HEADLINE = [
     "commute_enrichment",
     "dedup_cluster_summary",
     "documents_split_counts",
+    # ANN scale paths + near-dup (bucketed) + distributed ntile
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    "embedding_near_dup",
+    "event_value_deciles",
+    "dedup_simhash_hamming",
 ]
 
 

@@ -299,11 +299,32 @@ def simhash_near_duplicate_pairs(
     Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     n_blocks = max_hamming + 1
-    hashed = df.select(
+    # Signature via explode + ONE codegen'd aggregation, not the per-bit
+    # higher-order-function folds of :func:`simhash_from_hashes`: HOF
+    # lambdas run interpreted (no whole-stage codegen), so n_bits folds
+    # over every token array is ~20× slower than 32 conditional sums in a
+    # single groupBy. Result-identical (vote multiset is the same;
+    # explode_outer + null-guard keeps empty docs at signature 0 like the
+    # fold's empty-array aggregate).
+    tok = df.select(
         F.col(id_col).alias("id"),
-        F.transform(tokens(F.col(text_col)), _hash_long).alias("hs"),
+        F.explode_outer(tokens(F.col(text_col))).alias("w"),
+    ).withColumn("h", _hash_long(F.col("w")))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), 0)
+                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
     )
-    sig = hashed.select("id", simhash_from_hashes(F.col("hs"), n_bits).alias("sig"))
+    sig_expr = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    sig = votes.select("id", sig_expr.cast("long").alias("sig"))
 
     base, rem = divmod(n_bits, n_blocks)
     block_cols, lo = [], 0

@@ -100,3 +100,34 @@ def test_write_csv_roundtrip_with_header(spark, tmp_path):
     assert back.columns == ["id", "sport", "km"]
     rows = {r["id"]: (r["sport"], r["km"]) for r in back.collect()}
     assert rows == {1: ("Vélo", 12.5), 2: ("Marche", None)}
+
+
+def test_read_delta_falls_back_to_parquet_without_jar(spark, tmp_path):
+    """S6 gating: in this image the Delta jar is absent, so read_delta must
+    report unavailability and transparently read the parquet files (the
+    append-only fallback documented in its docstring)."""
+    from employee_activity_etl_poc_spark.sources.readers import (
+        delta_available,
+        read_delta,
+    )
+
+    assert delta_available(spark) is False
+    path = str(tmp_path / "t")
+    spark.range(5).write.parquet(path)
+    assert read_delta(spark, path).count() == 5
+
+
+def test_jdbc_roundtrip_raises_cleanly_without_driver(spark, tmp_path):
+    """S11/S12 gating: with no JDBC driver jar the wrappers must fail with
+    the driver-class error at call time — not corrupt state or hang."""
+    import pytest
+
+    from employee_activity_etl_poc_spark.sources.readers import read_jdbc
+    from employee_activity_etl_poc_spark.sources.sinks import write_jdbc
+
+    url = "jdbc:postgresql://localhost:5/nope"
+    props = {"driver": "org.postgresql.Driver"}
+    with pytest.raises(Exception, match="(?i)driver|ClassNotFound"):
+        read_jdbc(spark, url, "t", props).count()
+    with pytest.raises(Exception, match="(?i)driver|ClassNotFound"):
+        write_jdbc(spark.range(3), url, "t", properties=props)

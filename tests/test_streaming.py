@@ -532,3 +532,60 @@ def test_streaming_progress_metrics(spark, activities, tmp_path):
     assert data_batches and data_batches[0]["batch_duration_ms"] > 0
     # the dedup operator reports its state
     assert summary["max_state_rows"] == activities.count()
+
+
+def test_processing_time_trigger_multi_batch(spark, activities, tmp_path):
+    """ST2: a long-running processingTime trigger consumes files across
+    SEVERAL micro-batches (the reference's 5-minute cadence,
+    spark_consumer/spark_consumer.py:34-38, shrunk to 1 s), picks up data
+    arriving between triggers, and stops cleanly with exactly-once output."""
+    import time
+
+    from employee_activity_etl_poc_spark.streaming.metrics import (
+        progress_metrics,
+        throughput_summary,
+    )
+
+    src = tmp_path / "topic"
+    sink = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    first = activities.where(F.col("activity_id") <= 20)
+    second = activities.where(F.col("activity_id") > 20)
+    _write_json_batch(to_cdc_json(first), str(src / "b0.json"))
+
+    stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+    q = bronze_ingest(
+        stream,
+        str(sink),
+        str(ckpt),
+        watermark=("start_ts", "400 days"),
+        available_now=False,
+        processing_time="1 seconds",
+    )
+
+    def wait_rows(n, deadline_s=90):
+        end = time.monotonic() + deadline_s
+        while time.monotonic() < end:
+            if sum(m["num_input_rows"] for m in progress_metrics(q)) >= n:
+                return
+            time.sleep(0.5)
+        raise AssertionError(f"did not ingest {n} rows in {deadline_s}s")
+
+    try:
+        wait_rows(20)
+        # second file lands BETWEEN triggers -> consumed by a later batch
+        _write_json_batch(to_cdc_json(second), str(src / "b1.json"))
+        wait_rows(40)
+    finally:
+        q.stop()
+
+    summary = throughput_summary(q)
+    assert summary["total_input_rows"] == 40
+    data_batches = [m for m in progress_metrics(q) if m["num_input_rows"]]
+    assert len(data_batches) >= 2, "expected the two files in separate micro-batches"
+
+    bronze = spark.read.parquet(str(sink))
+    assert bronze.count() == 40
+    assert bronze.select("activity_id").distinct().count() == 40
