@@ -45,6 +45,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming",
     "dedup_ngram_blocked",
     "dedup_cluster_summary",
+    "dedup_clusters_alternating",
     "dedup_quality_keepers",
     # LLM pipeline: similarity / embeddings
     "embedding_topk",
@@ -61,6 +62,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "document_chunks",
     "vocabulary_top_terms",
     "tfidf_scores",
+    "text_repetition",
+    "benchmark_decontamination",
     # LLM pipeline: sampling / splits
     "documents_split_counts",
     "documents_stratified_sample",

@@ -386,6 +386,17 @@ def connected_components(
     is one join + one groupBy over the EDGE list — fully distributed, no
     driver-side graph. Terminates early when a round changes nothing
     (count of label decreases == 0).
+
+    Lineage is TRUNCATED every round with ``localCheckpoint`` (eager,
+    MEMORY_AND_DISK): each round's plan references the previous round
+    twice, so without truncation the logical plan DOUBLES per round —
+    execution stays cheap under persist, but driver-side plan
+    canonicalization (cache lookup) and plan-string building go
+    exponential and eventually OOM the driver. Checkpointing keeps every
+    round's plan O(1) — the same trade GraphFrames makes in its iterative
+    algorithms. (Local checkpoints are not fault-tolerant: a lost executor
+    fails the job instead of recomputing; acceptable for bounded-round
+    label frames, use reliable checkpointing on long-lived clusters.)
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -393,13 +404,13 @@ def connected_components(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint()  # also cuts the caller's pair-gen lineage
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     # Convergence check: labels only ever DECREASE (min-propagation), so
     # the label sum is strictly monotone until fixpoint — an unchanged sum
@@ -421,16 +432,16 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        # previous rounds' checkpoint blocks are freed by the ContextCleaner
+        # once the superseded DataFrame is garbage-collected
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
-    edges.unpersist()
     if not converged:
         # Min-label propagation moves one hop per round: a component whose
         # diameter exceeds max_iter would silently SPLIT into several
@@ -443,6 +454,121 @@ def connected_components(
             "raise max_iter"
         )
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_alternating(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components in O(log n) rounds — the large-star/small-star
+    alternation (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14) — for graphs whose DIAMETER makes one-hop min-label
+    propagation (:func:`connected_components`) too slow: long duplication
+    chains, giant boilerplate clusters.
+
+    Each round is two grouped aggregations + joins over the edge list:
+
+    - *large-star*: every node connects its strictly-LARGER neighbors to
+      its minimum neighbor (or itself) — halves tree height;
+    - *small-star*: every node connects its smaller-or-equal neighbors to
+      the minimum — flattens into stars.
+
+    Converges when the edge set stops changing (checked by count + hash
+    checksum, one tiny aggregate per round); the fixpoint is a forest of
+    depth-1 stars rooted at component minima. Same output contract as
+    :func:`connected_components`: (node, component=min reachable id).
+
+    Per-round ``localCheckpoint`` truncates lineage (see
+    :func:`connected_components` — without it the logical plan grows
+    exponentially with rounds and driver-side planning, not execution,
+    becomes the bottleneck).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()  # materialized: cuts the caller's pair-gen lineage
+    )
+    # lazy is fine — derives from the checkpointed edge snapshot, so
+    # computing it at the caller's first action costs one tiny distinct
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+
+    def _checksum(e: DataFrame) -> tuple:
+        # modular sum: a raw sum of 64-bit hashes overflows long (fatal
+        # under ANSI mode); mod-2^31 keeps the accumulator in range for
+        # any realistic edge count while staying order-insensitive
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # no distinct here: the small-star pass dedupes its output, and
+        # duplicate intermediate edges only cost it a few rows — cheaper
+        # than an extra shuffle every round
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # orient child -> parent (parent = smaller endpoint)
+        directed = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            directed.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        kept = mins.select(F.col("u"), F.col("m").alias("v"))
+        return moved.unionByName(kept).where(F.col("u") != F.col("v")).distinct()
+
+    prev: tuple | None = None  # first round always runs; no warm-up action
+    converged = False
+    for _ in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(new_edges)
+        # superseded rounds' checkpoint blocks are freed by the
+        # ContextCleaner once their DataFrames are garbage-collected
+        edges = new_edges
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"alternating connected components did not converge in "
+            f"{max_iter} rounds (expected O(log n)); the edge set is "
+            "still changing"
+        )
+    # fixpoint: (child, root) star edges; roots (and any node that became
+    # isolated after self-loop removal) map to themselves. The final edge
+    # snapshot is checkpointed, so the caller's first action reads blocks,
+    # not lineage.
+    return (
+        all_nodes.join(
+            edges.select(F.col("u").alias("node"), F.col("v").alias("parent")),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce(F.col("parent"), F.col("node")).alias("component")
+        )
+    )
 
 
 def dedup_clusters(

@@ -104,9 +104,9 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     expression would silently fabricate shingles)."""
     ws = tokens(text)
     idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
-    make = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(ws, i + off) for off in range(k)]
-    )
+    # slice+array_join, not k element_at's + concat_ws: ~4x fewer
+    # interpreted expression nodes per gram (HOF lambdas don't codegen)
+    make = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
     return F.array_distinct(F.transform(idx, make))
 
 
@@ -197,6 +197,109 @@ def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
             F.round(
                 F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
             ).alias("tfidf"),
+        )
+    )
+
+
+def repetition_features(text: Column | str) -> dict[str, Column]:
+    """Within-document repetition metrics (the Gopher-rule family): the
+    duplicate fraction of tokens / 2-grams / 3-grams — high values mark
+    boilerplate, keyboard-mash, and template spam that survives
+    cross-document dedup because each copy lives in ONE doc.
+
+    ``dup_frac(n) = 1 - distinct_ngrams / total_ngrams`` (0 when the doc is
+    too short to have any n-gram). Pure column expressions — no shuffle at
+    all; this is a projection over the corpus scan."""
+    ws = tokens(text)
+
+    def dup_frac(k: int) -> Column:
+        total = F.size(ws) - (k - 1)
+        idx = F.sequence(F.lit(1), total)
+        make = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
+        distinct = F.size(F.array_distinct(F.transform(idx, make)))
+        return F.when(
+            total > 0, 1.0 - distinct / total.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    return {
+        "dup_token_frac": dup_frac(1),
+        "dup_2gram_frac": dup_frac(2),
+        "dup_3gram_frac": dup_frac(3),
+    }
+
+
+def ngram_decontaminate(
+    docs,
+    benchmark,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    bench_text_col: str | None = None,
+    bench_id_col: str | None = None,
+    exclude_self: bool = True,
+):
+    """Benchmark decontamination: per training doc, how many of its distinct
+    word ``n``-grams collide with ANY benchmark/eval document — the
+    standard pre-training hygiene pass (the GPT-3 appendix / Dolma
+    recipe: n-gram collision against held-out suites).
+
+    Scale shape: the BENCHMARK side is the small one by contract (eval
+    suites, not the corpus), so its distinct (gram, bench_id) set is
+    broadcast and the corpus grams are checked map-side — the 100 TB scan
+    never shuffles. ``exclude_self`` ignores a doc's collisions with ITS
+    OWN benchmark entry (for overlapping corpora); the output keeps docs
+    with zero n-grams out (callers filter short docs first, same contract
+    as :func:`shingles`).
+
+    Output: (doc_id, n_grams, n_hits, contamination_rate, contaminated).
+    """
+    bench_text = bench_text_col or text_col
+    bench_id = bench_id_col or id_col
+
+    # Stage the computation (tokens -> shingle array -> explode) through
+    # materialized COLUMN references: letting Catalyst inline the n-term
+    # concat_ws transform into where + size + explode multiplies the
+    # expression tree and blows up optimizer time.
+    def grams(src, src_id, src_text, out_id):
+        ws = src.select(
+            F.col(src_id).alias(out_id), tokens(F.col(src_text)).alias("ws")
+        ).where(F.size("ws") >= n)
+        # Compute-bound fan-out: gram construction is heavy per row, so a
+        # compact scan (few input splits) would serialize it. Only
+        # repartition when the scan under-splits — at real scale the file
+        # count already exceeds core count and this is a no-op.
+        parallelism = src.sparkSession.sparkContext.defaultParallelism
+        if ws.rdd.getNumPartitions() < parallelism:
+            ws = ws.repartition(parallelism, F.col(out_id))
+        make = lambda i: F.array_join(F.slice("ws", i, n), " ")  # noqa: E731
+        gs = F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size("ws") - (n - 1)), make)
+        )
+        return ws.select(out_id, gs.alias("gs"))
+
+    d = grams(docs, id_col, text_col, "doc_id").select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")
+    )
+    b = (
+        grams(benchmark, bench_id, bench_text, "bench_id")
+        .select("bench_id", F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    hit = F.col("bench_id").isNotNull() & (
+        F.col("bench_id") != F.col("doc_id") if exclude_self else F.lit(True)
+    )
+    return (
+        d.join(F.broadcast(b), "gram", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count_distinct(F.when(hit, F.col("gram"))).alias("n_hits"))
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 4).alias(
+                "contamination_rate"
+            ),
+            (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
 

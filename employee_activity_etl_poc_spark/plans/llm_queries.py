@@ -132,6 +132,102 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(ws) AS nt,
+             CASE WHEN len(ws) > 0
+                  THEN 1.0 - 1.0 * len(list_distinct(ws)) / len(ws)
+                  ELSE 0.0 END AS d1,
+             CASE WHEN len(ws) - 1 > 0
+                  THEN 1.0 - 1.0 * len(list_distinct(
+                         [ws[i] || ' ' || ws[i+1]
+                          for i in generate_series(1, len(ws) - 1)]))
+                       / (len(ws) - 1)
+                  ELSE 0.0 END AS d2,
+             CASE WHEN len(ws) - 2 > 0
+                  THEN 1.0 - 1.0 * len(list_distinct(
+                         [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          for i in generate_series(1, len(ws) - 2)]))
+                       / (len(ws) - 2)
+                  ELSE 0.0 END AS d3
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST(nt AS BIGINT) AS n_tokens,
+           round(d1, 4) AS dup_token_frac,
+           round(d2, 4) AS dup_2gram_frac,
+           round(d3, 4) AS dup_3gram_frac,
+           d3 > 0.2 AS repetitive
+    FROM m
+    """,
+    doc="Within-document repetition metrics (Gopher-rule family): duplicate "
+    "fraction of tokens / 2-grams / 3-grams per doc, plus the repetitive "
+    "flag — catches boilerplate and template spam that cross-document "
+    "dedup misses. Pure column expressions: a projection on the scan, "
+    "zero shuffles.",
+    tags=("llm", "text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rep = TX.repetition_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        TX.n_tokens("text").cast("long").alias("n_tokens"),
+        F.round(rep["dup_token_frac"], 4).alias("dup_token_frac"),
+        F.round(rep["dup_2gram_frac"], 4).alias("dup_2gram_frac"),
+        F.round(rep["dup_3gram_frac"], 4).alias("dup_3gram_frac"),
+        (rep["dup_3gram_frac"] > 0.2).alias("repetitive"),
+    )
+
+
+@register(
+    "benchmark_decontamination",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(ws[i:i+7], ' ')
+                            for i in generate_series(1, len(ws) - 7)]) AS gs
+      FROM tok WHERE len(ws) >= 8
+    ),
+    g AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram FROM grams),
+    bg AS (
+      SELECT DISTINCT bench_id, gram FROM (
+        SELECT doc_id AS bench_id, unnest(gs) AS gram
+        FROM grams WHERE doc_id % 10 = 3
+      )
+    ),
+    hits AS (
+      SELECT g.doc_id, g.n_grams,
+             count(DISTINCT CASE WHEN bg.bench_id IS NOT NULL
+                                      AND bg.bench_id <> g.doc_id
+                                 THEN g.gram END) AS n_hits
+      FROM g LEFT JOIN bg ON g.gram = bg.gram
+      GROUP BY g.doc_id, g.n_grams
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(1.0 * n_hits / n_grams, 4) AS contamination_rate,
+           n_hits > 0 AS contaminated
+    FROM hits
+    """,
+    doc="Benchmark decontamination (GPT-3-appendix / Dolma hygiene pass): "
+    "per training doc, distinct 8-gram collisions against a benchmark "
+    "suite (here: docs with doc_id %% 10 = 3, self-collisions excluded). "
+    "The benchmark gram set is BROADCAST — the corpus-side scan never "
+    "shuffles, so the pass scales with executors at 100 TB.",
+    tags=("llm", "text", "quality", "scale"),
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 3)
+    return TX.ngram_decontaminate(docs, bench, "text", "doc_id", n=8)
+
+
+@register(
     "text_redaction",
     """
     WITH salted AS (
@@ -644,6 +740,38 @@ def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.transform("members", lambda m: m.cast("string")), ",").alias(
             "members_str"
         ),
+    )
+
+
+@register(
+    "dedup_clusters_alternating",
+    _cluster_oracle_sql(),
+    doc="Same pairs -> clusters contract as dedup_cluster_summary, but via "
+    "the large-star/small-star alternation (Kiveris et al. SoCC'14): "
+    "O(log n) rounds instead of O(diameter) — the variant that survives "
+    "long duplication chains and giant boilerplate clusters at 100 TB. "
+    "Shares the recursive-CTE oracle: both CC algorithms must agree.",
+    tags=("llm", "dedup", "graph", "iterative", "scale"),
+)
+def dedup_clusters_alternating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_near_duplicates(
+        corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    comp = D.connected_components_alternating(pairs)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.array_sort(F.collect_list("node")).alias("members"),
+        )
+        .select(
+            "component",
+            "n_members",
+            F.array_join(
+                F.transform("members", lambda m: m.cast("string")), ","
+            ).alias("members_str"),
+        )
     )
 
 

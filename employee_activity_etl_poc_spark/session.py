@@ -48,6 +48,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce tiny shuffles) even for plans that feed
+        # or read the DataFrame cache — without this, iterative operators
+        # that persist per round (connected components) run every round at
+        # full spark.sql.shuffle.partitions width no matter how small the
+        # frontier is.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        # Iterative operators build plans whose STRING doubles per round
+        # (each round references the cached previous round twice), so an
+        # uncapped explainString — AQE logs one per re-plan — can OOM the
+        # driver heap even though execution is cheap (the cache cuts real
+        # recompute). Cap plan-string building engine-wide; 8 MB keeps
+        # every real explain intact and truncates only the degenerate ones.
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

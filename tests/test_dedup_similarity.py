@@ -356,3 +356,34 @@ def test_connected_components_raises_when_diameter_exceeds_budget(spark):
     # and a sufficient budget converges cleanly on the same graph
     comp = {r["node"]: r["component"] for r in connected_components(chain).collect()}
     assert set(comp.values()) == {1}
+
+
+def test_alternating_cc_matches_minlabel_and_handles_long_chains(spark):
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    # chain + triangle + pair (same graph as the min-label test)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    alt = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(pairs).collect()
+    }
+    ml = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert alt == ml == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # a 30-hop chain: min-label would need 30 rounds; the alternation
+    # collapses it within its O(log n) budget
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 31)], ["doc_a", "doc_b"]
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(chain, max_iter=10).collect()
+    }
+    # 30 edges 1-2 .. 30-31 span 31 nodes, all collapsing to component 1
+    assert set(comp.values()) == {1} and len(comp) == 31

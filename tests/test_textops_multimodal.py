@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from employee_activity_etl_poc_spark.operators import multimodal as M
@@ -66,3 +67,68 @@ def test_frame_sample_plan(spark):
     meta = spark.createDataFrame([(1, 25)], "doc_id long, n_frames long")
     frames = [r["frame_idx"] for r in M.frame_sample_plan(meta, every_n=10).collect()]
     assert frames == [0, 10, 20]
+
+
+def test_repetition_features_known_values(spark):
+    from employee_activity_etl_poc_spark.operators.textops import (
+        repetition_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x")], "doc_id long, text string"
+    )
+    rep = repetition_features(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            rep["dup_token_frac"].alias("d1"),
+            rep["dup_2gram_frac"].alias("d2"),
+            rep["dup_3gram_frac"].alias("d3"),
+        ).collect()
+    }
+    assert rows[1]["d1"] == 0.75 and rows[1]["d2"] == pytest.approx(2 / 3)
+    assert rows[2]["d1"] == rows[2]["d2"] == rows[2]["d3"] == 0.0
+    # single token: no 2-grams -> defined as 0, not negative/null
+    assert rows[3]["d2"] == 0.0 and rows[3]["d3"] == 0.0
+
+
+def test_ngram_decontaminate_planted_overlap(spark):
+    from employee_activity_etl_poc_spark.operators.textops import (
+        ngram_decontaminate,
+    )
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail words here"),
+            (2, "totally different words with no overlap at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, shared + " other suffix")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in ngram_decontaminate(docs, bench, "text", "doc_id", n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # denominators are the docs' own distinct-gram counts
+    assert out[1]["n_grams"] == 4 and out[2]["n_grams"] == 2
+
+
+def test_ngram_decontaminate_excludes_self(spark):
+    from employee_activity_etl_poc_spark.operators.textops import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    # the doc IS the benchmark entry: self-collisions must not count
+    same = ngram_decontaminate(docs, docs, "text", "doc_id", n=8).collect()[0]
+    assert same["n_hits"] == 0 and not same["contaminated"]
+    kept = ngram_decontaminate(
+        docs, docs, "text", "doc_id", n=8, exclude_self=False
+    ).collect()[0]
+    assert kept["n_hits"] == 2 and kept["contaminated"]
