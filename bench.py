@@ -68,32 +68,38 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # second run: plan/scan/JIT warm — the steady-state per-query cost,
-        # which is what extrapolates with data volume (cold-start is fixed)
-        t1 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.time() - t1, 3)
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+            # second run: plan/scan/JIT warm — the steady-state per-query
+            # cost, which is what extrapolates with data volume (cold-start
+            # is fixed)
+            t1 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm[name] = round(time.time() - t1, 3)
+        except Exception as exc:  # one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "warm_queries": warm,
-                "warm_total": round(sum(warm.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "warm_queries": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
+    if errors:
+        sys.exit(2 if len(errors) == len(HEADLINE) else 0)
 
 
 if __name__ == "__main__":

@@ -72,6 +72,10 @@ def get_spark(
         # Spark cannot map to TimestampType; read the raw int64 and convert
         # ns->µs in the loader (sources/readers.py::load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Current testdata stores tz-naive timestamp[us]; read as LTZ (UTC
+        # session tz) rather than TIMESTAMP_NTZ so µs-epoch functions and
+        # the DuckDB oracle agree (sources/readers.py::_ensure_session_conf).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():

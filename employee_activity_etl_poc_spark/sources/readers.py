@@ -27,14 +27,19 @@ _NANOS_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Queries may be invoked on a session WE did not build (the driver
-    constructs its own): pin the two runtime confs correctness depends on —
-    UTC timestamps (formatted strings must not shift with machine TZ) and
-    nanosAsLong (events.parquet stores TIMESTAMP(NANOS)). Both are
-    runtime-settable; failures (e.g. already-analyzed plans pinning the
-    legacy conf) are tolerated because the loader handles either shape."""
+    constructs its own): pin the runtime confs correctness depends on —
+    UTC timestamps (formatted strings must not shift with machine TZ),
+    nanosAsLong (older testdata stored TIMESTAMP(NANOS)), and NTZ
+    inference OFF (current testdata stores tz-naive timestamp[us], which
+    Spark 4 otherwise reads as TIMESTAMP_NTZ — breaking ``unix_micros``
+    and every LTZ-typed expression downstream; with session tz pinned to
+    UTC, reading as LTZ gives byte-identical wall-clock values to the
+    DuckDB oracle's naive timestamps). All runtime-settable; failures
+    are tolerated because the loader normalizes either shape."""
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
     ):
         try:
             spark.conf.set(k, v)
@@ -49,6 +54,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLUMNS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Fallback if the NTZ-inference conf could not be applied (e.g. a
+    # foreign session that pinned it): normalize any TIMESTAMP_NTZ column
+    # to session-tz (UTC) TIMESTAMP so µs-epoch functions resolve. The
+    # cast is wall-clock-preserving under UTC.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -136,6 +136,18 @@ def test_jdbc_roundtrip_raises_cleanly_without_driver(spark, tmp_path):
 DERBY_PROPS = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
 
 
+def _require_derby(spark) -> None:
+    """Skip (not fail) when the Derby embedded driver is absent from
+    Spark's classpath — same gating courtesy as the delta/jdbc tests
+    above; Derby ships with Apache Spark distributions but not all."""
+    import pytest
+
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    except Exception:
+        pytest.skip("Derby embedded driver not on Spark classpath")
+
+
 def _derby_url(tmp_path) -> str:
     return f"jdbc:derby:{tmp_path}/jdbc_db;create=true"
 
@@ -146,6 +158,7 @@ def test_jdbc_roundtrip_derby(spark, tmp_path):
     reference points at Postgres (``import_to_postgre.ipynb:71-79``) and
     read path of ``find_unique_employee.ipynb:118``, swapped onto an
     in-process database so the full JVM JDBC stack is exercised."""
+    _require_derby(spark)
     from employee_activity_etl_poc_spark.sources.readers import read_jdbc
     from employee_activity_etl_poc_spark.sources.sinks import write_jdbc
 
@@ -168,6 +181,7 @@ def test_jdbc_partitioned_parallel_read(spark, tmp_path):
     across executors (one JDBC connection per partition) — the knob that
     makes a 100 TB-adjacent dimension import parallel instead of a single
     driver-side cursor like the reference's ``pd.read_sql``."""
+    _require_derby(spark)
     from employee_activity_etl_poc_spark.sources.readers import read_jdbc
     from employee_activity_etl_poc_spark.sources.sinks import write_jdbc
 
@@ -190,6 +204,7 @@ def test_stream_to_jdbc_foreach_batch(spark, tmp_path):
     source micro-batched into a JDBC table via foreachBatch
     (``spark_consumer/spark_consumer.py:25-38`` writes each batch to
     Postgres; here the sink is Derby and the trigger availableNow)."""
+    _require_derby(spark)
     from employee_activity_etl_poc_spark.sources.readers import read_jdbc
     from employee_activity_etl_poc_spark.sources.sinks import write_jdbc
     from employee_activity_etl_poc_spark.streaming.ingest import (
