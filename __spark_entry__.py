@@ -24,10 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
     # Match the engine's expected session settings even when the driver
     # hands us its own SparkSession.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # already-read schemas may pin this; loader tolerates both
+    for conf, val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # tz-naive parquet timestamps must read as LTZ, not TIMESTAMP_NTZ
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(conf, val)
+        except Exception:
+            pass  # already-read schemas may pin these; loader tolerates both
     return REGISTRY["wellness_kpis"].fn(spark, "/root/testdata/sf0.001")
 
 

@@ -136,6 +136,7 @@ def minhash_near_duplicates(
     threshold: float = 0.5,
     persist: bool = True,
     max_bucket_size: int | None = None,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, jaccard) via MinHash-LSH.
 
@@ -144,6 +145,18 @@ def minhash_near_duplicates(
     referenced four times (both join sides + both verify sides), so it is
     persisted by default — one tokenize+md5 pass instead of four; pass
     ``persist=False`` if the caller manages its own checkpoint/persist.
+
+    ``max_doc_frequency``: drop shingles occurring in MORE than this many
+    documents before signing — document-frequency pruning, the standard
+    web-dedup defense against boilerplate (license headers, nav chrome,
+    cookie banners). Boilerplate shingles carry no identity signal but
+    dominate minhash signatures (they win permutations in every document
+    that shares them), flooding LSH buckets with false candidates; at
+    100 TB that is the difference between bounded buckets and a quadratic
+    candidate join. The frequent-shingle set is tiny by construction
+    (only shingles repeated across > cap docs), so it broadcasts; both
+    the signatures AND the verify Jaccard use the pruned sets, i.e.
+    similarity is measured over content, not chrome.
     """
     rows_per_band = num_perm // bands
     # Hash shingles to 32-bit longs IMMEDIATELY (one md5 pass), distinct,
@@ -163,6 +176,23 @@ def minhash_near_duplicates(
             ).alias("hs"),
         )
     )
+    if max_doc_frequency is not None:
+        # hs is already per-doc distinct, so count(*) per hash == document
+        # frequency. The anti-join keeps everything NOT in the frequent
+        # set; broadcast is safe because shingles shared by > cap docs are
+        # rare kinds even when their occurrences are not.
+        exploded = hashed.select("doc", F.explode("hs").alias("h"))
+        frequent = (
+            exploded.groupBy("h")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_frequency)
+            .select("h")
+        )
+        hashed = (
+            exploded.join(F.broadcast(frequent), "h", "left_anti")
+            .groupBy("doc")
+            .agg(F.collect_list("h").alias("hs"))
+        )
     if persist:
         hashed = hashed.persist()
     sigs = hashed.select(

@@ -586,6 +586,123 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Simulated site chrome: prepended to EVERY document so its shingles hit
+# document frequency ~100% — the boilerplate that floods LSH buckets on
+# real web corpora and that DF-pruning exists to remove.
+_BOILERPLATE = (
+    "terms of service copyright notice all rights reserved "
+    "unauthorized reproduction of this page is strictly prohibited"
+)
+
+
+def _with_boilerplate_near_copies(docs: DataFrame) -> DataFrame:
+    """Every doc prefixed with the same boilerplate header, plus
+    first-content-word-dropped variants of doc_id<25 re-id'd +100000."""
+    ws = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", F.concat(F.lit(_BOILERPLATE + " "), F.col("text")).alias("text")
+    )
+    variants = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit(_BOILERPLATE + " "),
+            F.array_join(F.slice(ws, 2, F.size(ws) - 1), " "),
+        ).alias("text"),
+    )
+    return base.unionByName(variants)
+
+
+_BOILER_CORPUS_SQL = f"""
+      SELECT doc_id, '{_BOILERPLATE} ' || text AS text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             '{_BOILERPLATE} ' || array_to_string((string_split(text, ' '))[2:], ' ')
+      FROM documents WHERE doc_id < 25
+"""
+
+
+def _minhash_pruned_oracle_sql(cap: int) -> str:
+    """Oracle for the DF-pruned MinHash: identical hash family and
+    permutation constants as :func:`_minhash_oracle_sql`, with a
+    document-frequency CTE filtering shingles shared by > ``cap`` docs
+    before signing AND before the verify Jaccard — exactly what the Spark
+    plan does, so candidates and verdicts agree by construction."""
+    from ..operators.dedup import MINHASH_PRIME, _perm_params
+
+    perms = ", ".join(
+        f"list_min([({a} * h + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in _perm_params(16)
+    )
+    return f"""
+    WITH corpus AS ({_BOILER_CORPUS_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, len(ws) - 2)]) AS s
+      FROM w WHERE len(ws) >= 3
+    ),
+    hh0 AS (
+      SELECT doc_id,
+             list_distinct([CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) for x in s]) AS hs
+      FROM sh
+    ),
+    freq AS (
+      SELECT coalesce(list(h), []) AS fl FROM (
+        SELECT h FROM (SELECT unnest(hs) AS h FROM hh0) GROUP BY h
+        HAVING count(*) > {cap}
+      )
+    ),
+    hh AS (
+      SELECT doc_id, [x for x in hs if NOT list_contains(fl, x)] AS hs
+      FROM hh0, freq
+    ),
+    sig AS (SELECT doc_id, hs, [{perms}] AS mh FROM hh),
+    bands AS (
+      SELECT doc_id, b,
+             mh[4*b+1]::VARCHAR || ',' || mh[4*b+2]::VARCHAR || ',' ||
+             mh[4*b+3]::VARCHAR || ',' || mh[4*b+4]::VARCHAR AS key
+      FROM sig, generate_series(0, 3) t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(1.0 * len(list_intersect(x.hs, y.hs))
+                 / len(list_distinct(list_concat(x.hs, y.hs))), 4) AS jaccard
+    FROM pairs JOIN hh x ON x.doc_id = doc_a JOIN hh y ON y.doc_id = doc_b
+    WHERE 1.0 * len(list_intersect(x.hs, y.hs))
+          / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.5
+    """
+
+
+@register(
+    "dedup_minhash_df_pruned",
+    _minhash_pruned_oracle_sql(30),
+    doc="MinHash-LSH with document-frequency shingle pruning (df > 30 "
+    "dropped): the web-dedup defense against boilerplate. The corpus "
+    "prepends an identical 15-word chrome header to EVERY doc — unpruned, "
+    "its shingles win permutations everywhere and flood the LSH buckets "
+    "with false candidates; pruned, signatures and the verify Jaccard see "
+    "content only and recover the 25 planted near-dups cleanly. The "
+    "frequent-shingle set is tiny by construction and broadcasts.",
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_minhash_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_boilerplate_near_copies(load(spark, sf_dir, "documents"))
+    return D.minhash_near_duplicates(
+        corpus,
+        "text",
+        "doc_id",
+        num_perm=16,
+        bands=4,
+        shingle_k=3,
+        threshold=0.5,
+        max_doc_frequency=30,
+    )
+
+
 @register(
     "dedup_simhash",
     f"""

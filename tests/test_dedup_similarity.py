@@ -31,6 +31,44 @@ def test_minhash_finds_planted_near_dup(spark):
     assert pairs[0]["jaccard"] > 0.7
 
 
+def test_minhash_df_pruning_removes_boilerplate_pairs(spark):
+    """Docs that share ONLY a boilerplate header must not pair once the
+    header's shingles are DF-pruned; genuinely-near docs must survive."""
+    # Chrome large relative to content — the regime (nav + legal footer on
+    # a short page) where boilerplate dominates minhash signatures.
+    chrome = (
+        "terms of service all rights reserved do not copy this page "
+        "navigation home about products contact support careers blog "
+        "privacy policy cookie settings accessibility statement site map"
+    )
+    a = (
+        "the quick brown fox jumps over the lazy dog near the old stone "
+        "bridge every sunny morning in june"
+    )
+    near = " ".join(a.split()[1:])
+    b = "completely different unrelated words that share nothing at all here"
+    c = "gardens rivers mountains and valleys under a quiet autumn sky tonight"
+    rows = [(i, f"{chrome} {t}") for i, t in enumerate([a, near, b, c], start=1)]
+    df = _docs(spark, rows)
+    # 16 single-row bands: a pair is a candidate iff ANY of 16 permutation
+    # minima agree — near-certain for chrome-dominated Jaccard (~0.5+),
+    # impossible for disjoint shingle sets (modulo 32-bit collisions). This
+    # removes LSH band-probability flakiness from the assertions.
+    kw = dict(num_perm=16, bands=16, threshold=0.5)
+    # Unpruned: the shared 25-word header dominates both the signatures
+    # (chrome-only pairs become candidates) and the verify Jaccard
+    # (~0.5+ for docs sharing nothing but chrome).
+    unpruned = D.minhash_near_duplicates(df, "text", "doc_id", **kw)
+    assert {(p["doc_a"], p["doc_b"]) for p in unpruned.collect()} >= {(1, 2), (3, 4)}
+    # Pruned at df>3 (header appears in all 4 docs): only real near-dups —
+    # the boilerplate-only pair's content Jaccard is 0.
+    pruned = D.minhash_near_duplicates(
+        df, "text", "doc_id", max_doc_frequency=3, **kw
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pruned] == [(1, 2)]
+    assert pruned[0]["jaccard"] > 0.5
+
+
 def test_simhash_identical_for_identical_text(spark):
     df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")])
     sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", D.simhash16("text").alias("s")).collect()}
