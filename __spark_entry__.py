@@ -46,6 +46,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_df_pruned",
     "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_ngram_blocked",
@@ -72,6 +73,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM pipeline: sampling / splits
     "documents_split_counts",
     "documents_stratified_sample",
+    "token_budget_mixture",
+    "documents_shard_stats",
     # LLM pipeline: multimodal plumbing
     "multimodal_metadata",
     "multimodal_frame_features",

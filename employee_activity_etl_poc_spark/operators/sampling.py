@@ -60,6 +60,70 @@ def train_val_test_split(
     )
 
 
+def token_budget_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budget: float,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixing sampler: per-stratum fractions sized so the
+    SAMPLE's token mass approximates ``budget * weights[stratum]`` — the
+    "mixture weights" step of a training-data pipeline (e.g. 40% web, 20%
+    code by tokens), computed and applied in two distributed passes:
+
+    1. one groupBy for per-stratum token totals (map-side combine; the
+       result is |strata| rows),
+    2. fraction = min(1, budget*weight / total) joined back broadcast, and
+       rows kept by key-hash (:func:`keyed_sample` semantics — partition-
+       invariant, replayable, leak-safe across tables sharing the key).
+
+    Strata not in ``weights`` are dropped. Oversubscribed strata (target
+    exceeds supply) cap at fraction 1.0 — upsampling/epoch-repeat is a
+    training-loader concern, not a corpus-sampling one. Adds a
+    ``sample_fraction`` column for auditability."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        sorted(weights.items()), f"{strata_col} string, weight double"
+    )
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(tokens_col)).cast("double").alias("_tot")
+    )
+    fracs = totals.join(wdf, strata_col).select(
+        strata_col,
+        F.least(
+            F.lit(1.0), F.lit(float(budget)) * F.col("weight") / F.col("_tot")
+        ).alias("sample_fraction"),
+    )
+    return df.join(F.broadcast(fracs), strata_col).where(
+        uniform(salt, F.col(key_col)) < F.col("sample_fraction")
+    )
+
+
+def assign_shards(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export: adds a
+    ``shard`` column = md5-keyed hash mod ``n_shards``. Key-hash based for
+    the same reasons as the samplers above — partition-invariant, stable
+    under reprocessing (a re-run assigns every doc the same shard, so
+    incremental re-exports don't reshuffle history), and replayable by any
+    engine with md5. Rows sharing the key land in the same shard (all of a
+    doc's chunks travel together)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
 def split_oracle_case_sql(
     key_expr: str, val_fraction: float = 0.1, test_fraction: float = 0.1,
     salt: str = "split",

@@ -465,6 +465,83 @@ def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@register(
+    "documents_shard_stats",
+    """
+    SELECT CAST(CAST('0x' || substr(md5('shard|' || doc_id::VARCHAR), 1, 8) AS BIGINT) % 8 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+    FROM documents GROUP BY 1
+    """,
+    doc="Deterministic training-shard assignment (md5 key-hash mod 8): "
+    "per-shard doc and token counts. The writer twin "
+    "(sinks.write_training_shards) lays the same assignment out as "
+    "shard=K/ hive partitions for loader consumption; stability across "
+    "re-exports is the point vs round-robin.",
+    tags=("llm", "sampling"),
+)
+def documents_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import assign_shards
+    from ..operators.textops import n_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens("text").alias("n_tok")
+    )
+    return assign_shards(docs, "doc_id", 8).groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("sum_tokens")
+    )
+
+
+_MIX_WEIGHTS = {"en": 0.4, "fr": 0.2, "de": 0.15, "es": 0.15, "zh": 0.1}
+_MIX_BUDGET = 8000.0
+
+
+@register(
+    "token_budget_mixture",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    tot AS (SELECT lang, CAST(sum(n_tok) AS DOUBLE) AS tot FROM t GROUP BY lang),
+    w(lang, wt) AS (VALUES {", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in sorted(_MIX_WEIGHTS.items()))}),
+    fr AS (
+      SELECT tot.lang, least(CAST(1.0 AS DOUBLE), {_MIX_BUDGET} * wt / tot) AS frac
+      FROM tot JOIN w ON tot.lang = w.lang
+    ),
+    s AS (
+      SELECT t.lang, t.n_tok, fr.frac
+      FROM t JOIN fr ON t.lang = fr.lang
+      WHERE CAST('0x' || substr(md5('mix|' || t.doc_id::VARCHAR), 1, 8) AS BIGINT)
+            / 4294967296.0 < frac
+    )
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           round(min(frac), 6) AS sample_fraction
+    FROM s GROUP BY lang
+    """,
+    doc="Data-mixing sampler: per-language sampling fractions sized so the "
+    "sample's token mass approximates budget*weight per language (the "
+    "mixture-weights step of a training-data pipeline). Two distributed "
+    "passes — a |strata|-row token-total aggregate, then a broadcast join "
+    "+ key-hash filter; deterministic and engine-replayable.",
+    tags=("llm", "sampling", "scale"),
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_mixture as mix
+    from ..operators.textops import n_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", n_tokens("text").alias("n_tok")
+    )
+    sampled = mix(
+        docs, "doc_id", "lang", "n_tok", budget=_MIX_BUDGET, weights=_MIX_WEIGHTS
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.round(F.min("sample_fraction"), 6).alias("sample_fraction"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup — planted-duplicate corpora (deterministic in both engines)
 # ---------------------------------------------------------------------------

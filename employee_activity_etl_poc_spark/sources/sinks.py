@@ -74,6 +74,35 @@ def overwrite_partitions(
         spark.conf.set(key, prev)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shard",
+    mode: str = "overwrite",
+) -> None:
+    """Export a corpus as ``n_shards`` deterministic key-hashed shards
+    (``shard=K/`` hive partitions) — the layout a training loader consumes
+    (one worker per shard, shard membership stable across re-exports so
+    resumed runs see the same data order sources).
+
+    ``repartition(n_shards, shard)`` before ``partitionBy`` so each shard
+    is written by exactly the tasks owning it — without it every task can
+    hold a file per shard open (the small-file/open-handles blow-up at
+    1000 executors x 1024 shards). Shard-size skew is bounded by the hash;
+    within-shard file count scales with data volume, not task count."""
+    from ..operators.sampling import assign_shards
+
+    sharded = assign_shards(df, key_col, n_shards, salt)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
 def compact_parquet(
     spark,
     path: str,

@@ -260,6 +260,38 @@ def test_split_is_key_consistent_and_exhaustive(spark, sf_dir):
         assert r["split"] == doc_split[r["doc_id"]]
 
 
+def test_token_budget_mixture_hits_targets(spark, sf_dir):
+    """The sample's per-stratum token mass lands near budget*weight (LLN at
+    these fractions), oversubscribed strata cap at fraction 1.0 (whole
+    stratum kept), and unweighted strata are dropped."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+    from employee_activity_etl_poc_spark.operators.textops import n_tokens
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", n_tokens("text").alias("n_tok")
+    )
+    totals = {r["lang"]: r["t"] for r in docs.groupBy("lang").agg(F.sum("n_tok").alias("t")).collect()}
+    budget = 3000.0
+    weights = {"en": 0.5, "fr": 0.3, "zh": 9.9}  # zh target >> supply -> cap
+    out = token_budget_mixture(docs, "doc_id", "lang", "n_tok", budget, weights)
+    got = {
+        r["lang"]: (r["tok"], r["f"])
+        for r in out.groupBy("lang")
+        .agg(F.sum("n_tok").alias("tok"), F.min("sample_fraction").alias("f"))
+        .collect()
+    }
+    assert set(got) == {"en", "fr", "zh"}  # de/es unweighted -> dropped
+    assert got["zh"][1] == 1.0 and got["zh"][0] == totals["zh"]  # capped: all kept
+    for lang in ("en", "fr"):
+        target = budget * weights[lang]
+        assert target * 0.5 <= got[lang][0] <= target * 1.7, (lang, got[lang], target)
+
+
 def test_keyed_sample_repartition_invariant(spark, sf_dir):
     from employee_activity_etl_poc_spark.operators.sampling import keyed_sample
     from employee_activity_etl_poc_spark.sources.readers import load_table

@@ -102,6 +102,35 @@ def test_write_csv_roundtrip_with_header(spark, tmp_path):
     assert rows == {1: ("Vélo", 12.5), 2: ("Marche", None)}
 
 
+def test_write_training_shards_layout_and_stability(spark, tmp_path):
+    """Shard export: hive layout shard=0..n-1, lossless round-trip, every
+    row in the shard its key hashes to, and re-export assigns identically
+    (the property round-robin/monotonic ids lack)."""
+    from employee_activity_etl_poc_spark.operators.sampling import assign_shards
+    from employee_activity_etl_poc_spark.sources.sinks import write_training_shards
+
+    df = spark.range(200).selectExpr("id AS doc_id", "id * 7 AS payload")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=4)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    expected = {
+        r["doc_id"]: r["shard"]
+        for r in assign_shards(df, "doc_id", 4).select("doc_id", "shard").collect()
+    }
+    for r in back.select("doc_id", "shard").collect():
+        assert int(r["shard"]) == expected[r["doc_id"]]
+    # stability: writing a subset re-derives the same shard per key
+    write_training_shards(
+        df.where("doc_id < 50"), str(tmp_path / "shards2"), "doc_id", n_shards=4
+    )
+    back2 = spark.read.parquet(str(tmp_path / "shards2"))
+    for r in back2.select("doc_id", "shard").collect():
+        assert int(r["shard"]) == expected[r["doc_id"]]
+
+
 def test_read_delta_falls_back_to_parquet_without_jar(spark, tmp_path):
     """S6 gating: in this image the Delta jar is absent, so read_delta must
     report unavailability and transparently read the parquet files (the
