@@ -82,7 +82,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # domain ETL composites
     "commute_enrichment",
     "events_column_profile",
+    "event_value_percentiles",
     "cdc_apply_snapshot",
+    "cdc_scd2_history",
     "lang_confusion_matrix",
     "domain_wellness_kpis",
     "synthetic_activities_sample",

@@ -56,6 +56,11 @@ HEADLINE = [
     "embedding_near_dup",
     "event_value_deciles",
     "dedup_simhash_hamming",
+    # round 3: DF-pruned minhash, data mixing, SCD2, percentiles
+    "dedup_minhash_df_pruned",
+    "token_budget_mixture",
+    "cdc_scd2_history",
+    "event_value_percentiles",
 ]
 
 

@@ -172,28 +172,36 @@ def bucketed_near_duplicate_pairs(
     )
 
 
-def _plane_weights(dim: int, n_planes: int) -> list[list[float]]:
+def _plane_weights(dim: int, n_planes: int, table: int = 0) -> list[list[float]]:
     """Driver-side hyperplane weights: component j of plane p is a
     pseudo-random value in [-1, 1) from md5('plane{p}_{j}') — the identical
-    derivation the previous per-row expression used, now evaluated once."""
+    derivation the previous per-row expression used, now evaluated once.
+    ``table`` > 0 derives an independent plane family (key prefix
+    ``t{table}_``) for multi-table OR-amplification; table 0 keeps the
+    original keys so existing signatures are unchanged."""
+    prefix = f"t{table}_" if table else ""
     out = []
     for p in range(n_planes):
         row = []
         for j in range(dim):
-            h = int(hashlib.md5(f"plane{p}_{j}".encode()).hexdigest()[:8], 16)
+            h = int(
+                hashlib.md5(f"{prefix}plane{p}_{j}".encode()).hexdigest()[:8], 16
+            )
             row.append((h % 2001 - 1000) / 1000.0)
         out.append(row)
     return out
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def hyperplane_signature(
+    vec: Column, dim: int, n_planes: int = 8, table: int = 0
+) -> Column:
     """Deterministic random-hyperplane LSH signature (int in [0, 2^n_planes)).
 
     Weights are literals: the projection per plane is one zip_with fold over
     the vector; the whole signature is n_planes folds, zero hashing per row.
     """
     sig = F.lit(0)
-    for p, weights in enumerate(_plane_weights(dim, n_planes)):
+    for p, weights in enumerate(_plane_weights(dim, n_planes, table)):
         w = F.array(*[F.lit(x) for x in weights])
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wj: x * wj), F.lit(0.0), lambda acc, x: acc + x
@@ -362,35 +370,74 @@ def lsh_bucketed_topk(
     k: int = 5,
     n_planes: int = 8,
     multi_probe: int = 0,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
-    Recall is tunable via n_planes (fewer planes = bigger buckets) and
-    ``multi_probe`` (each query ALSO probes the buckets reached by flipping
-    its ``multi_probe`` least-confident... here: first N plane bits — each
-    probe multiplies candidate volume by ~1, recall rises toward exact).
-    The join on ``bucket`` is a plain shuffle equi-join, so the pattern
-    scales to corpora where brute force is impossible."""
+    Three recall knobs, composable (tools/ann_recall.py sweeps them):
+
+    - ``n_planes``: fewer planes = bigger buckets (AND-amplification);
+    - ``multi_probe``: each query ALSO probes the buckets reached by
+      flipping its first N plane bits — candidate volume ×(1+N) with no
+      extra corpus storage;
+    - ``n_tables``: OR-amplification across independent plane families —
+      the classic L-table LSH construction. A true neighbor is found if it
+      collides in ANY table: recall 1-(1-p^planes)^L instead of p^planes,
+      at ×L corpus index size (each corpus row emits one (table, bucket)
+      key per table). This is the knob that actually reaches high recall
+      on unclustered data; probing alone cannot.
+
+    The join on (table, bucket) is a plain shuffle equi-join, so the
+    pattern scales to corpora where brute force is impossible. Candidates
+    found in several tables are deduped before ranking."""
     from pyspark.sql import Window
 
     c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").withColumn(
-        "bucket", hyperplane_signature(F.col("cv"), dim, n_planes)
-    )
-    q_sig = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").withColumn(
-        "_sig", hyperplane_signature(F.col("qv"), dim, n_planes)
-    )
-    probes = F.array_distinct(
-        F.array(
-            F.col("_sig"),
-            *[
-                F.col("_sig").bitwiseXOR(F.lit(2**p))
-                for p in range(min(multi_probe, n_planes))
-            ],
+        "_tb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(F.col("cv"), dim, n_planes, t).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ),
+    ).select("neighbor_id", "cv", "cn", "_tb.tbl", "_tb.bucket")
+    q_probe = F.array_distinct(
+        F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        F.array(
+                            hyperplane_signature(F.col("qv"), dim, n_planes, t),
+                            *[
+                                hyperplane_signature(
+                                    F.col("qv"), dim, n_planes, t
+                                ).bitwiseXOR(F.lit(2**p))
+                                for p in range(min(multi_probe, n_planes))
+                            ],
+                        ),
+                        lambda b, _t=t: F.struct(
+                            F.lit(_t).alias("tbl"), b.alias("bucket")
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
         )
     )
-    q = q_sig.withColumn("bucket", F.explode(probes)).drop("_sig")
+    q = (
+        _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn")
+        .withColumn("_tb", F.explode(q_probe))
+        .select("query_id", "qv", "qn", "_tb.tbl", "_tb.bucket")
+    )
     sims = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -399,6 +446,8 @@ def lsh_bucketed_topk(
                 dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
             ).alias("sim"),
         )
+        # same pair can collide in several tables/probes; one vote is enough
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

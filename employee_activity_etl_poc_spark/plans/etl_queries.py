@@ -275,6 +275,36 @@ def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+    doc="Per-group exact percentiles (linear interpolation — Spark "
+    "percentile() and DuckDB quantile_cont agree bit-for-bit modulo the "
+    "6-dp round): the profiler's distribution summary. One shuffle on the "
+    "group key with a per-group sort; at 100 TB swap percentile() for "
+    "approx_percentile (t-digest, mergeable map-side) and accept the "
+    "documented error bound — the oracle pins the exact form at gate "
+    "scale.",
+    tags=("quality", "profile", "agg"),
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))")
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.round(F.element_at(pct, 4), 6).alias("p95"),
+    )
+
+
+@register(
     "cdc_apply_snapshot",
     """
     WITH snapshot AS (
@@ -332,6 +362,49 @@ def cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") + 1000, 4).alias("v"),
     )
     return apply_cdc_batch(snapshot, changes, "activity_id")
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    WITH changes AS (
+      SELECT CASE event_id % 3 WHEN 0 THEN 'd' WHEN 1 THEN 'u' ELSE 'c' END AS op,
+             event_id AS seq,
+             event_id % 2500 AS activity_id,
+             user_id,
+             round(value + 1000, 4) AS v
+      FROM events WHERE event_id >= 8000
+    ),
+    versioned AS (
+      SELECT *, lead(seq) OVER (PARTITION BY activity_id ORDER BY seq) AS valid_to
+      FROM changes
+    )
+    SELECT activity_id, user_id, v,
+           seq AS valid_from, valid_to, valid_to IS NULL AS is_current
+    FROM versioned WHERE op <> 'd'
+    """,
+    doc="Type-2 SCD history from the CDC log: one lead() window pass opens "
+    "a version per insert/update and closes it at the next change on the "
+    "key (deletes close without opening). The reference overwrote history "
+    "(gold/bronzeToGold.py:204); this is the warehouse-standard versioned "
+    "dimension, as-of joinable via the range-join operator.",
+    tags=("streaming", "cdc", "scale"),
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.cdc import scd2_history
+
+    ev = load(spark, sf_dir, "events")
+    changes = ev.where(F.col("event_id") >= 8000).select(
+        F.when(F.col("event_id") % 3 == 0, "d")
+        .when(F.col("event_id") % 3 == 1, "u")
+        .otherwise("c")
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+        (F.col("event_id") % 2500).alias("activity_id"),
+        "user_id",
+        F.round(F.col("value") + 1000, 4).alias("v"),
+    )
+    return scd2_history(changes, "activity_id", "seq")
 
 
 @register(

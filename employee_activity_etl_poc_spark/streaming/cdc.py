@@ -145,6 +145,46 @@ def apply_cdc_batch(
     return survivors.unionByName(upserts)
 
 
+def scd2_history(
+    changes: DataFrame,
+    key: str = "activity_id",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a CDC change log:
+    every insert/update opens a version valid over
+    ``[valid_from, valid_to)``; the next change on the key (including a
+    delete) closes it; the open version carries ``valid_to = NULL`` and
+    ``is_current = true``. Deletes close the prior version without opening
+    one — a deleted key simply has no current row.
+
+    The whole history is ONE window pass (lead over the per-key change
+    order) — no iteration, no self-join; at 100 TB the shuffle is the
+    per-key sort Spark needs anyway, and AQE handles key skew. Intervals
+    are in ``seq_col`` units (offset or change-id); join a fact to its
+    as-of dimension version with ``fact.seq >= valid_from AND (valid_to
+    IS NULL OR fact.seq < valid_to)`` — the bin-bucketed range join
+    (``operators/rangejoin.py``) is the scale path for that probe.
+
+    The reference never versioned its dimensions (gold overwrote history,
+    ``gold/bronzeToGold.py:204``); this is the standard warehouse answer.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).asc())
+    nxt = F.lead(seq_col).over(w)
+    return (
+        changes.withColumn("valid_to", nxt)
+        .where(F.col(op_col) != "d")
+        .select(
+            *[c for c in changes.columns if c not in (op_col, seq_col)],
+            F.col(seq_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,

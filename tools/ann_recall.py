@@ -1,0 +1,96 @@
+"""ANN recall@k sweep: LSH (n_planes × multi_probe) and IVF
+(n_centroids × n_probe) against the exact brute-force top-k.
+
+Usage: python tools/ann_recall.py [sf_dir] [k] [n_queries]
+
+Prints one line per configuration: recall@k (fraction of the exact top-k
+neighbor set each method recovers, averaged over queries) plus the mean
+candidate count per query — the recall/cost trade the knobs control.
+The chosen defaults are recorded in SCALE.md §ANN.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from employee_activity_etl_poc_spark.operators import similarity as SIM  # noqa: E402
+from employee_activity_etl_poc_spark.session import get_spark  # noqa: E402
+from employee_activity_etl_poc_spark.sources.readers import load_table  # noqa: E402
+
+
+def _topk_sets(df) -> dict[int, frozenset[int]]:
+    rows = df.select("query_id", "neighbor_id").collect()
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return {q: frozenset(s) for q, s in out.items()}
+
+
+def recall(approx, exact: dict[int, frozenset[int]]) -> float:
+    got = _topk_sets(approx)
+    per_q = [
+        len(got.get(q, frozenset()) & s) / len(s) for q, s in exact.items() if s
+    ]
+    return sum(per_q) / len(per_q) if per_q else 0.0
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+
+    spark = get_spark("ann_recall")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n_corpus = emb.count()
+    queries = emb.where(F.col("vec_id") < n_queries)
+    dim = len(emb.select("embedding").first()["embedding"])
+
+    exact = _topk_sets(
+        SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
+    )
+    print(f"corpus={n_corpus} dim={dim} k={k} queries={len(exact)}")
+
+    for n_planes in (4, 6, 8):
+        for probe in (0, 2):
+            for n_tables in (1, 4, 8):
+                r = recall(
+                    SIM.lsh_bucketed_topk(
+                        emb, queries, "vec_id", "embedding", dim=dim,
+                        k=k, n_planes=n_planes, multi_probe=probe,
+                        n_tables=n_tables,
+                    ),
+                    exact,
+                )
+                # expected candidates ~ corpus/2^planes × (1+probe) × L
+                est = n_corpus / (2 ** n_planes) * (1 + probe) * n_tables
+                print(
+                    f"lsh  n_planes={n_planes} multi_probe={probe} "
+                    f"n_tables={n_tables} recall@{k}={r:.3f} "
+                    f"~cand/query={est:.0f}"
+                )
+
+    for n_centroids in (4, 8, 16):
+        for n_probe in (1, 2, 3):
+            if n_probe > n_centroids:
+                continue
+            r = recall(
+                SIM.ivf_topk(
+                    emb, queries, "vec_id", "embedding",
+                    k=k, n_centroids=n_centroids, n_probe=n_probe,
+                ),
+                exact,
+            )
+            est = n_corpus / n_centroids * n_probe
+            print(
+                f"ivf  n_centroids={n_centroids} n_probe={n_probe} "
+                f"recall@{k}={r:.3f} ~cand/query={est:.0f}"
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
