@@ -47,6 +47,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_df_pruned",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_ngram_blocked",

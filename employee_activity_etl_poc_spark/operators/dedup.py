@@ -243,6 +243,94 @@ def minhash_near_duplicates(
     )
 
 
+def minhash_signature_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, hs, sig): the persistable signature store for INCREMENTAL
+    near-dup detection — sign each doc once, ever; new batches only sign
+    themselves (see :func:`minhash_incremental_pairs`). ``hs`` (hashed
+    shingles) rides along for the verify Jaccard; at 100 TB this table is
+    a fraction of corpus size (ints, not text) and is the thing you
+    checkpoint between ingest batches."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+        .where(F.size(tokens(F.col("t"))) >= shingle_k)
+        .select(
+            "doc",
+            F.array_distinct(
+                F.transform(shingles("t", shingle_k), _hash_long)
+            ).alias("hs"),
+        )
+        .select("doc", "hs", minhash_from_hashes(F.col("hs"), num_perm).alias("sig"))
+    )
+
+
+def minhash_incremental_pairs(
+    store: DataFrame,
+    new: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING AT LEAST ONE NEW DOC: the incremental form
+    of :func:`minhash_near_duplicates` for streaming/batched ingest.
+
+    ``store`` and ``new`` are signature tables (doc, hs, sig) from
+    :func:`minhash_signature_table`; ``store`` holds every previously seen
+    doc (NOT including ``new``). Each batch costs: sign |new| docs, band
+    join new × (store ∪ new) — the store side is never re-tokenized or
+    re-signed, so per-batch work is O(|new|) + the candidate join, not
+    O(corpus). Old×old pairs were reported by earlier batches and are not
+    re-emitted (exactly-once across the ingest history). After the batch,
+    append ``new`` to the store (caller's one-line responsibility).
+
+    Output: (doc_a < doc_b, jaccard >= threshold), same contract as the
+    batch operator — union of per-batch outputs over any ingest order
+    equals the full-corpus batch result.
+    """
+    rows_per_band = num_perm // bands
+
+    def banded(sig_tbl: DataFrame) -> DataFrame:
+        return sig_tbl.select(
+            "doc",
+            F.posexplode(
+                lsh_band_keys(F.col("sig"), bands, rows_per_band)
+            ).alias("band", "key"),
+        )
+
+    all_docs = store.unionByName(new)
+    pairs = (
+        banded(new)
+        .alias("a")
+        .join(
+            banded(all_docs).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        # canonical orientation AFTER the join: a is always new, but the
+        # partner may have a smaller id
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("doc_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    hs_a = all_docs.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hs_b = all_docs.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        pairs.join(hs_a, "doc_a")
+        .join(hs_b, "doc_b")
+        .select("doc_a", "doc_b", jaccard(F.col("hs_a"), F.col("hs_b")).alias("j"))
+        .where(F.col("j") >= threshold)
+        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -781,6 +781,30 @@ def dedup_minhash_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    _minhash_oracle_sql(),
+    doc="Incremental MinHash-LSH through the persistable signature store: "
+    "the corpus arrives as two ingest batches (originals, then the planted "
+    "variants); each batch signs ONLY itself and band-joins against "
+    "store ∪ batch, so per-batch cost is O(|batch|), not O(corpus). The "
+    "union of per-batch outputs is provably the batch operator's result "
+    "(every pair emitted exactly once, by its later member's batch) — so "
+    "the ORACLE IS THE BATCH SQL, and a hash match certifies the "
+    "incremental path end-to-end.",
+    tags=("llm", "dedup", "scale", "streaming"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    b1 = corpus.where(F.col("doc_id") < 100000)
+    b2 = corpus.where(F.col("doc_id") >= 100000)
+    sig1 = D.minhash_signature_table(b1, "text", "doc_id").persist()
+    sig2 = D.minhash_signature_table(b2, "text", "doc_id").persist()
+    out1 = D.minhash_incremental_pairs(sig1.limit(0), sig1, threshold=0.5)
+    out2 = D.minhash_incremental_pairs(sig1, sig2, threshold=0.5)
+    return out1.unionByName(out2)
+
+
+@register(
     "dedup_simhash",
     f"""
     WITH corpus AS ({_EXACT_CORPUS_SQL}),

@@ -69,6 +69,48 @@ def test_minhash_df_pruning_removes_boilerplate_pairs(spark):
     assert pruned[0]["jaccard"] > 0.5
 
 
+def test_minhash_incremental_equals_batch(spark, sf_dir):
+    """Ingesting the corpus in two batches through the signature store
+    yields exactly the batch operator's pairs: batch-1 emits pairs within
+    itself, batch-2 emits pairs involving batch-2 docs, no overlap, union
+    identical — the exactly-once-per-pair contract."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # near-copies so there ARE cross-batch pairs (copy ids land in batch 2)
+    ws = F.split(F.col("text"), " ")
+    variants = docs.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(variants)
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_near_duplicates(
+            corpus, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+
+    b1 = corpus.where(F.col("doc_id") < 100000)
+    b2 = corpus.where(F.col("doc_id") >= 100000)
+    sig1 = D.minhash_signature_table(b1, "text", "doc_id").persist()
+    empty = sig1.limit(0)
+    out1 = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_incremental_pairs(empty, sig1, threshold=0.5).collect()
+    }
+    sig2 = D.minhash_signature_table(b2, "text", "doc_id").persist()
+    out2 = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.minhash_incremental_pairs(sig1, sig2, threshold=0.5).collect()
+    }
+    assert out1 | out2 == full
+    assert not (out1 & out2)
+    assert out2, "cross-batch near-dup pairs expected"
+
+
 def test_simhash_identical_for_identical_text(spark):
     df = _docs(spark, [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")])
     sigs = {r["doc_id"]: r["s"] for r in df.select("doc_id", D.simhash16("text").alias("s")).collect()}
