@@ -56,6 +56,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_quality_keepers",
     # LLM pipeline: similarity / embeddings
     "embedding_topk",
+    "embedding_quantized_topk",
     "embedding_near_dup",
     "embedding_ann_lsh",
     "embedding_topk_vectorized",

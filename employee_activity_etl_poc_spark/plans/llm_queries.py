@@ -1124,6 +1124,54 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantized_topk",
+    """
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sc AS (
+      SELECT vec_id, v,
+             CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+                  ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+             END AS scale
+      FROM base
+    ),
+    qt AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM sc
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS nn
+      FROM qt
+    ),
+    sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             round(CAST(list_dot_product(c.qv, q.qv) AS DOUBLE) / (c.nn * q.nn), 6) AS sim
+      FROM n c JOIN n q ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+    doc="Exact top-5 over the int8-quantized corpus (4× smaller index "
+    "than fp32, 16× vs fp64): per-vector scales cancel in cosine, so "
+    "similarity is a pure INTEGER dot — exact in doubles in any summation "
+    "order, which makes this the hash-reproducible ANN variant (the fp "
+    "paths are ulp-fuzzy by construction). Half-up rounding via "
+    "floor(x/s+0.5) is dialect-portable where round() is not.",
+    tags=("llm", "similarity", "scale"),
+)
+def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.quantized_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@register(
     "embedding_ann_lsh",
     None,  # hyperplane buckets are not reasonably SQL-expressible; rows-only check
     doc="Approximate top-k via deterministic random-hyperplane LSH buckets "

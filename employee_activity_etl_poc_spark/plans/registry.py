@@ -835,6 +835,47 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_trailing_hour_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_1h,
+           n_1h FROM (
+      SELECT event_id, user_id, ts, value,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+             ) AS n_1h
+      FROM events WHERE user_id < 10
+    )
+    """,
+    doc="Trailing-1-hour windowed sum/count per user (RANGE frame over "
+    "µs-epoch — value-determined frames, so ties are deterministic, "
+    "unlike ROWS over tied keys): the time-decayed feature shape "
+    "(rate limiting, rolling exposure). One shuffle on the user key; the "
+    "frame scan is a per-partition two-pointer, not O(n²).",
+    tags=("window", "frame", "timeseries"),
+)
+def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("trailing_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@register(
     "events_running_totals",
     """
     SELECT event_id, user_id,

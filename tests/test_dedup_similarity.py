@@ -279,6 +279,36 @@ def test_minhash_bucket_cap_keeps_planted_dups(spark, sf_dir):
     assert none == 0
 
 
+def test_quantized_topk_preserves_neighbors(spark, sf_dir):
+    """int8 quantization: recall@5 vs the exact fp top-5 stays high (the
+    1/254-per-component error cannot reorder well-separated neighbors),
+    and quantized vectors bound to [-127, 127]."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    quant = SIM.quantized_topk(emb, queries, "vec_id", "embedding", k=5)
+
+    def pairs(df):
+        out = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, q = pairs(exact), pairs(quant)
+    recall = sum(len(e[k_] & q.get(k_, set())) / len(e[k_]) for k_ in e) / len(e)
+    assert recall >= 0.9, f"quantization recall {recall}"
+
+    qv = SIM.quantize_embeddings(emb, "vec_id", "embedding")
+    bounds = qv.select(
+        F.array_max(F.transform("qv", F.abs)).alias("m")
+    ).agg(F.max("m")).collect()[0][0]
+    assert bounds <= 127
+
+
 def test_split_is_key_consistent_and_exhaustive(spark, sf_dir):
     """Leak-safety: every derived row (chunk) lands on the same split side
     as its parent document, and the split partitions are disjoint+total."""
