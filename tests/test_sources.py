@@ -267,3 +267,45 @@ def test_stream_to_jdbc_foreach_batch(spark, tmp_path):
     run_to_completion(q)
     got = read_jdbc(spark, url, "gold", DERBY_PROPS)
     assert sorted(r["id"] for r in got.collect()) == list(range(2, 10))
+
+
+def test_zorder_write_tightens_per_file_bounds(spark, tmp_path):
+    """Z-ordered files each cover a small rectangle of (a, b) space: the
+    mean per-file span shrinks on BOTH columns vs a single-column sort,
+    which only tightens its own column — the property parquet row-group
+    min/max pruning feeds on."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.sinks import write_zordered
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 64).alias("a"),
+        F.floor(F.col("id") / 64).alias("b"),  # uniform 64x64 grid
+    )
+
+    def mean_spans(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("a") - F.min("a")).alias("sa"),
+                (F.max("b") - F.min("b")).alias("sb"),
+            )
+            .agg(F.avg("sa"), F.avg("sb"))
+            .collect()[0]
+        )
+        return per_file[0] / 63.0, per_file[1] / 63.0
+
+    write_zordered(df, str(tmp_path / "z"), ["a", "b"], n_files=16)
+    za, zb = mean_spans(str(tmp_path / "z"))
+
+    # baseline: sorted by a only -> b spans ~the full range in every file
+    df.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(
+        str(tmp_path / "s")
+    )
+    sa, sb = mean_spans(str(tmp_path / "s"))
+
+    assert sb > 0.9, f"single-col baseline should not prune b (got {sb})"
+    assert za < 0.6 and zb < 0.6, f"z-order spans too wide: a={za} b={zb}"
+    assert spark.read.parquet(str(tmp_path / "z")).count() == n
