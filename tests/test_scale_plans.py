@@ -101,3 +101,21 @@ def test_partitioned_gold_read_prunes_partitions(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "2024-06-02" in plan
     assert df.count() == 30
+
+
+def test_round3_plans_have_scale_shapes(spark, sf_dir):
+    """Round-3 additions keep the claimed plan properties."""
+    # DF-pruning: frequent-shingle set joins as a broadcast (anti) join,
+    # never a shuffled sort-merge against the corpus
+    plan = _plan(REGISTRY["dedup_minhash_df_pruned"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # mixture fractions (|strata| rows) broadcast onto the corpus
+    plan = _plan(REGISTRY["token_budget_mixture"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # trailing RANGE window: the user_id predicate reaches the scan
+    plan = _plan(REGISTRY["events_trailing_hour_sum"].fn(spark, sf_dir))
+    assert "LessThan(user_id,10)" in plan.replace(" ", "").replace("\n", "")
+    # SCD2: one window pass, no self-join
+    plan = _plan(REGISTRY["cdc_scd2_history"].fn(spark, sf_dir))
+    assert "Join" not in plan
