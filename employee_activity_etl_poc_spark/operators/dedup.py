@@ -180,7 +180,11 @@ def minhash_near_duplicates(
         # hs is already per-doc distinct, so count(*) per hash == document
         # frequency. The anti-join keeps everything NOT in the frequent
         # set; broadcast is safe because shingles shared by > cap docs are
-        # rare kinds even when their occurrences are not.
+        # rare kinds even when their occurrences are not. Persist the
+        # pre-prune frame: the DF aggregate AND the prune join both read
+        # it — one tokenize+md5 pass, not two.
+        if persist:
+            hashed = hashed.persist()
         exploded = hashed.select("doc", F.explode("hs").alias("h"))
         frequent = (
             exploded.groupBy("h")

@@ -138,3 +138,81 @@ def test_excel_reader_gated_without_openpyxl(spark, tmp_path):
     p.write_bytes(b"PK\x03\x04")  # never read: the gate fires first
     with pytest.raises(NotImplementedError, match="openpyxl"):
         read_excel_dim(spark, str(p))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),            # key
+            st.sampled_from("cud"),       # op
+            st.floats(0, 100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_scd2_intervals_partition_key_history(spark, rows):
+    """SCD2 invariants for ANY change log: per key, versions are ordered,
+    non-overlapping, chain exactly (valid_to == next valid_from), and at
+    most one is_current — zero iff the key's last op is a delete."""
+    from employee_activity_etl_poc_spark.streaming.cdc import scd2_history
+
+    changes = spark.createDataFrame(
+        [(k, i, op, v) for i, (k, op, v) in enumerate(rows)],
+        "k long, seq long, op string, v double",
+    )
+    hist = scd2_history(changes, "k", "seq").collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    last_op = {}
+    for i, (k, op, _v) in enumerate(rows):
+        last_op[k] = op
+    seen_keys = {k for k, op, _ in rows}
+    for k in seen_keys:
+        versions = sorted(by_key.get(k, []), key=lambda r: r["valid_from"])
+        key_changes = sorted(
+            (i for i, (kk, op, _v) in enumerate(rows) if kk == k)
+        )
+        non_deletes = [i for i in key_changes if rows[i][1] != "d"]
+        assert len(versions) == len(non_deletes)
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
+        n_current = sum(1 for r in versions if r["is_current"])
+        if versions:
+            assert n_current == (0 if last_op[k] == "d" else 1)
+            assert (versions[-1]["valid_to"] is None) == (last_op[k] != "d")
+
+
+@given(st.floats(100, 20000), st.dictionaries(
+    st.sampled_from(["en", "fr", "de", "es", "zh"]),
+    st.floats(0.05, 3.0, allow_nan=False),
+    min_size=1, max_size=5,
+))
+@settings(max_examples=8, deadline=None)
+def test_token_budget_mixture_invariants(spark, budget, weights):
+    """For any budget/weights: the sample is a subset of the weighted
+    strata, fractions are in (0, 1], and every kept row's stratum was
+    weighted."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in ["en", "fr", "de", "es", "zh"]]),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("lang"),
+        (F.col("id") % 37 + 3).alias("n_tok"),
+    )
+    out = token_budget_mixture(docs, "doc_id", "lang", "n_tok", budget, weights)
+    rows = out.collect()
+    assert all(r["lang"] in weights for r in rows)
+    assert all(0 < r["sample_fraction"] <= 1.0 for r in rows)
+    kept_ids = {r["doc_id"] for r in rows}
+    all_ids = {r["doc_id"] for r in docs.collect()}
+    assert kept_ids <= all_ids
