@@ -102,6 +102,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_after_watermark",
     "events_user_zscores",
     "event_value_histogram",
+    "events_trailing_hour_sum",
     # representative relational catalog
     "pricing_summary",
     "event_type_stats",

@@ -63,3 +63,20 @@ def test_high_watermark_filter(spark):
     out = R.high_watermark_filter(df, "ts", "2024-01-15 00:00:00")
     assert [r["id"] for r in out.collect()] == [2]
     assert R.max_watermark(df, "ts").month == 2
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """The 100 TB form of countDistinct (HLL, mergeable, constant memory —
+    SCALE.md's prescription) stays within its documented rsd of the exact
+    count on the fixture; the correctness gate keeps the exact form only
+    because the oracle must hash-match."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
