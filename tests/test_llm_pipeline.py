@@ -1,0 +1,73 @@
+"""End-to-end LLM ingest pipeline: cross-batch dedup through the
+signature store, quality/lang gating, sharded export — batching-invariant
+final corpus."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+    ingest_document_batch,
+)
+from employee_activity_etl_poc_spark.sources.readers import load_table
+
+
+def _corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    # near-copies of early docs arrive in the SECOND batch -> must be
+    # dropped by the store join, not any within-batch logic
+    variants = docs.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+    )
+    # plus one exact copy within batch 2
+    exact = docs.where(F.col("doc_id") == 20).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs, variants.unionByName(exact)
+
+
+def test_two_batch_ingest_drops_cross_batch_dups(spark, sf_dir, tmp_path):
+    b1, b2 = _corpus(spark, sf_dir)
+    wd = str(tmp_path / "ingest")
+    r1 = ingest_document_batch(spark, b1, wd)
+    assert r1.n_near_dup_losers == 0 or r1.n_near_dup_losers < r1.n_arrived
+    r2 = ingest_document_batch(spark, b2, wd)
+    # every planted near-copy (and the exact copy, which is ALSO a
+    # near-dup at jaccard 1.0) has a smaller-id original in the store
+    assert r2.n_near_dup_losers == 16, r2
+    assert r2.n_after_quality <= r2.n_after_exact - r2.n_near_dup_losers
+
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    exported_docs = {r["doc_id"] for r in shards.select("doc_id").distinct().collect()}
+    assert not any(d >= 100000 for d in exported_docs), "a duplicate was exported"
+    # gate columns ride along with every chunk
+    assert {"chunk_idx", "chunk_text", "quality", "lang"} <= set(shards.columns)
+    # signature store grew by both batches (losers included)
+    store = spark.read.parquet(os.path.join(wd, "sigstore"))
+    assert store.count() == r1.n_after_exact + r2.n_after_exact
+
+
+def test_ingest_final_corpus_is_batching_invariant(spark, sf_dir, tmp_path):
+    """One big batch vs two arrivals: identical surviving doc set (the
+    min-id policy and store join make arrival order irrelevant)."""
+    b1, b2 = _corpus(spark, sf_dir)
+    wd_one = str(tmp_path / "one")
+    wd_two = str(tmp_path / "two")
+    ingest_document_batch(spark, b1.unionByName(b2), wd_one)
+    ingest_document_batch(spark, b1, wd_two)
+    ingest_document_batch(spark, b2, wd_two)
+
+    def docs(wd):
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(wd, "shards"))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+
+    assert docs(wd_one) == docs(wd_two)
