@@ -100,3 +100,33 @@ def ingest_document_batch(
     sigs.write.mode("append").parquet(store_path)
     sigs.unpersist()
     return IngestBatchResult(n_arrived, n_after_exact, n_losers, n_after_quality)
+
+
+def stream_document_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    workdir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **pipeline_kwargs,
+):
+    """The same pipeline as a Structured Streaming job: each micro-batch of
+    arriving documents (parquet files dropped into ``source_dir``) runs
+    :func:`ingest_document_batch` inside ``foreachBatch`` — the signature
+    store carries dedup state across batches AND restarts (it lives in
+    ``workdir``, not executor memory), and the source checkpoint guarantees
+    each file is processed exactly once. Returns the started query."""
+    schema = "doc_id long, text string"
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ingest_document_batch(spark, batch_df, workdir, **pipeline_kwargs)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=available_now)
+        .start()
+    )

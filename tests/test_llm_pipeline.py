@@ -71,3 +71,41 @@ def test_ingest_final_corpus_is_batching_invariant(spark, sf_dir, tmp_path):
         }
 
     assert docs(wd_one) == docs(wd_two)
+
+
+def test_streaming_ingest_foreach_batch(spark, sf_dir, tmp_path):
+    """The pipeline under Structured Streaming: two files -> two
+    micro-batches through foreachBatch; the store dedups across them and
+    a restart with the same checkpoint reprocesses nothing."""
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        stream_document_ingest,
+    )
+    from employee_activity_etl_poc_spark.streaming.ingest import run_to_completion
+
+    b1, b2 = _corpus(spark, sf_dir)
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    wd = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+
+    def run_once():
+        q = stream_document_ingest(
+            spark, str(src / "*"), wd, ckpt,
+        )
+        run_to_completion(q)
+
+    run_once()
+    n_docs_1 = (
+        spark.read.parquet(os.path.join(wd, "shards")).select("doc_id").distinct().count()
+    )
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    exported = {r["doc_id"] for r in shards.select("doc_id").distinct().collect()}
+    assert not any(d >= 100000 for d in exported), "cross-batch dup exported"
+    assert len(exported) >= n_docs_1
+    # restart with no new files: exactly-once, nothing re-appended
+    n_rows = shards.count()
+    run_once()
+    assert spark.read.parquet(os.path.join(wd, "shards")).count() == n_rows
