@@ -45,6 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # LLM pipeline: dedup
     "dedup_exact",
+    "dedup_exact_normalized",
     "dedup_minhash_lsh",
     "dedup_minhash_df_pruned",
     "dedup_minhash_incremental",

@@ -96,6 +96,18 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     )
 
 
+def normalize_for_dedup(text: Column | str) -> Column:
+    """Canonical text form for duplicate detection: lowercase, strip
+    punctuation/symbols, collapse whitespace runs, trim. Catches the
+    near-universal trivial-variant dups (case, punctuation, spacing) that
+    byte-exact hashing misses, at exact-dedup cost — run BEFORE md5, keep
+    the raw text as the stored value. Pattern is RE2-safe and replicated
+    verbatim by the oracle."""
+    t = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(F.lower(t), r"[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(stripped, r" +", " "))
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles of ``text`` (k=3 default).
 

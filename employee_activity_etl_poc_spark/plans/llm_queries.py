@@ -599,6 +599,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicate_groups(corpus, "text", "doc_id")
 
 
+@register(
+    "dedup_exact_normalized",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, upper(text) || '!!' FROM documents WHERE doc_id % 9 = 0
+    ),
+    norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS ntext
+      FROM corpus
+    )
+    SELECT md5(ntext) AS content_hash, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id
+    FROM norm GROUP BY md5(ntext) HAVING count(*) > 1
+    """,
+    doc="Exact dedup over the NORMALIZED text form (lowercase, symbols "
+    "stripped, whitespace collapsed): catches the trivial-variant dups — "
+    "case, punctuation, spacing — at exact-dedup cost (map-side md5, "
+    "32-byte shuffle key). Corpus plants uppercased '!!'-suffixed copies "
+    "of every 9th doc, invisible to byte-exact hashing, all caught here.",
+    tags=("llm", "dedup"),
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import normalize_for_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    shouty = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(shouty)
+    normed = corpus.select("doc_id", normalize_for_dedup("text").alias("ntext"))
+    return D.exact_duplicate_groups(normed, "ntext", "doc_id")
+
+
 def _minhash_oracle_sql() -> str:
     """Oracle replicating the Spark MinHash EXACTLY: same 32-bit md5 shingle
     hashes, same affine permutations (a_p·h + b_p mod P with the SAME
