@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "documents_stratified_sample",
     "token_budget_mixture",
     "documents_shard_stats",
+    "documents_weighted_sample",
     # LLM pipeline: multimodal plumbing
     "multimodal_metadata",
     "multimodal_frame_features",

@@ -61,7 +61,15 @@ HEADLINE = [
     "token_budget_mixture",
     "cdc_scd2_history",
     "event_value_percentiles",
+    "dedup_minhash_incremental",
+    "dedup_exact_normalized",
+    "embedding_quantized_topk",
+    "events_trailing_hour_sum",
 ]
+
+# The round-1 headline (BENCH_r01's 26 queries): reported separately as
+# r1_subset_total so per-round totals stay comparable as HEADLINE grows.
+R1_SUBSET = HEADLINE[:26]
 
 
 def main() -> None:
@@ -97,6 +105,13 @@ def main() -> None:
         "queries": timings,
         "warm_queries": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "n_queries": len(HEADLINE),
+        "r1_subset_total": round(
+            sum(timings.get(q, 0.0) for q in R1_SUBSET), 3
+        ),
+        "r1_subset_warm_total": round(
+            sum(warm.get(q, 0.0) for q in R1_SUBSET), 3
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

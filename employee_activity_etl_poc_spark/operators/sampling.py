@@ -102,6 +102,37 @@ def token_budget_mixture(
     )
 
 
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement, k per stratum —
+    Efraimidis-Spirakis A-ES: each row scores ``u(salt,key)^(1/w)`` and the
+    top-k scores per stratum are the sample, giving inclusion probability
+    proportional to weight with NO sequential pass (one window per
+    stratum, fully distributed — the trick that makes weighted reservoir
+    sampling embarrassingly parallel). Deterministic via the key hash:
+    repartition-stable and replayable by the SQL oracle (pow of identical
+    doubles). Ties (identical score) break by key for stability."""
+    from pyspark.sql import Window
+
+    u = uniform(salt, F.col(key_col))
+    score = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("_score").desc(), F.col(key_col)
+    )
+    return (
+        df.withColumn("_score", score)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_score", "_rn")
+    )
+
+
 def assign_shards(
     df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"
 ) -> DataFrame:

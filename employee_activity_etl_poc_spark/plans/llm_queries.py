@@ -492,6 +492,43 @@ def documents_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_weighted_sample",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tok,
+             pow(CAST('0x' || substr(md5('wrs|' || doc_id::VARCHAR), 1, 8) AS BIGINT)
+                 / 4294967296.0,
+                 1.0 / CAST(n_tok AS DOUBLE)) AS s
+      FROM t
+    )
+    SELECT doc_id, lang, n_tok FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY s DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="Weighted sampling without replacement, 10 docs per language with "
+    "inclusion odds ∝ token count — Efraimidis-Spirakis A-ES "
+    "(score = u^(1/w), top-k per stratum): the distributed, one-window "
+    "form of weighted reservoir sampling, deterministic via the key hash "
+    "and exactly replayed by the oracle.",
+    tags=("llm", "sampling", "scale"),
+)
+def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample_per_stratum
+    from ..operators.textops import n_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", n_tokens("text").alias("n_tok")
+    )
+    return weighted_sample_per_stratum(
+        docs, "doc_id", "lang", "n_tok", k=10
+    ).select("doc_id", "lang", "n_tok")
+
+
 _MIX_WEIGHTS = {"en": 0.4, "fr": 0.2, "de": 0.15, "es": 0.15, "zh": 0.1}
 _MIX_BUDGET = 8000.0
 

@@ -529,3 +529,32 @@ def test_alternating_cc_matches_minlabel_and_handles_long_chains(spark):
     }
     # 30 edges 1-2 .. 30-31 span 31 nodes, all collapsing to component 1
     assert set(comp.values()) == {1} and len(comp) == 31
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES: with weights 100 vs 1 split 500/500, the k=50 sample is
+    dominated by heavy rows (inclusion odds ∝ weight); deterministic for
+    the fixed salt, repartition-invariant."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        weighted_sample_per_stratum,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.lit("s").alias("g"),
+        F.when(F.col("id") < 500, 100.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample_per_stratum(df, "k", "g", "w", k=50)
+    rows = out.collect()
+    assert len(rows) == 50
+    heavy = sum(1 for r in rows if r["k"] < 500)
+    assert heavy >= 40, f"only {heavy}/50 heavy rows sampled"
+    again = {
+        r["k"]
+        for r in weighted_sample_per_stratum(
+            df.repartition(17), "k", "g", "w", k=50
+        ).collect()
+    }
+    assert again == {r["k"] for r in rows}
