@@ -229,6 +229,42 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_json_props_stats",
+    """
+    SELECT event_type,
+           count(CASE WHEN k IS NOT NULL THEN 1 END) AS n_with_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           round(avg(k), 4) AS avg_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ) GROUP BY event_type
+    """,
+    doc="Semi-structured extraction from the events.props JSON column "
+    "(get_json_object path expr -> typed stats per group): the "
+    "schema-on-read surface beyond the CDC envelope. At 100 TB prefer a "
+    "typed from_json(schema) projection materialized once over repeated "
+    "per-query path extraction — JSON parse is the dominant scan cost.",
+    tags=("json", "agg"),
+)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
     "event_type_user_grouping_sets",
     """
     SELECT COALESCE(CASE WHEN GROUPING(event_type) = 1 THEN NULL
