@@ -114,6 +114,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "error_in_signup_window",
     "events_session_1h",
     "hypertable_daily_rollup",
+    "events_hourly_gapfilled",
 )
 
 

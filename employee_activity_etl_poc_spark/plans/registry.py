@@ -1269,6 +1269,49 @@ def error_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hourly_gapfilled",
+    """
+    WITH b AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+             count(*) AS n, sum(value) AS total
+      FROM events WHERE user_id < 5 GROUP BY 1, 2
+    ),
+    r AS (SELECT user_id, min(bucket_us) AS mn, max(bucket_us) AS mx FROM b GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, 3600000000)) AS bucket_us
+      FROM r
+    ),
+    j AS (
+      SELECT g.user_id, g.bucket_us,
+             coalesce(b.n, 0) AS n, b.total
+      FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_us = b.bucket_us
+    )
+    SELECT user_id, bucket_us, CAST(n AS BIGINT) AS n,
+           round(last_value(total IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS total_ffill
+    FROM j
+    """,
+    doc="Resampling: dense per-user hourly grid from sparse events — "
+    "gap buckets appear with n=0 and the last observed hourly total "
+    "forward-filled (pandas resample().ffill() / Timescale "
+    "time_bucket_gapfill, which Spark lacks natively). sequence() explode "
+    "per key bounds grid size to the key's own span; one join + one "
+    "ordered window, no UDFs.",
+    tags=("timeseries", "window", "scale"),
+)
+def events_hourly_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.resample import resample_gapfill
+
+    ev = load(spark, sf_dir, "events").where(F.col("user_id") < 5)
+    out = resample_gapfill(ev, "ts", ["user_id"], "value", step_seconds=3600)
+    return out.select(
+        "user_id", "bucket_us", "n", F.round("total_ffill", 2).alias("total_ffill")
+    )
+
+
+@register(
     "hypertable_daily_rollup",
     """
     SELECT strftime(make_timestamp((epoch_us(ts) // 86400000000) * 86400000000),

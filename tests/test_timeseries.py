@@ -105,3 +105,31 @@ def test_hypertable_cascade_matches_direct(spark, sf_dir):
         .collect()
     }
     assert cascade == direct
+
+
+def test_resample_gapfill_known_gaps(spark):
+    """3 events in hours 0, 0, 3 -> grid of 4 buckets; gap hours carry
+    n=0 and the forward-filled total; leading data intact."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators.resample import resample_gapfill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 5.0),
+            (1, "2024-01-01 00:50:00", 7.0),
+            (1, "2024-01-01 03:20:00", 11.0),
+        ],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["bucket_us"]: (r["n"], r["total"], r["total_ffill"])
+        for r in resample_gapfill(df, "ts", ["user_id"], "value").collect()
+    }
+    base = 1704067200 * 1_000_000  # 2024-01-01 00:00 UTC
+    hour = 3_600_000_000
+    assert set(out) == {base, base + hour, base + 2 * hour, base + 3 * hour}
+    assert out[base] == (2, 12.0, 12.0)
+    assert out[base + hour] == (0, None, 12.0)       # gap: ffilled
+    assert out[base + 2 * hour] == (0, None, 12.0)   # gap: ffilled
+    assert out[base + 3 * hour] == (1, 11.0, 11.0)
