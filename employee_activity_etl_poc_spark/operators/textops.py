@@ -321,3 +321,42 @@ def doc_fingerprint(text: Column | str, k: int = 3) -> Column:
     doc's k-word shingles. Stable under reordering of equal content; cheap
     enough to compute at ingest for every document."""
     return F.array_min(F.transform(shingles(text, k), lambda s: F.md5(s)))
+
+
+def compression_ratio_features(
+    df: "DataFrame", text_col: str, id_col: str, level: int = 6
+) -> "DataFrame":
+    """zlib compression ratio per document — the classic redundancy signal
+    (boilerplate, keyword stuffing, and generated spam compress far
+    better than natural prose; CCNet/Gopher-style pipelines threshold on
+    exactly this).
+
+    Not expressible as column expressions, so this is a REAL Arrow-batched
+    ``mapInPandas`` path (unlike the multimodal decode stubs): one Python
+    worker per partition, whole-batch pandas ops, only (id, 3 numbers)
+    leave Python. Deterministic for a fixed zlib level. Output:
+    (id, n_bytes, n_compressed, ratio = compressed/raw, lower = more
+    redundant)."""
+    import pandas as pd  # noqa: F401 (worker-side import kept explicit)
+
+    schema = f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+
+    def comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            nb = raw.map(len)
+            nc = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": (nc / nb.clip(lower=1)).round(4),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(comp, schema)

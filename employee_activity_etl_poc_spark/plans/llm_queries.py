@@ -493,6 +493,24 @@ def documents_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_compression_ratio",
+    None,  # zlib is not SQL-expressible; rows-only check (deterministic
+    # for a fixed zlib level, asserted in tests against planted texts)
+    doc="zlib compression ratio per document (mapInPandas, Arrow-batched; "
+    "a REAL Python path, unlike the stubbed multimodal decodes) — the "
+    "classic redundancy/spam signal production pipelines threshold on: "
+    "boilerplate and generated spam compress far better than prose. Only "
+    "(id, 3 numbers) leave the Python worker.",
+    tags=("llm", "text", "pandas-udf"),
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textops import compression_ratio_features
+
+    docs = load(spark, sf_dir, "documents")
+    return compression_ratio_features(docs, "text", "doc_id")
+
+
+@register(
     "documents_weighted_sample",
     """
     WITH t AS (

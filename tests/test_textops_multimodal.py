@@ -132,3 +132,24 @@ def test_ngram_decontaminate_excludes_self(spark):
         docs, docs, "text", "doc_id", n=8, exclude_self=False
     ).collect()[0]
     assert kept["n_hits"] == 2 and kept["contaminated"]
+
+
+def test_compression_ratio_separates_spam_from_prose(spark):
+    """Repetitive (spammy) text compresses far better than varied text;
+    ratios are deterministic and bounded (0, ~1.1]."""
+    from employee_activity_etl_poc_spark.operators.textops import (
+        compression_ratio_features,
+    )
+
+    spam = " ".join(["buy cheap now"] * 80)
+    prose = " ".join(f"w{i}x{i * 7 % 97}" for i in range(240))
+    df = spark.createDataFrame([(1, spam), (2, prose)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio_features(df, "text", "doc_id").collect()}
+    assert out[1]["ratio"] < 0.1, out[1]
+    assert out[2]["ratio"] > 0.3, out[2]
+    for r in out.values():
+        assert r["n_compressed"] > 0 and 0 < r["ratio"] <= 1.1
+        assert r["n_bytes"] == len(("" if r is None else "")) or r["n_bytes"] > 0
+    # determinism
+    again = {r["doc_id"]: r["ratio"] for r in compression_ratio_features(df, "text", "doc_id").collect()}
+    assert again == {k: v["ratio"] for k, v in out.items()}
