@@ -528,16 +528,18 @@ def connected_components(
         .distinct()
         .localCheckpoint()  # also cuts the caller's pair-gen lineage
     )
+    # Fused round 0: label = min(self, min neighbor) directly from the
+    # edge list — one groupBy instead of an identity-label round.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
+        .localCheckpoint(eager=False)
     )
     # Convergence check: labels only ever DECREASE (min-propagation), so
     # the label sum is strictly monotone until fixpoint — an unchanged sum
     # means convergence. One scalar aggregate per round instead of a
-    # join+count diff.
+    # join+count diff; with eager=False it doubles as the checkpoint
+    # materialization, so each round runs ONE job, not two.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
@@ -554,7 +556,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         # previous rounds' checkpoint blocks are freed by the ContextCleaner
