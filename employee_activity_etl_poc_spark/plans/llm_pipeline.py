@@ -102,6 +102,40 @@ def ingest_document_batch(
     return IngestBatchResult(n_arrived, n_after_exact, n_losers, n_after_quality)
 
 
+def prune_signature_store(
+    spark: SparkSession,
+    workdir: str,
+    keep,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Retention + compaction for the incremental-dedup signature store:
+    keep only rows matching ``keep`` (a Column predicate over (doc, hs,
+    sig) — e.g. ``F.col("doc") >= horizon_id`` for an id-ordered corpus)
+    and rewrite the per-batch parquet fragments into right-sized files
+    (write-then-swap via a staging dir, same pattern as
+    ``compact_parquet``: readers mid-swap see old or new, never half).
+
+    Retention is a POLICY decision: docs pruned from the store can no
+    longer be collision partners, so later copies of them will NOT be
+    deduped — prune only past the horizon where re-ingest is impossible
+    (or where re-admitting ancient content is acceptable). Returns the
+    retained row count."""
+    import math
+    import shutil
+
+    store_path = os.path.join(workdir, "sigstore")
+    kept = spark.read.parquet(store_path).where(keep)
+    n = kept.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    staging = store_path + "__pruning"
+    kept.repartition(n_files).write.mode("overwrite").parquet(staging)
+    backup = store_path + "__pre_prune"
+    shutil.move(store_path, backup)
+    shutil.move(staging, store_path)
+    shutil.rmtree(backup)
+    return n
+
+
 def stream_document_ingest(
     spark: SparkSession,
     source_dir: str,

@@ -109,3 +109,50 @@ def test_streaming_ingest_foreach_batch(spark, sf_dir, tmp_path):
     n_rows = shards.count()
     run_once()
     assert spark.read.parquet(os.path.join(wd, "shards")).count() == n_rows
+
+
+def test_prune_signature_store_retention_semantics(spark, sf_dir, tmp_path):
+    """After pruning old docs from the store, copies of RETAINED docs are
+    still deduped; copies of PRUNED docs are re-admitted (the documented
+    policy trade) — and the store is compacted to few files."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        ingest_document_batch,
+        prune_signature_store,
+    )
+
+    # synthetic, mutually-dissimilar docs (corpus docs have natural
+    # near-dups that would confound the partner accounting below); long
+    # and stopword-rich enough to pass the quality/lang gate
+    texts = [
+        (
+            i,
+            "the quick report of " + " ".join(
+                f"item{i}x{j} of the set and value {i * 97 + j * 13}"
+                for j in range(40)
+            ),
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    wd = str(tmp_path / "ingest")
+    ingest_document_batch(spark, docs, wd)
+    kept = prune_signature_store(spark, wd, F.col("doc") >= 10)
+    store = spark.read.parquet(os.path.join(wd, "sigstore"))
+    assert store.count() == kept and store.where("doc < 10").count() == 0
+    files = [
+        f for f in os.listdir(os.path.join(wd, "sigstore")) if f.endswith(".parquet")
+    ]
+    assert len(files) == 1  # compacted
+
+    # batch 2: exact copies of doc 5 (pruned) and doc 50 (retained)
+    b2 = docs.where(F.col("doc_id").isin(5, 50)).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    r2 = ingest_document_batch(spark, b2, wd)
+    assert r2.n_near_dup_losers == 1  # only the copy of the retained doc
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    exported = {r["doc_id"] for r in shards.select("doc_id").distinct().collect()}
+    assert 300005 in exported  # pruned partner -> re-admitted
+    assert 300050 not in exported  # retained partner -> deduped
