@@ -532,3 +532,165 @@ def lsh_bucketed_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale ANN memory step
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 16,
+    k_codes: int = 16,
+    iterations: int = 8,
+    sample_cap: int = 10_000,
+) -> list[list[list[float]]]:
+    """Per-subspace PQ codebooks over L2-NORMALIZED vectors: split the
+    dimension into ``m`` contiguous subvectors and k-means each subspace
+    independently. Returns ``codebooks[m][k_codes] = subvector centroid``.
+
+    Training runs DRIVER-SIDE with numpy over a deterministic md5-ordered
+    sample (≤ ``sample_cap`` vectors) — the FAISS pattern: PQ codebooks
+    need a representative sample, not the corpus, and a driver-local
+    k-means over ≤10k × dim floats costs milliseconds where a
+    per-subspace distributed Lloyd costs 2·m Spark jobs. ENCODING (the
+    O(corpus) part) stays fully distributed in :func:`pq_encode`.
+    Deterministic: md5 sample order, farthest-point-style init from the
+    sample's own rows, fixed iteration count, no RNG."""
+    import numpy as np
+
+    sample = (
+        _with_norm(corpus, vec_col, id_col, "i", "v", "n")
+        .select(
+            F.col("i"),
+            F.transform(
+                F.col("v"),
+                lambda x: x / F.when(F.col("n") == 0, 1.0).otherwise(F.col("n")),
+            ).alias("v"),
+        )
+        .withColumn("h", F.md5(F.concat(F.lit("pqs_"), F.col("i").cast("string"))))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = np.array([list(r["v"]) for r in sample], dtype=np.float64)
+    dim = mat.shape[1]
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        x = mat[:, s * sub : (s + 1) * sub]
+        cents = x[: min(k_codes, len(x))].copy()
+        if len(cents) < k_codes:  # degenerate tiny corpus: pad by repeat
+            reps = -(-k_codes // len(cents))
+            cents = np.tile(cents, (reps, 1))[:k_codes]
+        for _ in range(iterations):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(0)
+        books.append([list(map(float, c)) for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame, id_col: str, vec_col: str, codebooks: list[list[list[float]]]
+) -> DataFrame:
+    """(id, codes: array<int> of length m): nearest codebook entry per
+    subspace of the normalized vector — the 4-bit-per-subspace compressed
+    corpus representation (m=8, k=16 → 4 bytes/vector vs 512 for fp64)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    unit = _with_norm(df, vec_col, id_col, "i", "v", "n").select(
+        "i",
+        F.transform(
+            F.col("v"), lambda x: x / F.when(F.col("n") == 0, 1.0).otherwise(F.col("n"))
+        ).alias("v"),
+    )
+    code_cols = []
+    for s, book in enumerate(codebooks):
+        sv = F.slice(F.col("v"), s * sub + 1, sub)
+        # nearest centroid by L2 == max dot - 0.5*||c||² (expand the square)
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(sv, F.array(*[F.lit(x) for x in c]))
+                        - F.lit(sum(x * x for x in c) / 2.0)
+                    ).alias("s"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(book)
+            ]
+        )
+        code_cols.append(F.reverse(F.array_sort(scored))[0]["i"])
+    return unit.select(F.col("i").alias(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    corpus lives as PQ codes (4 bytes/vector at m=8,k=16 — the 100×
+    memory step that makes billion-vector indexes RAM-resident); each
+    query precomputes a lookup table LUT[s][c] = <query_sub, codebook[s][c]>
+    ONCE (on the small query side, pre-join), and scoring a document is m
+    array lookups + adds — no floating dot against the corpus at all.
+    Candidates here are the whole corpus (flat PQ scan); compose with the
+    IVF cell join for IVF-PQ. Output contract matches the other topk
+    variants; ``sim`` is the ADC approximation of cosine."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, id_col, vec_col, m, k_codes)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    coded = pq_encode(corpus, id_col, vec_col, codebooks).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    qunit = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").select(
+        "query_id",
+        F.transform(
+            F.col("qv"),
+            lambda x: x / F.when(F.col("qn") == 0, 1.0).otherwise(F.col("qn")),
+        ).alias("qv"),
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    dot(
+                        F.slice(F.col("qv"), s * sub + 1, sub),
+                        F.array(*[F.lit(x) for x in c]),
+                    )
+                    for c in book
+                ]
+            )
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    q = qunit.select("query_id", lut.alias("lut"))
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        score = term if score is None else score + term
+    sims = (
+        coded.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(score, 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

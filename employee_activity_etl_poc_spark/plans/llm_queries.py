@@ -1297,6 +1297,26 @@ def embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_pq_topk",
+    None,  # numpy codebook training not SQL-expressible; rows-only check
+    doc="Flat product-quantization top-k by asymmetric distance: the "
+    "corpus lives as m=16 4-bit codes (8 bytes/vector — the 100x memory "
+    "step to RAM-resident billion-vector indexes); codebooks train "
+    "driver-side on an md5-deterministic sample (the FAISS pattern), "
+    "encoding and scoring stay distributed (per-query LUT precomputed "
+    "pre-join, scoring = m array lookups per pair). Planted-copy anchors "
+    "and a recall floor are pinned in tests; compose with the IVF cell "
+    "join for IVF-PQ.",
+    tags=("llm", "similarity", "scale"),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.pq_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+@register(
     "embedding_ann_ivf",
     None,  # centroid assignment not reasonably SQL-expressible; rows-only check
     doc="IVF-style approximate top-k: deterministic centroid sample, "

@@ -558,3 +558,47 @@ def test_weighted_sample_prefers_heavy_rows(spark):
         ).collect()
     }
     assert again == {r["k"] for r in rows}
+
+
+def test_pq_topk_codes_and_recall(spark, sf_dir):
+    """PQ correctness anchors: an exact copy shares every code (ADC score
+    = the query's max, ranks first), and flat-PQ recall@5 vs exact keeps
+    a floor even on unclustered vectors."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant an exact copy of vec 0 under id 900000
+    copy = emb.where(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copy)
+    books = SIM.train_pq_codebooks(corpus, "vec_id", "embedding")
+    codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in SIM.pq_encode(
+            corpus.where(F.col("vec_id").isin(0, 900000)), "vec_id", "embedding", books
+        ).collect()
+    }
+    assert codes[0] == codes[900000]
+    top = SIM.pq_topk(
+        corpus, corpus.where(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=1, codebooks=books,
+    ).collect()
+    assert top[0]["neighbor_id"] == 900000 and top[0]["rnk"] == 1
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = SIM.pq_topk(emb, queries, "vec_id", "embedding", k=5)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, p = sets(exact), sets(approx)
+    recall = sum(len(e[q] & p.get(q, set())) / len(e[q]) for q in e) / len(e)
+    # tiny-fixture floor (≈50 training vectors); measured 0.48 at sf0.01
+    assert recall >= 0.2, f"flat-PQ recall {recall}"
