@@ -694,3 +694,81 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    m: int = 16,
+    k_codes: int = 16,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ: the billion-scale composition — IVF cells bound WHICH
+    documents each query scores (cell equi-join, n_probe/n_centroids of
+    the corpus instead of all of it), PQ codes bound the COST of scoring
+    each one (m array lookups via the query's LUT). This is the FAISS
+    ``IVFx,PQy`` layout as two DataFrame joins; recall multiplies the two
+    stages' recalls, tune n_probe first (cells miss whole neighborhoods,
+    codes only blur ranks)."""
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(corpus, id_col, vec_col, m, k_codes)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cells = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").select(
+        "neighbor_id", _nearest_centroids(F.col("cv"), cents, 1)[0].alias("cell")
+    )
+    coded = (
+        pq_encode(corpus, id_col, vec_col, codebooks)
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(cells, "neighbor_id")
+    )
+    qunit = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").select(
+        "query_id",
+        F.transform(
+            F.col("qv"),
+            lambda x: x / F.when(F.col("qn") == 0, 1.0).otherwise(F.col("qn")),
+        ).alias("qv"),
+    )
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    dot(
+                        F.slice(F.col("qv"), s * sub + 1, sub),
+                        F.array(*[F.lit(x) for x in c]),
+                    )
+                    for c in book
+                ]
+            )
+            for s, book in enumerate(codebooks)
+        ]
+    )
+    q = qunit.select(
+        "query_id",
+        lut.alias("lut"),
+        F.explode(
+            _nearest_centroids(F.col("qv"), cents, n_probe)
+        ).alias("cell"),
+    )
+    score = None
+    for s in range(m):
+        term = F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        )
+        score = term if score is None else score + term
+    sims = (
+        coded.join(F.broadcast(q), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(score, 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

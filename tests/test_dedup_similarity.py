@@ -602,3 +602,41 @@ def test_pq_topk_codes_and_recall(spark, sf_dir):
     recall = sum(len(e[q] & p.get(q, set())) / len(e[q]) for q in e) / len(e)
     # tiny-fixture floor (≈50 training vectors); measured 0.48 at sf0.01
     assert recall >= 0.2, f"flat-PQ recall {recall}"
+
+
+def test_ivf_pq_planted_copy_and_recall_ordering(spark, sf_dir):
+    """IVF-PQ: the planted exact copy shares the query's cell AND codes,
+    so it ranks first; recall is bounded above by flat PQ (cells can only
+    lose candidates) but stays non-trivial with generous probing."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.where(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copy)
+    books = SIM.train_pq_codebooks(corpus, "vec_id", "embedding")
+    top = SIM.ivf_pq_topk(
+        corpus, corpus.where(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=1, codebooks=books,
+    ).collect()
+    assert top and top[0]["neighbor_id"] == 900000 and top[0]["rnk"] == 1
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = SIM.ivf_pq_topk(
+        emb, queries, "vec_id", "embedding", k=5,
+        n_centroids=4, n_probe=4, codebooks=books,  # probe-all: isolates PQ loss
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, p = sets(exact), sets(approx)
+    recall = sum(len(e[q] & p.get(q, set())) / len(e[q]) for q in e) / len(e)
+    assert recall >= 0.2, f"IVF-PQ probe-all recall {recall}"
