@@ -309,6 +309,50 @@ def _ivf_centroids(
     return [list(r["v"]) for r in rows]
 
 
+def _ivf_centroids_kcenter(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    sample_cap: int = 4096,
+    lloyd_iters: int = 4,
+) -> list[list[float]]:
+    """Spread-seeking centroid init: deterministic k-center greedy
+    (farthest-point traversal — the RNG-free analogue of k-means++ that
+    maximizes instead of samples the distance) over an md5-ordered sample,
+    then driver-side Lloyd refinement. Better cell balance than the plain
+    md5 pick on clustered data at the cost of one sample collect; the
+    whole thing is numpy over ≤``sample_cap`` rows (the FAISS train-on-a-
+    sample pattern, as in PQ training)."""
+    import numpy as np
+
+    rows = (
+        _as_double(corpus, vec_col)
+        .select(F.col(id_col).alias("i"), "v")
+        .withColumn("h", F.md5(F.col("i").cast("string")))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    k = min(n_centroids, len(x))
+    chosen = [0]  # md5-min row: deterministic anchor
+    d2 = ((x - x[0]) ** 2).sum(1)
+    for _ in range(1, k):
+        nxt = int(d2.argmax())
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(1))
+    cents = x[chosen].copy()
+    for _ in range(lloyd_iters):
+        dist = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = dist.argmin(1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cents[c] = x[mask].mean(0)
+    return [list(map(float, c)) for c in cents]
+
+
 def _nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Array of the ``n`` centroid indices nearest to ``vec`` (by dot
     product against literal centroid arrays — one fold per centroid,
@@ -410,6 +454,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    init: str = "md5",
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus rows live in the cell of their
     nearest centroid; each query probes its ``n_probe`` nearest cells.
@@ -417,10 +462,16 @@ def ivf_topk(
     Same scale shape as LSH bucketing (cell equi-join instead of cross
     product) but with data-adaptive cells — better recall on clustered
     embeddings; ``n_probe`` trades recall for cost. The centroid list is a
-    driver-side literal (n_centroids × dim floats), never a shuffle."""
+    driver-side literal (n_centroids × dim floats), never a shuffle.
+    ``init='kcenter'`` swaps the md5 sample pick for the deterministic
+    k-center greedy + Lloyd refinement (better cell balance on clustered
+    data; identical plan shape)."""
     from pyspark.sql import Window
 
-    cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    if init == "kcenter":
+        cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
+    else:
+        cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
     c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").withColumn(
         "cell", _nearest_centroids(F.col("cv"), cents, 1)[0]
     )
