@@ -72,8 +72,21 @@ def bronze_ingest(
     the lateness horizon) on the executors — the scale-safe version of the
     reference's unbounded, restart-lossy ``processed_ids`` set
     (``redPandaToDeltaLake.py:134,179-181``).
+
+    ``within_watermark=True`` switches to Spark 3.5+'s
+    ``dropDuplicatesWithinWatermark``: duplicates are collapsed even when
+    their EVENT TIMES differ (re-sends commonly re-stamp timestamps —
+    classic ``dropDuplicates`` treats those as distinct rows when the ts
+    column is part of identity, and keeps state keyed on first-seen event
+    time). State is still bounded by the watermark delay; the first
+    arrival wins.
     """
-    deduped = parsed.withWatermark(*watermark).dropDuplicates([dedup_key])
+    deduped = parsed.withWatermark(*watermark)
+    deduped = (
+        deduped.dropDuplicatesWithinWatermark([dedup_key])
+        if trigger_kwargs.pop("within_watermark", False)
+        else deduped.dropDuplicates([dedup_key])
+    )
     return write_stream(deduped, path, checkpoint, fmt=fmt, **trigger_kwargs)
 
 

@@ -735,3 +735,46 @@ def test_stream_stream_interval_join_left_outer(spark, tmp_path):
     got = {(r["click_id"], r["purchase_id"]) for r in out.collect()}
     assert ("c1", "p1") in got
     assert ("c3", None) in got, f"unconverted click not emitted: {got}"
+
+
+def test_dedup_within_watermark_collapses_restamped_resends(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (within_watermark=True): a re-send of
+    the same activity with a RE-STAMPED event time still collapses to one
+    bronze row — the case plain dropDuplicates on the key also handles,
+    but with state keyed on first-seen event time; the modern API expires
+    that state by the watermark instead of holding it forever."""
+    src = tmp_path / "topic"
+    sink = tmp_path / "bronze"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def act(aid: int, ts: str):
+        return spark.createDataFrame(
+            [(aid, 1, f"{ts}", "Tennis", None, f"{ts}", None)],
+            "activity_id long, employee_id long, start_s string, sport_type string,"
+            " distance_m long, end_s string, comment string",
+        ).select(
+            "activity_id",
+            "employee_id",
+            F.col("start_s").cast("timestamp").alias("start_ts"),
+            "sport_type",
+            "distance_m",
+            F.col("end_s").cast("timestamp").alias("end_ts"),
+            "comment",
+        )
+
+    batch = (
+        act(1, "2024-06-01 10:00:00")
+        # re-send of activity 1, re-stamped 5 minutes later
+        .unionByName(act(1, "2024-06-01 10:05:00"))
+        .unionByName(act(2, "2024-06-01 10:01:00"))
+    )
+    _write_json_batch(to_cdc_json(batch), str(src / "b0.json"))
+    stream = parse_cdc_envelope(file_cdc_stream(spark, str(src)))
+    q = bronze_ingest(
+        stream, str(sink), str(ckpt),
+        watermark=("start_ts", "1 hour"), within_watermark=True,
+    )
+    run_to_completion(q)
+    rows = spark.read.parquet(str(sink)).collect()
+    assert sorted(r["activity_id"] for r in rows) == [1, 2]
