@@ -43,6 +43,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # every plan changed this round — followed by a representative slice of the
 # relational catalog. Everything else keeps registration order after them.
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # Round-4 rotation: the 8 registry queries that have never appeared in
+    # the driver's gate window (verified locally every round via
+    # tools/check_oracle.py; rotated first so CORRECTNESS_r04 shows them).
+    "events_json_props_stats",
+    "event_type_user_grouping_sets",
+    "order_priority_check",
+    "promo_revenue_share",
+    "events_trailing_hour_sum",
+    "events_hourly_gapfilled",
+    "text_compression_ratio",
+    "embedding_pq_topk",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",
@@ -104,7 +115,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_after_watermark",
     "events_user_zscores",
     "event_value_histogram",
-    "events_trailing_hour_sum",
     # representative relational catalog
     "pricing_summary",
     "event_type_stats",
@@ -114,7 +124,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "error_in_signup_window",
     "events_session_1h",
     "hypertable_daily_rollup",
-    "events_hourly_gapfilled",
 )
 
 

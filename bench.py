@@ -103,7 +103,6 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "warm_queries": warm,
         "warm_total": round(sum(warm.values()), 3),
         "n_queries": len(HEADLINE),
         "r1_subset_total": round(
@@ -115,7 +114,15 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        payload["errors"] = errors
+        payload["n_errors"] = len(errors)
+    # Full detail (incl. per-query warm timings and error strings) goes to
+    # a sidecar so the stdout line stays short enough for the driver's
+    # capture window — BENCH_r03 showed a ~2.6k-char line getting its head
+    # truncated and failing the driver's parse.
+    details = dict(payload, warm_queries=warm, errors=errors)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAILS.json"), "w") as fh:
+        json.dump(details, fh, indent=1)
     print(json.dumps(payload))
     spark.stop()
     if errors:

@@ -183,9 +183,8 @@ def minhash_near_duplicates(
         # rare kinds even when their occurrences are not. Persist the
         # pre-prune frame: the DF aggregate AND the prune join both read
         # it — one tokenize+md5 pass, not two.
-        if persist:
-            hashed = hashed.persist()
-        exploded = hashed.select("doc", F.explode("hs").alias("h"))
+        pre_prune = hashed.persist() if persist else hashed
+        exploded = pre_prune.select("doc", F.explode("hs").alias("h"))
         frequent = (
             exploded.groupBy("h")
             .agg(F.count("*").alias("df"))
@@ -197,7 +196,14 @@ def minhash_near_duplicates(
             .groupBy("doc")
             .agg(F.collect_list("h").alias("hs"))
         )
-    if persist:
+        if persist:
+            # Materialize the pruned frame, then release the pre-prune
+            # cache — otherwise every call (e.g. per micro-batch) leaks one
+            # cached copy of the un-pruned shingle frame in executor storage.
+            hashed = hashed.persist()
+            hashed.count()
+            pre_prune.unpersist()
+    elif persist:
         hashed = hashed.persist()
     sigs = hashed.select(
         "doc", minhash_from_hashes(F.col("hs"), num_perm).alias("sig")
@@ -380,16 +386,49 @@ def simhash16(text: Column | str) -> Column:
     return simhash16_from_hashes(F.transform(tokens(text), _hash_long))
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n_bits: int = 16
+) -> DataFrame:
+    """(id, sig): ``n_bits`` simhash per doc via explode + ONE codegen'd
+    aggregation — the hot-path form. The per-bit higher-order-function
+    folds of :func:`simhash_from_hashes` run interpreted (no whole-stage
+    codegen), measured ~20× slower; this variant is result-identical (the
+    vote multiset is the same; ``explode_outer`` + null-guard keeps empty
+    docs at signature 0 like the fold's empty-array aggregate)."""
+    tok = df.select(
+        F.col(id_col).alias("_shid"),
+        F.explode_outer(tokens(F.col(text_col))).alias("w"),
+    ).withColumn("h", _hash_long(F.col("w")))
+    votes = tok.groupBy("_shid").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), 0)
+                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sig_expr = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig_expr = term if sig_expr is None else sig_expr + term
+    return votes.select(
+        F.col("_shid").alias(id_col), sig_expr.cast("long").alias("sig")
+    )
+
+
 def simhash_duplicate_groups(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
     """Docs sharing an identical simhash16: (simhash, n_docs, keeper_id).
-    Hamming-distance<=d probing = re-join with bit-flipped signatures."""
-    hashed = df.select(
-        F.transform(tokens(F.col(text_col)), _hash_long).alias("hs"), F.col(id_col)
-    )
+    Hamming-distance<=d probing = re-join with bit-flipped signatures.
+
+    Signatures come from :func:`simhash_signatures` (explode + codegen'd
+    conditional sums) — same values as the fold path, ~20× faster."""
     return (
-        hashed.select(simhash16_from_hashes(F.col("hs")).alias("simhash"), F.col(id_col))
+        simhash_signatures(df, text_col, id_col, 16)
+        .select(F.col("sig").alias("simhash"), F.col(id_col))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .where(F.col("n_docs") > 1)
@@ -421,32 +460,11 @@ def simhash_near_duplicate_pairs(
     Output: (doc_a, doc_b, hamming), doc_a < doc_b.
     """
     n_blocks = max_hamming + 1
-    # Signature via explode + ONE codegen'd aggregation, not the per-bit
-    # higher-order-function folds of :func:`simhash_from_hashes`: HOF
-    # lambdas run interpreted (no whole-stage codegen), so n_bits folds
-    # over every token array is ~20× slower than 32 conditional sums in a
-    # single groupBy. Result-identical (vote multiset is the same;
-    # explode_outer + null-guard keeps empty docs at signature 0 like the
-    # fold's empty-array aggregate).
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(tokens(F.col(text_col))).alias("w"),
-    ).withColumn("h", _hash_long(F.col("w")))
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").isNull(), 0)
-                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(n_bits)
-        ]
+    # Signature via the shared explode + codegen'd conditional-sum path
+    # (see :func:`simhash_signatures` for why not the HOF folds).
+    sig = simhash_signatures(df, text_col, id_col, n_bits).select(
+        F.col(id_col).alias("id"), "sig"
     )
-    sig_expr = None
-    for b in range(n_bits):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        sig_expr = term if sig_expr is None else sig_expr + term
-    sig = votes.select("id", sig_expr.cast("long").alias("sig"))
 
     base, rem = divmod(n_bits, n_blocks)
     block_cols, lo = [], 0

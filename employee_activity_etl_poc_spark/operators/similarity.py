@@ -88,11 +88,15 @@ def brute_force_topk(
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
-def near_duplicate_pairs(
+def near_duplicate_pairs_exact_small(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99
 ) -> DataFrame:
-    """Embedding near-dup pairs (a < b, cosine >= threshold). Brute force;
-    for scale, bucket with ``hyperplane_signature`` first."""
+    """Embedding near-dup pairs (a < b, cosine >= threshold) by BRUTE
+    FORCE — an ``id_a < id_b`` theta-join, i.e. a BroadcastNestedLoop /
+    cartesian at scale. The ``_exact_small`` suffix is deliberate: this is
+    the recall-1.0 oracle twin for tests and small corpora ONLY. The
+    default export under the natural name, :func:`near_duplicate_pairs`,
+    is the bucketed equi-join form."""
     a = _with_norm(df, vec_col, id_col, "id_a", "va", "na")
     b = _with_norm(df, vec_col, id_col, "id_b", "vb", "nb")
     return (
@@ -104,6 +108,26 @@ def near_duplicate_pairs(
         )
         .where(F.col("s") >= threshold)
         .select("id_a", "id_b", F.round("s", 4).alias("sim"))
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    multi_probe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs under the natural name = the SCALE-SAFE
+    bucketed form (:func:`bucketed_near_duplicate_pairs`): hyperplane-LSH
+    candidate buckets + exact cosine verify, a plain equi-join. The brute
+    O(n²) twin lives under the explicit
+    :func:`near_duplicate_pairs_exact_small` name so the cartesian cannot
+    be reached by accident."""
+    return bucketed_near_duplicate_pairs(
+        df, id_col, vec_col, dim, threshold, n_planes, multi_probe
     )
 
 
@@ -653,33 +677,45 @@ def pq_encode(
 ) -> DataFrame:
     """(id, codes: array<int> of length m): nearest codebook entry per
     subspace of the normalized vector — the 4-bit-per-subspace compressed
-    corpus representation (m=8, k=16 → 4 bytes/vector vs 512 for fp64)."""
+    corpus representation (m=8, k=16 → 4 bytes/vector vs 512 for fp64).
+
+    Encoding is the O(corpus) stage of PQ, so it runs in the Arrow/BLAS
+    tier (same as :func:`brute_force_topk_vectorized`): one
+    ``(batch × k_codes)`` matmul per subspace per Arrow batch, instead of
+    the interpreted ``array_sort(array(struct...))`` argmin fold the
+    expression form would pay per row. Nearest-by-L2 is computed as
+    ``max(dot − ½‖c‖²)`` (expand the square); ties break to the LARGER
+    code index — parity with the struct-ordering form, so results are
+    deterministic and engine-stable."""
+    import numpy as np
+    import pandas as pd
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    unit = _with_norm(df, vec_col, id_col, "i", "v", "n").select(
-        "i",
-        F.transform(
-            F.col("v"), lambda x: x / F.when(F.col("n") == 0, 1.0).otherwise(F.col("n"))
-        ).alias("v"),
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    half_sq = [0.5 * (b * b).sum(axis=1) for b in books]
+    k = books[0].shape[0]
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            x = x / n
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for s in range(m):
+                scores = x[:, s * sub : (s + 1) * sub] @ books[s].T
+                scores -= half_sq[s][None, :]
+                # argmax with ties to the larger index: argmax over the
+                # reversed axis picks the LAST maximum of the original
+                codes[:, s] = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+            yield pd.DataFrame({"i": pdf["i"], "codes": list(codes.tolist())})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    unit = _as_double(df, vec_col).select(F.col(id_col).alias("i"), "v")
+    return unit.mapInPandas(encode, schema=f"i {id_type}, codes array<int>").select(
+        F.col("i").alias(id_col), "codes"
     )
-    code_cols = []
-    for s, book in enumerate(codebooks):
-        sv = F.slice(F.col("v"), s * sub + 1, sub)
-        # nearest centroid by L2 == max dot - 0.5*||c||² (expand the square)
-        scored = F.array(
-            *[
-                F.struct(
-                    (
-                        dot(sv, F.array(*[F.lit(x) for x in c]))
-                        - F.lit(sum(x * x for x in c) / 2.0)
-                    ).alias("s"),
-                    F.lit(i).alias("i"),
-                )
-                for i, c in enumerate(book)
-            ]
-        )
-        code_cols.append(F.reverse(F.array_sort(scored))[0]["i"])
-    return unit.select(F.col("i").alias(id_col), F.array(*code_cols).alias("codes"))
 
 
 def pq_topk(

@@ -12,16 +12,28 @@ Batch lifecycle (run per arrival, e.g. inside ``foreachBatch``):
 1. exact-dup drop WITHIN the batch (cheapest first),
 2. near-dup drop: sign the batch, band-join against the persisted
    signature STORE ∪ batch (``minhash_incremental_pairs``) — per-batch
-   cost O(|batch|), never O(corpus); losers are the pair members with the
-   larger id (min-id survivor policy, consistent with exact dedup),
+   cost O(|batch|), never O(corpus). Survivor policy: a pair spanning
+   store and batch always drops the BATCH member (the store doc was
+   already exported by an earlier batch and cannot be retracted);
+   within-batch pairs drop the larger id (min-id policy). Guarantee: AT
+   MOST ONE representative of each near-dup cluster is ever exported,
+   regardless of arrival batching or id order; when ids are monotone
+   across batches (the common ingest case) the surviving doc SET is
+   additionally batch-invariant, because the store member IS the min id,
 3. quality + language gate (pure column exprs),
 4. chunk survivors and export to key-hashed training shards (stable
    across re-runs: a doc re-exported lands in the same shard),
 5. append the batch's signatures (including losers' — future dups of a
    dropped doc must still collide with SOMETHING) to the store.
 
-Everything is deterministic: re-running a batch is idempotent, and the
-final corpus is independent of how arrivals were batched (tested).
+Idempotency: ``foreachBatch`` is AT-LEAST-ONCE — a crash after the sink
+writes but before the checkpoint commits replays the micro-batch. The
+streaming path therefore keys both persistent sinks by ``batch_id``
+(``shards/batch=<id>/``, ``sigstore/batch=<id>/``, written with
+overwrite): a replay overwrites its own previous attempt instead of
+appending a duplicate — the standard foreachBatch exactly-once pattern.
+The batch API (no ``batch_id``) keeps plain appends; use one mode
+consistently per ``workdir``.
 """
 
 from __future__ import annotations
@@ -45,6 +57,26 @@ class IngestBatchResult:
     n_after_quality: int
 
 
+def _recover_sigstore(store_path: str) -> None:
+    """Startup recovery for a crash mid-way through
+    :func:`prune_signature_store`'s write-then-swap: a leftover
+    ``__pre_prune`` backup either replaces a missing store (crash between
+    the two moves) or is discarded (crash after the swap, before cleanup);
+    an incomplete ``__pruning`` staging dir is always discarded (the prune
+    simply re-runs)."""
+    import shutil
+
+    backup = store_path + "__pre_prune"
+    staging = store_path + "__pruning"
+    if os.path.isdir(backup):
+        if not os.path.isdir(store_path):
+            shutil.move(backup, store_path)
+        else:
+            shutil.rmtree(backup)
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+
+
 def ingest_document_batch(
     spark: SparkSession,
     batch: DataFrame,
@@ -53,15 +85,26 @@ def ingest_document_batch(
     keep_langs: tuple[str, ...] = ("en", "fr", "de", "es"),
     n_shards: int = 4,
     jaccard_threshold: float = 0.5,
+    batch_id: int | None = None,
 ) -> IngestBatchResult:
     """Run one arrival batch (columns: doc_id, text) through the pipeline.
 
     ``workdir`` holds the two persistent artifacts between batches:
     ``sigstore/`` (the minhash signature table) and ``shards/`` (the
     training corpus, appended per batch).
+
+    ``batch_id`` (the streaming path passes foreachBatch's epoch id) keys
+    both sinks by batch — ``shards/batch=<id>/`` and
+    ``sigstore/batch=<id>/`` written with OVERWRITE — so an at-least-once
+    replay of the micro-batch overwrites its own previous attempt instead
+    of appending duplicates. The store read excludes the current batch's
+    own partition (a failed prior attempt must not make the batch collide
+    with itself). Without ``batch_id`` the sinks are plain appends
+    (idempotency is then the caller's contract); use one mode per workdir.
     """
     store_path = os.path.join(workdir, "sigstore")
     shards_path = os.path.join(workdir, "shards")
+    _recover_sigstore(store_path)
 
     n_arrived = batch.count()
     deduped = D.drop_exact_duplicates(batch, "text", "doc_id")
@@ -70,14 +113,37 @@ def ingest_document_batch(
     sigs = D.minhash_signature_table(deduped, "text", "doc_id").persist()
     if os.path.isdir(store_path):
         store = spark.read.parquet(store_path)
+        if batch_id is not None and "batch" in store.columns:
+            # a replayed batch's stale signatures are partition-pruned out
+            store = store.where(F.col("batch") != F.lit(batch_id))
+        store = store.select("doc", "hs", "sig")
     else:
         store = sigs.limit(0)
     pairs = D.minhash_incremental_pairs(
         store, sigs, threshold=jaccard_threshold
     )
-    # min-id survivor policy: the larger id of every near-dup pair loses
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # Survivor policy: a pair spanning store and batch drops the BATCH
+    # member — the store doc was already exported by an earlier batch and
+    # cannot be retracted, so dropping it would keep both copies while
+    # claiming one lost. Within-batch pairs (both members new) drop the
+    # larger id (min-id policy, consistent with exact dedup). doc_b∈batch
+    # covers both batch×batch pairs (doc_b is the larger id) and
+    # store(a)×batch(b); otherwise doc_b is a store doc and doc_a must be
+    # the batch member (every incremental pair has one).
+    batch_b = sigs.select(F.col("doc").alias("doc_b"))
+    losers = (
+        pairs.join(batch_b, "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .unionByName(
+            pairs.join(batch_b, "doc_b", "left_anti").select(
+                F.col("doc_a").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
     survivors = deduped.join(losers, "doc_id", "left_anti")
+    # every loser is a batch member, so the count equals docs actually
+    # dropped from THIS batch (store-side pair members are never counted)
     n_losers = losers.count()
 
     gated = (
@@ -92,12 +158,24 @@ def ingest_document_batch(
     chunks = chunk_tokens(gated, "text", "doc_id").join(
         gated.select("doc_id", "quality", "lang"), "doc_id"
     )
-    write_training_shards(
-        chunks, shards_path, "doc_id", n_shards=n_shards, mode="append"
-    )
-    # append ALL batch signatures (survivors AND losers): later copies of
-    # a dropped doc must still find a collision partner in the store
-    sigs.write.mode("append").parquet(store_path)
+    if batch_id is None:
+        write_training_shards(
+            chunks, shards_path, "doc_id", n_shards=n_shards, mode="append"
+        )
+        # append ALL batch signatures (survivors AND losers): later copies
+        # of a dropped doc must still find a collision partner in the store
+        sigs.write.mode("append").parquet(store_path)
+    else:
+        write_training_shards(
+            chunks,
+            os.path.join(shards_path, f"batch={batch_id}"),
+            "doc_id",
+            n_shards=n_shards,
+            mode="overwrite",
+        )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(store_path, f"batch={batch_id}")
+        )
     sigs.unpersist()
     return IngestBatchResult(n_arrived, n_after_exact, n_losers, n_after_quality)
 
@@ -113,7 +191,24 @@ def prune_signature_store(
     sig) — e.g. ``F.col("doc") >= horizon_id`` for an id-ordered corpus)
     and rewrite the per-batch parquet fragments into right-sized files
     (write-then-swap via a staging dir, same pattern as
-    ``compact_parquet``: readers mid-swap see old or new, never half).
+    ``compact_parquet``).
+
+    Swap atomicity: the swap is two directory moves, so there IS a window
+    (microseconds) where ``sigstore/`` does not exist, and a crash between
+    the moves strands the store at ``sigstore__pre_prune``. Both cases are
+    handled: the ingest path and this function call
+    :func:`_recover_sigstore` first, which restores a stranded backup and
+    discards incomplete staging output — so a crashed prune never loses
+    data and simply re-runs. (A reader outside this module racing the swap
+    on a shared filesystem should retry on missing-path; plain local/HDFS
+    directory moves cannot be made jointly atomic without an indirection
+    pointer, which the single-writer ingest lifecycle does not need.)
+
+    If the store is batch-partitioned (the streaming path's
+    ``batch=<id>/`` layout), the compacted output is written as a single
+    ``batch=-1`` partition so the layout stays partition-discoverable and
+    later per-batch writes/replay pruning keep working (-1 never collides
+    with a real foreachBatch epoch id).
 
     Retention is a POLICY decision: docs pruned from the store can no
     longer be collision partners, so later copies of them will NOT be
@@ -124,11 +219,16 @@ def prune_signature_store(
     import shutil
 
     store_path = os.path.join(workdir, "sigstore")
-    kept = spark.read.parquet(store_path).where(keep)
+    _recover_sigstore(store_path)
+    batch_layout = any(
+        f.startswith("batch=") for f in os.listdir(store_path)
+    )
+    kept = spark.read.parquet(store_path).where(keep).select("doc", "hs", "sig")
     n = kept.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     staging = store_path + "__pruning"
-    kept.repartition(n_files).write.mode("overwrite").parquet(staging)
+    out_dir = os.path.join(staging, "batch=-1") if batch_layout else staging
+    kept.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     backup = store_path + "__pre_prune"
     shutil.move(store_path, backup)
     shutil.move(staging, store_path)
@@ -148,15 +248,20 @@ def stream_document_ingest(
     arriving documents (parquet files dropped into ``source_dir``) runs
     :func:`ingest_document_batch` inside ``foreachBatch`` — the signature
     store carries dedup state across batches AND restarts (it lives in
-    ``workdir``, not executor memory), and the source checkpoint guarantees
-    each file is processed exactly once. Returns the started query."""
+    ``workdir``, not executor memory), and the source checkpoint plus the
+    batch-id-keyed sinks (see :func:`ingest_document_batch`) make each
+    micro-batch exactly-once end to end: a replay after a crash between
+    sink write and checkpoint commit overwrites its own partition instead
+    of appending duplicates. Returns the started query."""
     schema = "doc_id long, text string"
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ingest_document_batch(spark, batch_df, workdir, **pipeline_kwargs)
+        ingest_document_batch(
+            spark, batch_df, workdir, batch_id=batch_id, **pipeline_kwargs
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)

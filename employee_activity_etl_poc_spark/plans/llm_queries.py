@@ -1281,18 +1281,37 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_topk_vectorized",
-    None,  # fp sum order differs from the fold variant by ulps; the pair-set
-    # equality is asserted in tests instead of the value-hash gate
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(e.v, q.qv), 4) AS sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
     doc="Exact top-k via Arrow-vectorized numpy matmul in mapInPandas — "
     "the BLAS path for when |corpus|×|queries| makes interpreted folds the "
-    "bottleneck; tests assert identical (query, neighbor, rank) sets to "
-    "the JVM fold variant.",
+    "bottleneck. Gated at sim_decimals=4 so BLAS-vs-fold summation-order "
+    "ulps cannot flip the rounding and the value hash is stable (rank ties "
+    "at 4 decimals break on neighbor_id in both engines); tests also "
+    "assert identical (query, neighbor, rank) sets to the JVM fold "
+    "variant at the default 6 decimals.",
     tags=("llm", "similarity", "pandas-udf"),
 )
 def embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return SIM.brute_force_topk_vectorized(
-        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        "vec_id",
+        "embedding",
+        k=5,
+        sim_decimals=4,
     ).select("query_id", "neighbor_id", "sim", "rnk")
 
 

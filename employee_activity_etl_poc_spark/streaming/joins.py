@@ -43,13 +43,16 @@ def stream_interval_join(
     the "click that never converted" row. Outer emission REQUIRES both
     watermarks and the time bound (Spark analysis error otherwise).
 
-    Column naming: right's key and ts are aliased ``r_<key>``/``r_<ts>``
-    pre-join, so the output schema is stable and collision-free.
+    Column naming: right's key and ts — and ANY right column whose name
+    also exists on the left (e.g. both sides carrying a non-key ``value``)
+    — are aliased ``r_<name>`` pre-join, so the output schema is stable
+    and collision-free; right-only names pass through unchanged.
     """
+    renamed = set(left.columns) | {key, right_ts}
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark).select(
         *[
-            F.col(c).alias(f"r_{c}") if c in (key, right_ts) else F.col(c)
+            F.col(c).alias(f"r_{c}") if c in renamed else F.col(c)
             for c in right.columns
         ]
     )

@@ -160,8 +160,16 @@ def test_lsh_bucket_same_vector_same_bucket(spark):
 def test_near_duplicate_pairs(spark):
     v = [0.1, 0.2, 0.3]
     corpus = _vecs(spark, [(1, v), (2, v), (3, [9.0, -3.0, 0.5])])
-    pairs = SIM.near_duplicate_pairs(corpus, "vec_id", "embedding", threshold=0.99).collect()
+    pairs = SIM.near_duplicate_pairs_exact_small(
+        corpus, "vec_id", "embedding", threshold=0.99
+    ).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    # the natural name routes to the scale-safe bucketed form and agrees
+    # on exact copies (identical signatures share every bucket)
+    bucketed = SIM.near_duplicate_pairs(
+        corpus, "vec_id", "embedding", dim=3, threshold=0.99
+    ).collect()
+    assert [(p["id_a"], p["id_b"]) for p in bucketed] == [(1, 2)]
 
 
 def test_ivf_topk_recall_floor(spark, sf_dir):
@@ -465,7 +473,7 @@ def test_simhash_hamming_catches_one_word_change(spark):
 def test_bucketed_near_dup_matches_brute_force(spark, sf_dir):
     from employee_activity_etl_poc_spark.operators.similarity import (
         bucketed_near_duplicate_pairs,
-        near_duplicate_pairs,
+        near_duplicate_pairs_exact_small,
     )
     from employee_activity_etl_poc_spark.sources.readers import load_table
 
@@ -475,7 +483,9 @@ def test_bucketed_near_dup_matches_brute_force(spark, sf_dir):
     )
     brute = {
         (r["id_a"], r["id_b"], r["sim"])
-        for r in near_duplicate_pairs(corpus, "vec_id", "embedding", 0.99).collect()
+        for r in near_duplicate_pairs_exact_small(
+            corpus, "vec_id", "embedding", 0.99
+        ).collect()
     }
     bucketed_rows = bucketed_near_duplicate_pairs(
         corpus, "vec_id", "embedding", dim=64, threshold=0.99

@@ -41,7 +41,6 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     assert missing == {
         "embedding_ann_lsh",
         "embedding_ann_ivf",
-        "embedding_topk_vectorized",
         "embedding_pq_topk",  # numpy codebook training not SQL-expressible
         "text_compression_ratio",  # zlib not SQL-expressible
     }

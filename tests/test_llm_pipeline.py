@@ -73,6 +73,57 @@ def test_ingest_final_corpus_is_batching_invariant(spark, sf_dir, tmp_path):
     assert docs(wd_one) == docs(wd_two)
 
 
+def test_cross_batch_loser_is_batch_member_even_with_smaller_id(
+    spark, sf_dir, tmp_path
+):
+    """Non-monotone arrival: a new doc whose near-dup partner in the STORE
+    has a LARGER id must still lose (the store doc was already exported
+    and cannot be retracted) — and the loser count reflects only docs
+    actually dropped from the batch."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    # batch 1: originals shifted to LARGE ids; batch 2: near-copies at the
+    # original SMALL ids (smaller than their stored partners)
+    b1 = docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    b2 = docs.where(F.col("doc_id") < 15).select(
+        "doc_id",
+        F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+    )
+    wd = str(tmp_path / "ingest")
+    ingest_document_batch(spark, b1, wd)
+    r2 = ingest_document_batch(spark, b2, wd)
+    assert r2.n_near_dup_losers == 15, r2
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    exported = {r["doc_id"] for r in shards.select("doc_id").distinct().collect()}
+    # every small-id near-copy was dropped; its large-id store partner stays
+    assert not any(d < 15 for d in exported), "batch-side dup was exported"
+    assert any(d >= 500000 for d in exported)
+
+
+def test_batch_id_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch with the same
+    batch_id must overwrite its own prior attempt — identical shard and
+    sigstore contents, no self-collisions from the stale signatures."""
+    b1, b2 = _corpus(spark, sf_dir)
+    wd = str(tmp_path / "ingest")
+    ingest_document_batch(spark, b1, wd, batch_id=0)
+    first = ingest_document_batch(spark, b2, wd, batch_id=1)
+    shards_path = os.path.join(wd, "shards")
+    store_path = os.path.join(wd, "sigstore")
+    n_shard_rows = spark.read.parquet(shards_path).count()
+    n_store_rows = spark.read.parquet(store_path).count()
+    # replay batch 1 (crash-after-write, before checkpoint commit)
+    replay = ingest_document_batch(spark, b2, wd, batch_id=1)
+    assert replay == first  # same counts: stale own-partition sigs excluded
+    assert spark.read.parquet(shards_path).count() == n_shard_rows
+    assert spark.read.parquet(store_path).count() == n_store_rows
+    exported = {
+        r["doc_id"]
+        for r in spark.read.parquet(shards_path).select("doc_id").distinct().collect()
+    }
+    assert not any(100000 <= d < 200000 for d in exported)
+
+
 def test_streaming_ingest_foreach_batch(spark, sf_dir, tmp_path):
     """The pipeline under Structured Streaming: two files -> two
     micro-batches through foreachBatch; the store dedups across them and
