@@ -54,6 +54,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hourly_gapfilled",
     "text_compression_ratio",
     "embedding_pq_topk",
+    # new in round 4: t-digest sketch (exact values + bound booleans)
+    "event_value_tdigest",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

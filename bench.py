@@ -65,6 +65,8 @@ HEADLINE = [
     "dedup_exact_normalized",
     "embedding_quantized_topk",
     "events_trailing_hour_sum",
+    # round 4: mergeable percentile sketch
+    "event_value_tdigest",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

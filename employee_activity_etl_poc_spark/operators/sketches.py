@@ -1,0 +1,274 @@
+"""Mergeable quantile sketches (t-digest) — the 100 TB percentile path.
+
+Exact ``percentile`` buffers every group's values on one task; at 100 TB
+that is the memory wall. The t-digest (Dunning & Ertl, *Computing
+extremely accurate quantiles using t-digests*, 2019) keeps a bounded set
+of (mean, weight) centroids whose sizes shrink toward the tails (the k1
+scale function), giving relative-accuracy quantiles from O(δ) memory —
+and digests MERGE: per-partition sketches combine associatively, so the
+whole computation is one narrow pass + a tiny shuffle of ≤ δ centroids
+per partition, never a sort of the data.
+
+Spark shape (the mergeable-aggregate pattern, same as HLL/approx KLL):
+
+- stage 1 — ``tdigest_partition_sketches``: mapInPandas builds one digest
+  per PARTITION incrementally (buffer an Arrow batch, merge-compress into
+  the running centroid set — memory is O(batch + δ), never the
+  partition);
+- stage 2 — ``merge_tdigest_sketches``: the ≤ δ×P centroid rows shuffle
+  to ONE task (repartition(1)) which merges and interpolates the
+  requested quantiles. At 1000 executors this is a few-MB shuffle — the
+  tree-merge shape, no driver collect.
+
+The grouped form runs the same two stages keyed by (group, partition_id)
+then (group) via applyInPandas — each task holds one group's PARTIAL
+data, so a group larger than executor memory still sketches fine.
+
+Everything is deterministic: centroids are processed in sorted
+(mean, weight) order, no RNG, fixed compression δ — two runs over the
+same partitioning produce identical estimates (tests pin this, plus a
+rank-error bound against the exact form, the documented t-digest
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SKETCH_SCHEMA = "mean double, weight double, vmin double, vmax double"
+
+
+def _k1(q, delta: float):
+    """t-digest k1 scale function: δ/2π·asin(2q−1). Its unit steps bound
+    centroid size ∝ q(1−q) — fine near the tails, coarse in the middle."""
+    import numpy as np
+
+    return delta / (2.0 * np.pi) * np.arcsin(np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+
+def _compress(means, weights, delta: float):
+    """Merge a (mean, weight) multiset into ≤ ~δ centroids: sort by mean,
+    greedily absorb neighbors while the cluster's k1-span stays ≤ 1."""
+    import numpy as np
+
+    order = np.lexsort((weights, means))
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    q0 = 0.0  # quantile at the left edge of the current cluster
+    k0 = _k1(q0, delta)
+    for m, w in zip(means[1:], weights[1:]):
+        q2 = (q0 * total + cur_w + w) / total
+        if _k1(q2, delta) - k0 <= 1.0:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            q0 += cur_w / total
+            k0 = _k1(q0, delta)
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _digest_quantile(means, weights, vmin: float, vmax: float, p: float) -> float:
+    """Interpolated quantile from sorted centroids: each centroid's mean
+    sits at the midpoint of its weight span; linear between midpoints,
+    min/max anchor the tails (so p=0/1 are exact)."""
+    import numpy as np
+
+    total = float(weights.sum())
+    if total <= 0:
+        return float("nan")
+    t = p * total
+    centers = np.cumsum(weights) - weights / 2.0
+    if t <= centers[0]:
+        return vmin + (means[0] - vmin) * (t / centers[0]) if centers[0] > 0 else float(means[0])
+    if t >= centers[-1]:
+        span = total - centers[-1]
+        if span <= 0:
+            return float(vmax)
+        return float(
+            means[-1] + (vmax - means[-1]) * ((t - centers[-1]) / span)
+        )
+    i = int(np.searchsorted(centers, t))
+    frac = (t - centers[i - 1]) / (centers[i] - centers[i - 1])
+    return float(means[i - 1] + (means[i] - means[i - 1]) * frac)
+
+
+def _sketch_arrays(value_iter, delta: float):
+    """Incremental digest over an iterable of numpy value arrays.
+    Returns (means, weights, vmin, vmax) or None when no values."""
+    import numpy as np
+
+    means = np.empty(0)
+    weights = np.empty(0)
+    vmin, vmax = np.inf, -np.inf
+    for v in value_iter:
+        v = v[~np.isnan(v)]
+        if not len(v):
+            continue
+        vmin = min(vmin, float(v.min()))
+        vmax = max(vmax, float(v.max()))
+        means = np.concatenate([means, v])
+        weights = np.concatenate([weights, np.ones(len(v))])
+        means, weights = _compress(means, weights, delta)
+    if not len(means):
+        return None
+    return means, weights, vmin, vmax
+
+
+def tdigest_partition_sketches(
+    df: DataFrame, value_col: str, delta: float = 100.0
+) -> DataFrame:
+    """Stage 1: one t-digest per partition — rows (mean, weight, vmin,
+    vmax), ≤ ~δ centroids each. A narrow map pass: no shuffle, memory
+    O(Arrow batch + δ) regardless of partition size."""
+    import pandas as pd
+
+    def sketch(batches):
+        got = _sketch_arrays(
+            (pdf["v"].to_numpy(dtype=float) for pdf in batches), delta
+        )
+        if got is None:
+            return
+        means, weights, vmin, vmax = got
+        yield pd.DataFrame(
+            {"mean": means, "weight": weights, "vmin": vmin, "vmax": vmax}
+        )
+
+    return df.select(F.col(value_col).cast("double").alias("v")).mapInPandas(
+        sketch, schema=_SKETCH_SCHEMA
+    )
+
+
+def merge_tdigest_sketches(
+    sketches: DataFrame, percentiles: list[float], delta: float = 100.0
+) -> DataFrame:
+    """Stage 2: merge all partition sketches (associative centroid merge)
+    and interpolate the requested quantiles — (pct, value) rows. The
+    merge runs on ONE task via repartition(1): the input is ≤ δ centroids
+    per upstream partition, i.e. a few MB at thousand-executor scale."""
+    import pandas as pd
+
+    def merge(batches):
+        import numpy as np
+
+        all_m, all_w = [], []
+        vmin, vmax = np.inf, -np.inf
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            all_m.append(pdf["mean"].to_numpy(dtype=float))
+            all_w.append(pdf["weight"].to_numpy(dtype=float))
+            vmin = min(vmin, float(pdf["vmin"].min()))
+            vmax = max(vmax, float(pdf["vmax"].max()))
+        if not all_m:
+            return
+        means, weights = _compress(
+            np.concatenate(all_m), np.concatenate(all_w), delta
+        )
+        yield pd.DataFrame(
+            {
+                "pct": percentiles,
+                "value": [
+                    _digest_quantile(means, weights, vmin, vmax, p)
+                    for p in percentiles
+                ],
+            }
+        )
+
+    return sketches.repartition(1).mapInPandas(
+        merge, schema="pct double, value double"
+    )
+
+
+def tdigest_percentiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: list[float],
+    delta: float = 100.0,
+) -> DataFrame:
+    """Approximate quantiles of ``value_col`` from O(δ) memory per task:
+    (pct, value) rows. Rank error is bounded by the k1 scale function —
+    ≲ 1/δ in the middle, tighter toward the tails (tests assert ≤ 2%
+    observed rank error at δ=100 and exact p=0/1 endpoints)."""
+    return merge_tdigest_sketches(
+        tdigest_partition_sketches(df, value_col, delta), percentiles, delta
+    )
+
+
+def tdigest_percentiles_grouped(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    percentiles: list[float],
+    delta: float = 100.0,
+) -> DataFrame:
+    """Per-group approximate quantiles, fully mergeable: stage 1 digests
+    each (group, input-partition) slice via applyInPandas — a task never
+    holds more than one partition's share of one group — stage 2 merges
+    each group's partial digests and interpolates. Output: group cols +
+    (pct, value). This is the shape that replaces ``percentile`` when a
+    single group outgrows executor memory."""
+    import pandas as pd
+
+    group_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        got = _sketch_arrays([pdf[value_col].to_numpy(dtype=float)], delta)
+        if got is None:
+            return pd.DataFrame(
+                columns=[*group_cols, "mean", "weight", "vmin", "vmax"]
+            )
+        means, weights, vmin, vmax = got
+        out = pd.DataFrame(
+            {"mean": means, "weight": weights, "vmin": vmin, "vmax": vmax}
+        )
+        for c in group_cols:
+            out[c] = pdf[c].iloc[0]
+        return out[[*group_cols, "mean", "weight", "vmin", "vmax"]]
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        means, weights = _compress(
+            pdf["mean"].to_numpy(dtype=float),
+            pdf["weight"].to_numpy(dtype=float),
+            delta,
+        )
+        vmin = float(pdf["vmin"].min())
+        vmax = float(pdf["vmax"].max())
+        out = pd.DataFrame(
+            {
+                "pct": percentiles,
+                "value": [
+                    _digest_quantile(means, weights, vmin, vmax, p)
+                    for p in percentiles
+                ],
+            }
+        )
+        for c in group_cols:
+            out[c] = pdf[c].iloc[0]
+        return out[[*group_cols, "pct", "value"]]
+
+    partials = (
+        df.select(*group_cols, value_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy(*group_cols, "_pid")
+        .applyInPandas(
+            lambda pdf: partial(pdf),
+            schema=f"{group_schema}, {_SKETCH_SCHEMA}",
+        )
+    )
+    return partials.groupBy(*group_cols).applyInPandas(
+        lambda pdf: final(pdf),
+        schema=f"{group_schema}, pct double, value double",
+    )

@@ -305,6 +305,79 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_value_tdigest",
+    """
+    SELECT CAST(0.10 AS DOUBLE) AS pct,
+           round(quantile_cont(value, 0.10), 6) AS exact_value,
+           true AS rank_err_le_2pct FROM events
+    UNION ALL SELECT CAST(0.25 AS DOUBLE),
+           round(quantile_cont(value, 0.25), 6), true FROM events
+    UNION ALL SELECT CAST(0.50 AS DOUBLE),
+           round(quantile_cont(value, 0.50), 6), true FROM events
+    UNION ALL SELECT CAST(0.75 AS DOUBLE),
+           round(quantile_cont(value, 0.75), 6), true FROM events
+    UNION ALL SELECT CAST(0.90 AS DOUBLE),
+           round(quantile_cont(value, 0.90), 6), true FROM events
+    UNION ALL SELECT CAST(0.99 AS DOUBLE),
+           round(quantile_cont(value, 0.99), 6), true FROM events
+    """,
+    doc="t-digest percentile sketch (operators/sketches.py) gated against "
+    "the exact form: the query computes BOTH the exact percentiles "
+    "(hash-matched against DuckDB quantile_cont) AND the digest's "
+    "observed rank error |CDF(estimate) − p|, emitted as a boolean bound "
+    "check — a digest regression flips the boolean and fails the hash. "
+    "The sketch itself is the mergeable 100 TB path: per-partition "
+    "digests (no shuffle) + one ≤δ-centroid-per-partition merge; exact "
+    "percentile buffers each group on one task and cannot scale past "
+    "memory.",
+    tags=("agg", "percentile", "sketch", "scale"),
+)
+def event_value_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as SK
+
+    pcts = [0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
+    ev = load(spark, sf_dir, "events")
+    ev_v = ev.select(F.col("value").cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    est = SK.tdigest_percentiles(ev_v, "v", pcts).select(
+        "pct", F.col("value").alias("est")
+    )
+    # observed rank of each estimate: CDF(est) from one broadcast
+    # nested-loop of the 6-row estimate side against the values — the
+    # self-check costs one extra scan ×6, acceptable for a gate query
+    # (production would collect the 6 scalars instead)
+    cdf = (
+        ev_v.crossJoin(F.broadcast(est))
+        .groupBy("pct")
+        .agg(
+            (
+                F.sum(F.when(F.col("v") <= F.col("est"), 1).otherwise(0))
+                / F.count("*")
+            ).alias("cdf")
+        )
+    )
+    pct_lit = F.array(*[F.lit(p) for p in pcts])
+    exact = (
+        ev_v.agg(
+            F.expr(
+                "percentile(v, array(0.10, 0.25, 0.50, 0.75, 0.90, 0.99))"
+            ).alias("ex")
+        )
+        .select(F.posexplode("ex").alias("i", "ev"))
+        .select(
+            F.element_at(pct_lit, F.col("i") + 1).alias("pct"),
+            F.round("ev", 6).alias("exact_value"),
+        )
+    )
+    return exact.join(cdf, "pct").select(
+        "pct",
+        "exact_value",
+        (F.abs(F.col("cdf") - F.col("pct")) <= 0.02).alias("rank_err_le_2pct"),
+    )
+
+
+@register(
     "cdc_apply_snapshot",
     """
     WITH snapshot AS (
