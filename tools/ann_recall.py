@@ -89,6 +89,22 @@ def main() -> None:
                 f"ivf  n_centroids={n_centroids} n_probe={n_probe} "
                 f"recall@{k}={r:.3f} ~cand/query={est:.0f}"
             )
+    # fine-cell sweep (k-center init): same-or-lower candidate volume,
+    # higher recall — near neighbors concentrate in the query's top cells,
+    # and finer cells separate them from the bulk better than coarse ones
+    for n_centroids, n_probe in ((16, 8), (16, 12), (32, 16), (32, 20), (32, 24)):
+        r = recall(
+            SIM.ivf_topk(
+                emb, queries, "vec_id", "embedding",
+                k=k, n_centroids=n_centroids, n_probe=n_probe, init="kcenter",
+            ),
+            exact,
+        )
+        est = n_corpus / n_centroids * n_probe
+        print(
+            f"ivf-kcenter n_centroids={n_centroids} n_probe={n_probe} "
+            f"recall@{k}={r:.3f} ~cand/query={est:.0f}"
+        )
     spark.stop()
 
 
