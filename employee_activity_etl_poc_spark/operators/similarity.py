@@ -635,23 +635,16 @@ def train_pq_codebooks(
     O(corpus) part) stays fully distributed in :func:`pq_encode`.
     Deterministic: md5 sample order, farthest-point-style init from the
     sample's own rows, fixed iteration count, no RNG."""
+    mat = _normalized_sample(corpus, id_col, vec_col, sample_cap)
+    return _kmeans_subspaces(mat, m, k_codes, iterations)
+
+
+def _kmeans_subspaces(mat, m: int, k_codes: int, iterations: int):
+    """Driver-side per-subspace k-means over a sample matrix (the shared
+    trainer for plain and residual PQ): deterministic init from the
+    sample's own leading rows, fixed iterations, no RNG."""
     import numpy as np
 
-    sample = (
-        _with_norm(corpus, vec_col, id_col, "i", "v", "n")
-        .select(
-            F.col("i"),
-            F.transform(
-                F.col("v"),
-                lambda x: x / F.when(F.col("n") == 0, 1.0).otherwise(F.col("n")),
-            ).alias("v"),
-        )
-        .withColumn("h", F.md5(F.concat(F.lit("pqs_"), F.col("i").cast("string"))))
-        .orderBy("h")
-        .limit(sample_cap)
-        .collect()
-    )
-    mat = np.array([list(r["v"]) for r in sample], dtype=np.float64)
     dim = mat.shape[1]
     sub = dim // m
     books: list[list[list[float]]] = []
@@ -670,6 +663,61 @@ def train_pq_codebooks(
                     cents[c] = x[mask].mean(0)
         books.append([list(map(float, c)) for c in cents])
     return books
+
+
+def _normalized_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_cap: int
+):
+    """md5-deterministic sample of L2-normalized vectors as a numpy
+    matrix (the FAISS train-on-a-sample pattern, shared by PQ trainers)."""
+    import numpy as np
+
+    sample = (
+        _with_norm(corpus, vec_col, id_col, "i", "v", "n")
+        .select(
+            F.col("i"),
+            F.transform(
+                F.col("v"),
+                lambda x: x / F.when(F.col("n") == 0, 1.0).otherwise(F.col("n")),
+            ).alias("v"),
+        )
+        .withColumn("h", F.md5(F.concat(F.lit("pqs_"), F.col("i").cast("string"))))
+        .orderBy("h")
+        .limit(sample_cap)
+        .collect()
+    )
+    return np.array([list(r["v"]) for r in sample], dtype=np.float64)
+
+
+def train_residual_pq(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    m: int = 16,
+    k_codes: int = 16,
+    iterations: int = 8,
+    sample_cap: int = 10_000,
+    coarse: list[list[float]] | None = None,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """(coarse_centroids, codebooks) for RESIDUAL product quantization —
+    the FAISS IVFx,PQy refinement: codebooks are trained on
+    ``v̂ − c(v̂)`` (the residual after subtracting the assigned coarse
+    centroid) instead of on v̂ itself. Residuals are smaller and far less
+    structured than raw vectors, so k_codes codewords spend their
+    resolution on the part of the vector the coarse quantizer has NOT
+    already explained — the standard reason residual PQ ranks better than
+    flat PQ at identical code size. Assignment uses max dot, matching
+    :func:`_nearest_centroids`."""
+    import numpy as np
+
+    if coarse is None:
+        coarse = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
+    mat = _normalized_sample(corpus, id_col, vec_col, sample_cap)
+    c_arr = np.array(coarse, dtype=np.float64)
+    assign = (mat @ c_arr.T).argmax(1)
+    res = mat - c_arr[assign]
+    return coarse, _kmeans_subspaces(res, m, k_codes, iterations)
 
 
 def pq_encode(
@@ -716,6 +764,56 @@ def pq_encode(
     return unit.mapInPandas(encode, schema=f"i {id_type}, codes array<int>").select(
         F.col("i").alias(id_col), "codes"
     )
+
+
+def pq_encode_residual(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """(id, cell, codes): residual-PQ encode in the Arrow/BLAS tier — the
+    normalized vector is assigned to its max-dot coarse centroid (the IVF
+    cell), the RESIDUAL ``v̂ − c_cell`` is what the codebooks encode.
+    One matmul for assignment + one per subspace per batch; same
+    larger-index tie-break as :func:`pq_encode`."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    half_sq = [0.5 * (b * b).sum(axis=1) for b in books]
+    k = books[0].shape[0]
+    c_arr = np.array(coarse, dtype=np.float64)
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            n[n == 0.0] = 1.0
+            x = x / n
+            cells = np.argmax(x @ c_arr.T, axis=1)
+            r = x - c_arr[cells]
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for s in range(m):
+                scores = r[:, s * sub : (s + 1) * sub] @ books[s].T
+                scores -= half_sq[s][None, :]
+                codes[:, s] = (k - 1) - np.argmax(scores[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {
+                    "i": pdf["i"],
+                    "cell": cells.astype(np.int64),
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    unit = _as_double(df, vec_col).select(F.col(id_col).alias("i"), "v")
+    return unit.mapInPandas(
+        encode, schema=f"i {id_type}, cell int, codes array<int>"
+    ).select(F.col("i").alias(id_col), "cell", "codes")
 
 
 def pq_topk(
@@ -794,6 +892,7 @@ def ivf_pq_topk(
     m: int = 16,
     k_codes: int = 16,
     codebooks: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the billion-scale composition — IVF cells bound WHICH
     documents each query scores (cell equi-join, n_probe/n_centroids of
@@ -801,22 +900,40 @@ def ivf_pq_topk(
     each one (m array lookups via the query's LUT). This is the FAISS
     ``IVFx,PQy`` layout as two DataFrame joins; recall multiplies the two
     stages' recalls, tune n_probe first (cells miss whole neighborhoods,
-    codes only blur ranks)."""
+    codes only blur ranks).
+
+    ``residual=True`` switches to RESIDUAL PQ (the form FAISS actually
+    uses inside IVF): codebooks are trained on and encode ``v̂ − c_cell``,
+    and the ADC score becomes ``<q, c_cell> + Σ LUT[s][code_s]`` — the
+    per-(query, cell) constant ``<q, c_cell>`` is computed once on the
+    tiny exploded query side. Residuals are smaller and less structured
+    than raw vectors, so the same code budget ranks better; coarse
+    centroids come from the k-center+Lloyd init."""
     from pyspark.sql import Window
 
-    if codebooks is None:
-        codebooks = train_pq_codebooks(corpus, id_col, vec_col, m, k_codes)
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    cells = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").select(
-        "neighbor_id", _nearest_centroids(F.col("cv"), cents, 1)[0].alias("cell")
-    )
-    coded = (
-        pq_encode(corpus, id_col, vec_col, codebooks)
-        .withColumnRenamed(id_col, "neighbor_id")
-        .join(cells, "neighbor_id")
-    )
+    if residual:
+        cents, codebooks = train_residual_pq(
+            corpus, id_col, vec_col, n_centroids, m, k_codes
+        )
+        m = len(codebooks)
+        sub = len(codebooks[0][0])
+        coded = pq_encode_residual(
+            corpus, id_col, vec_col, cents, codebooks
+        ).withColumnRenamed(id_col, "neighbor_id")
+    else:
+        if codebooks is None:
+            codebooks = train_pq_codebooks(corpus, id_col, vec_col, m, k_codes)
+        m = len(codebooks)
+        sub = len(codebooks[0][0])
+        cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        cells = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").select(
+            "neighbor_id", _nearest_centroids(F.col("cv"), cents, 1)[0].alias("cell")
+        )
+        coded = (
+            pq_encode(corpus, id_col, vec_col, codebooks)
+            .withColumnRenamed(id_col, "neighbor_id")
+            .join(cells, "neighbor_id")
+        )
     qunit = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").select(
         "query_id",
         F.transform(
@@ -840,11 +957,20 @@ def ivf_pq_topk(
     )
     q = qunit.select(
         "query_id",
+        "qv",
         lut.alias("lut"),
         F.explode(
             _nearest_centroids(F.col("qv"), cents, n_probe)
         ).alias("cell"),
     )
+    if residual:
+        # per-(query, cell) constant <q, c_cell>: one literal-array dot on
+        # the exploded query side (|queries| × n_probe rows, never corpus)
+        cell_dots = F.array(
+            *[dot(F.col("qv"), F.array(*[F.lit(x) for x in c])) for c in cents]
+        )
+        q = q.withColumn("cdot", F.element_at(cell_dots, F.col("cell") + 1))
+    q = q.drop("qv")
     score = None
     for s in range(m):
         term = F.element_at(
@@ -852,6 +978,8 @@ def ivf_pq_topk(
             F.element_at(F.col("codes"), s + 1) + 1,
         )
         score = term if score is None else score + term
+    if residual:
+        score = score + F.col("cdot")
     sims = (
         coded.join(F.broadcast(q), "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))

