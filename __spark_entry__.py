@@ -54,8 +54,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hourly_gapfilled",
     "text_compression_ratio",
     "embedding_pq_topk",
-    # new in round 4: t-digest sketch (exact values + bound booleans)
+    # new in round 4: sketches (t-digest / Misra-Gries / HLL gates)
     "event_value_tdigest",
+    "events_heavy_hitter_users",
+    "events_distinct_users_hll",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -203,6 +203,98 @@ def tdigest_percentiles(
     )
 
 
+def _mg_compress(counts: dict, k: int) -> None:
+    """Weighted Misra-Gries compression in place: subtract the (k+1)-th
+    largest weight from every counter and drop the non-positive ones —
+    the weighted decrement step (Agarwal et al., *Mergeable Summaries*,
+    PODS'12). Total undercount per item across any stream/merge order is
+    ≤ n/(k+1)."""
+    if len(counts) <= k:
+        return
+    ws = sorted(counts.values(), reverse=True)
+    sub = ws[k]
+    for key in list(counts):
+        counts[key] -= sub
+        if counts[key] <= 0:
+            del counts[key]
+
+
+def frequent_item_candidates(
+    df: DataFrame, item_col: str, k: int
+) -> DataFrame:
+    """Misra-Gries candidate set: ≤ ``k`` (item) rows guaranteed to
+    contain EVERY item with true count > n/(k+1). Two mergeable stages,
+    the same shape as the t-digest: per-partition MG summaries (memory
+    O(Arrow batch distinct + k), one narrow pass), then the ≤ k-rows-per-
+    partition summaries merge on one task. The candidates are a SUPERSET
+    with undercounted weights — pair with an exact verification pass
+    (:func:`heavy_hitters`) for exact final answers."""
+    import pandas as pd
+
+    item_type = df.schema[item_col].dataType.simpleString()
+
+    def partial(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            _mg_compress(counts, k)
+        if counts:
+            yield pd.DataFrame(
+                {"item": list(counts), "weight": list(counts.values())}
+            )
+
+    def merge(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for item, w in zip(pdf["item"], pdf["weight"]):
+                counts[item] = counts.get(item, 0) + int(w)
+            _mg_compress(counts, k)
+        if counts:
+            yield pd.DataFrame({"item": list(counts)})
+
+    partials = (
+        df.select(F.col(item_col).alias("item"))
+        .where(F.col("item").isNotNull())
+        .mapInPandas(partial, schema=f"item {item_type}, weight long")
+    )
+    return partials.repartition(1).mapInPandas(
+        merge, schema=f"item {item_type}"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, den: int, k: int | None = None
+) -> DataFrame:
+    """EXACT heavy hitters — (item, n) for every item with count·den >
+    total — via the two-pass sketch: Misra-Gries candidates (bounded
+    memory, mergeable) then an exact count of candidates only. Because
+    the MG guarantee makes the candidate set a superset of every item
+    above total/(k+1) and ``k`` defaults to 2·den, the final output is
+    EXACTLY the true heavy-hitter set — the sketch bounds memory, not
+    accuracy, so the result hash-matches a plain GROUP BY/HAVING oracle.
+
+    At 100 TB: pass 1 is a narrow map + a ≤ k-row merge; pass 2 is a
+    broadcast semi-join (the candidate set is ≤ k rows) + one aggregation
+    over the candidates' rows — never a full-cardinality groupBy state.
+    The threshold is integer arithmetic (count·den > n), engine-exact."""
+    if k is None:
+        k = 2 * den
+    vals = df.select(F.col(item_col).alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    cands = frequent_item_candidates(df, item_col, k)
+    total = vals.agg(F.count("*").alias("_n"))
+    return (
+        vals.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n") * den > F.col("_n"))
+        .select(F.col("item").alias(item_col), "n")
+    )
+
+
 def tdigest_percentiles_grouped(
     df: DataFrame,
     group_cols: list[str],

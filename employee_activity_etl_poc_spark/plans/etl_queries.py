@@ -378,6 +378,63 @@ def event_value_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_heavy_hitter_users",
+    """
+    SELECT user_id, count(*) AS n FROM events
+    GROUP BY user_id
+    HAVING count(*) * 130 >
+           (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+    """,
+    doc="EXACT heavy hitters via the two-pass Misra-Gries sketch "
+    "(operators/sketches.py): bounded-memory mergeable candidates "
+    "(superset of everything above total/(k+1) by the MG guarantee), "
+    "then an exact count of candidates only — so the sketch bounds "
+    "MEMORY, not accuracy, and the output hash-matches the plain GROUP "
+    "BY/HAVING oracle. Integer threshold (count x 130 > n) keeps the "
+    "boundary engine-exact. At 100 TB pass 1 is a narrow map + <=k-row "
+    "merge and pass 2 a broadcast semi-join — never a full-cardinality "
+    "groupBy.",
+    tags=("agg", "sketch", "scale"),
+)
+def events_heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as SK
+
+    ev = load(spark, sf_dir, "events")
+    return SK.heavy_hitters(ev, "user_id", den=130)
+
+
+@register(
+    "events_distinct_users_hll",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           true AS hll_err_le_3rsd
+    FROM events GROUP BY event_type
+    """,
+    doc="HLL approximate distinct gated against the exact form (same "
+    "pattern as event_value_tdigest): the query computes exact "
+    "countDistinct (hash-matched against DuckDB) AND "
+    "approx_count_distinct(rsd=0.02), emitting |approx-exact| <= 3 rsd "
+    "as a boolean — an HLL regression fails the hash. At 100 TB the HLL "
+    "form is the only one that scales: mergeable, constant memory per "
+    "group, no expand+two-phase rewrite.",
+    tags=("agg", "sketch", "scale"),
+)
+def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= 3 * 0.02 * F.countDistinct("user_id")
+        ).alias("hll_err_le_3rsd"),
+    )
+
+
+@register(
     "cdc_apply_snapshot",
     """
     WITH snapshot AS (

@@ -118,3 +118,71 @@ def test_tdigest_compression_bounds_centroids(spark, values):
 def test_tdigest_empty_input(spark):
     empty = spark.createDataFrame([], "v double")
     assert SK.tdigest_percentiles(empty, "v", [0.5]).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """Zipf-ish synthetic skew: item i contributes ~N/(i+1) rows, 2000
+    distinct items — far more than the sketch's counter budget, so the
+    MG decrement path is actually exercised (the real tables' user
+    cardinality is below k and would never compress)."""
+    rows = []
+    for i in range(2000):
+        rows.extend([(i,)] * max(1, 4000 // (i + 1)))
+    return spark.createDataFrame(rows, "item long").repartition(8)
+
+
+def test_mg_candidates_contain_all_true_heavy_hitters(spark, skewed):
+    n = skewed.count()
+    k = 50
+    cands = {r["item"] for r in SK.frequent_item_candidates(skewed, "item", k).collect()}
+    assert len(cands) <= k
+    true_counts = {
+        r["item"]: r["c"]
+        for r in skewed.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    must_have = {i for i, c in true_counts.items() if c * (k + 1) > n}
+    assert must_have, "fixture produced no heavy hitters"
+    assert must_have <= cands, f"MG lost {must_have - cands}"
+
+
+def test_heavy_hitters_exact_vs_groupby(spark, skewed):
+    """The two-pass form is EXACT: identical (item, n) set to the plain
+    GROUP BY/HAVING — the sketch bounds memory, not accuracy."""
+    den = 40
+    got = {
+        (r["item"], r["n"])
+        for r in SK.heavy_hitters(skewed, "item", den=den).collect()
+    }
+    n = skewed.count()
+    want = {
+        (r["item"], r["c"])
+        for r in skewed.groupBy("item")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") * den > F.lit(n))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_partitioning_invariant(spark, skewed):
+    a = {(r["item"], r["n"]) for r in SK.heavy_hitters(skewed, "item", 40).collect()}
+    b = {
+        (r["item"], r["n"])
+        for r in SK.heavy_hitters(skewed.repartition(3), "item", 40).collect()
+    }
+    assert a == b
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 10 + [(2,)] * 2 + [(None,)] * 30, "item long"
+    )
+    got = {(r["item"], r["n"]) for r in SK.heavy_hitters(df, "item", 2).collect()}
+    # totals exclude nulls: 12 non-null rows, threshold n/2=6 -> item 1 only
+    assert got == {(1, 10)}
