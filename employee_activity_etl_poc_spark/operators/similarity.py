@@ -816,6 +816,40 @@ def pq_encode_residual(
     ).select(F.col("i").alias(id_col), "cell", "codes")
 
 
+def _collect_unit_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """(ids, unit-normalized numpy matrix) of the collected query side —
+    broadcast-sized by contract."""
+    import numpy as np
+
+    rows = (
+        _as_double(queries, vec_col)
+        .select(F.col(id_col).alias("qid"), "v")
+        .collect()
+    )
+    ids = [r["qid"] for r in rows]
+    mat = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return ids, mat / n
+
+
+def _numpy_luts(q_mat, codebooks) -> list[list[list[float]]]:
+    """Per-query ADC lookup tables LUT[s][c] = <q_sub, codebook[s][c]> —
+    one (sub × k_codes) matmul per subspace over ALL queries at once."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    per_sub = [
+        q_mat[:, s * sub : (s + 1) * sub] @ np.array(codebooks[s]).T
+        for s in range(m)
+    ]  # each |q| × k_codes
+    return [
+        [[float(x) for x in per_sub[s][qi]] for s in range(m)]
+        for qi in range(len(q_mat))
+    ]
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -834,38 +868,30 @@ def pq_topk(
     array lookups + adds — no floating dot against the corpus at all.
     Candidates here are the whole corpus (flat PQ scan); compose with the
     IVF cell join for IVF-PQ. Output contract matches the other topk
-    variants; ``sim`` is the ADC approximation of cosine."""
+    variants; ``sim`` is the ADC approximation of cosine.
+
+    LUTs are computed DRIVER-SIDE over the collected query set (queries
+    are broadcast-sized by contract, as in the vectorized brute-force
+    path): m×k_codes tiny numpy dots per query, shipped as a plain
+    literal DataFrame. The expression-tree alternative (m×k_codes
+    interpreted folds per query row, inlined into the join plan) costs
+    seconds of analysis+evaluation even for 10 queries and dominated
+    this operator's wall time."""
     from pyspark.sql import Window
 
     if codebooks is None:
         codebooks = train_pq_codebooks(corpus, id_col, vec_col, m, k_codes)
     m = len(codebooks)
-    sub = len(codebooks[0][0])
     coded = pq_encode(corpus, id_col, vec_col, codebooks).select(
         F.col(id_col).alias("neighbor_id"), "codes"
     )
-    qunit = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").select(
-        "query_id",
-        F.transform(
-            F.col("qv"),
-            lambda x: x / F.when(F.col("qn") == 0, 1.0).otherwise(F.col("qn")),
-        ).alias("qv"),
+    q_ids, q_mat = _collect_unit_queries(queries, id_col, vec_col)
+    luts = _numpy_luts(q_mat, codebooks)
+    id_type = queries.schema[id_col].dataType.simpleString()
+    q = queries.sparkSession.createDataFrame(
+        [(i, lut) for i, lut in zip(q_ids, luts)],
+        schema=f"query_id {id_type}, lut array<array<double>>",
     )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot(
-                        F.slice(F.col("qv"), s * sub + 1, sub),
-                        F.array(*[F.lit(x) for x in c]),
-                    )
-                    for c in book
-                ]
-            )
-            for s, book in enumerate(codebooks)
-        ]
-    )
-    q = qunit.select("query_id", lut.alias("lut"))
     score = None
     for s in range(m):
         term = F.element_at(
@@ -916,7 +942,6 @@ def ivf_pq_topk(
             corpus, id_col, vec_col, n_centroids, m, k_codes
         )
         m = len(codebooks)
-        sub = len(codebooks[0][0])
         coded = pq_encode_residual(
             corpus, id_col, vec_col, cents, codebooks
         ).withColumnRenamed(id_col, "neighbor_id")
@@ -924,7 +949,6 @@ def ivf_pq_topk(
         if codebooks is None:
             codebooks = train_pq_codebooks(corpus, id_col, vec_col, m, k_codes)
         m = len(codebooks)
-        sub = len(codebooks[0][0])
         cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
         cells = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").select(
             "neighbor_id", _nearest_centroids(F.col("cv"), cents, 1)[0].alias("cell")
@@ -934,43 +958,33 @@ def ivf_pq_topk(
             .withColumnRenamed(id_col, "neighbor_id")
             .join(cells, "neighbor_id")
         )
-    qunit = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").select(
-        "query_id",
-        F.transform(
-            F.col("qv"),
-            lambda x: x / F.when(F.col("qn") == 0, 1.0).otherwise(F.col("qn")),
-        ).alias("qv"),
-    )
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    dot(
-                        F.slice(F.col("qv"), s * sub + 1, sub),
-                        F.array(*[F.lit(x) for x in c]),
-                    )
-                    for c in book
-                ]
-            )
-            for s, book in enumerate(codebooks)
-        ]
-    )
-    q = qunit.select(
-        "query_id",
-        "qv",
-        lut.alias("lut"),
-        F.explode(
-            _nearest_centroids(F.col("qv"), cents, n_probe)
-        ).alias("cell"),
-    )
-    if residual:
-        # per-(query, cell) constant <q, c_cell>: one literal-array dot on
-        # the exploded query side (|queries| × n_probe rows, never corpus)
-        cell_dots = F.array(
-            *[dot(F.col("qv"), F.array(*[F.lit(x) for x in c])) for c in cents]
+    # Query side driver-computed (broadcast-sized by contract — see
+    # pq_topk): per-query LUTs, probed cells (top n_probe by dot, ties to
+    # the larger index matching _nearest_centroids), and for residual
+    # mode the per-(query, cell) constant <q, c_cell>.
+    import numpy as np
+
+    q_ids, q_mat = _collect_unit_queries(queries, id_col, vec_col)
+    luts = _numpy_luts(q_mat, codebooks)
+    c_arr = np.array(cents, dtype=np.float64)
+    cell_scores = q_mat @ c_arr.T  # |q| × n_centroids
+    id_type = queries.schema[id_col].dataType.simpleString()
+    q_rows = []
+    for qi in range(len(q_ids)):
+        order = sorted(
+            range(len(cents)), key=lambda c: (cell_scores[qi][c], c), reverse=True
         )
-        q = q.withColumn("cdot", F.element_at(cell_dots, F.col("cell") + 1))
-    q = q.drop("qv")
+        for cell in order[:n_probe]:
+            q_rows.append(
+                (q_ids[qi], luts[qi], int(cell), float(cell_scores[qi][cell]))
+            )
+    q = queries.sparkSession.createDataFrame(
+        q_rows,
+        schema=(
+            f"query_id {id_type}, lut array<array<double>>, "
+            "cell int, cdot double"
+        ),
+    )
     score = None
     for s in range(m):
         term = F.element_at(
