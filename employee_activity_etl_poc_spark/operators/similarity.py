@@ -489,18 +489,39 @@ def ivf_topk(
     driver-side literal (n_centroids × dim floats), never a shuffle.
     ``init='kcenter'`` swaps the md5 sample pick for the deterministic
     k-center greedy + Lloyd refinement (better cell balance on clustered
-    data; identical plan shape)."""
+    data; identical plan shape).
+
+    Corpus cell assignment runs in the Arrow/BLAS tier (one matmul per
+    batch — with fine-cell configs, n_centroids interpreted fold-dots per
+    corpus row became the dominant cost); the query side's probed cells
+    are driver-computed over the collected query set (broadcast-sized by
+    contract). The candidate verify (exact cosine per joined pair) stays
+    a JVM fold on the equi-join output."""
+    import numpy as np
     from pyspark.sql import Window
 
     if init == "kcenter":
         cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
     else:
         cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").withColumn(
-        "cell", _nearest_centroids(F.col("cv"), cents, 1)[0]
+    c = _assign_cells_vectorized(corpus, id_col, vec_col, cents).select(
+        F.col("i").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("n").alias("cn"),
+        "cell",
     )
-    q = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn").withColumn(
-        "cell", F.explode(_nearest_centroids(F.col("qv"), cents, n_probe))
+    q_ids, q_mat = _collect_unit_queries(queries, id_col, vec_col)
+    cell_scores = q_mat @ np.array(cents, dtype=np.float64).T
+    id_type = queries.schema[id_col].dataType.simpleString()
+    q_rows = []
+    for qi in range(len(q_ids)):
+        order = sorted(
+            range(len(cents)), key=lambda ci: (cell_scores[qi][ci], ci), reverse=True
+        )
+        for cell in order[:n_probe]:
+            q_rows.append((q_ids[qi], [float(x) for x in q_mat[qi]], int(cell)))
+    q = queries.sparkSession.createDataFrame(
+        q_rows, schema=f"query_id {id_type}, qv array<double>, cell int"
     )
     sims = (
         c.join(F.broadcast(q), "cell")
@@ -508,9 +529,8 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")), 6
-            ).alias("sim"),
+            # qv is unit-normalized at collect time, so cosine = dot / cn
+            F.round(dot(F.col("cv"), F.col("qv")) / F.col("cn"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -814,6 +834,37 @@ def pq_encode_residual(
     return unit.mapInPandas(
         encode, schema=f"i {id_type}, cell int, codes array<int>"
     ).select(F.col("i").alias(id_col), "cell", "codes")
+
+
+def _assign_cells_vectorized(
+    corpus: DataFrame, id_col: str, vec_col: str, cents: list[list[float]]
+) -> DataFrame:
+    """(i, v: array<double>, n: norm, cell) — nearest-centroid (max dot)
+    assignment in the Arrow/BLAS tier: one (batch × n_centroids) matmul
+    per Arrow batch instead of n_centroids interpreted fold-dots per row.
+    Ties break to the larger centroid index (parity with
+    :func:`_nearest_centroids`)."""
+    import numpy as np
+    import pandas as pd
+
+    c_arr = np.array(cents, dtype=np.float64)
+    n_cells = c_arr.shape[0]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def assign(batches):
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(x, axis=1)
+            scores = x @ c_arr.T
+            cell = (n_cells - 1) - np.argmax(scores[:, ::-1], axis=1)
+            yield pd.DataFrame(
+                {"i": pdf["i"], "v": pdf["v"], "n": norms, "cell": cell}
+            )
+
+    unit = _as_double(corpus, vec_col).select(F.col(id_col).alias("i"), "v")
+    return unit.mapInPandas(
+        assign, schema=f"i {id_type}, v array<double>, n double, cell int"
+    )
 
 
 def _collect_unit_queries(queries: DataFrame, id_col: str, vec_col: str):
