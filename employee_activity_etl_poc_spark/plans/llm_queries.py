@@ -1160,6 +1160,27 @@ def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Shared oracle for the recall-gated ANN queries (SIM.recall_gate): the
+# EXACT brute-force top-k (identical to embedding_topk's oracle) plus the
+# constant-true recall flag the Spark side computes from the approximate
+# path — a recall regression flips the boolean and fails the value hash.
+_EXACT_TOPK_SQL_WITH_FLAG = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, sim, rn AS rnk,
+           true AS recall_ok
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """
+
+
 @register(
     "embedding_topk",
     """
@@ -1267,16 +1288,30 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_ann_lsh",
-    None,  # hyperplane buckets are not reasonably SQL-expressible; rows-only check
+    _EXACT_TOPK_SQL_WITH_FLAG,
     doc="Approximate top-k via deterministic random-hyperplane LSH buckets "
-    "(the scale path: bucket equi-join replaces the cross product).",
+    "(the scale path: bucket equi-join replaces the cross product), under "
+    "the recall-gate contract (SIM.recall_gate — the HLL/t-digest "
+    "pattern): the query emits the EXACT top-k rows (hash-matched "
+    "against the DuckDB brute-force oracle) plus a boolean asserting the "
+    "LSH path's corpus recall ≥ 0.6, so an LSH regression flips the flag "
+    "and fails the value hash even though hyperplane buckets are not "
+    "SQL-expressible. Config is the swept high-recall point from "
+    "tools/ann_recall.py (n_planes=4, multi_probe=2, n_tables=8 — "
+    "measured 0.68-0.90 across sf0.001/0.01/0.1).",
     tags=("llm", "similarity", "scale"),
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.lsh_bucketed_topk(
-        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", dim=64, k=5
-    ).select("query_id", "neighbor_id", "sim", "rnk")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+    ann = SIM.lsh_bucketed_topk(
+        emb, q, "vec_id", "embedding", dim=64, k=5,
+        n_planes=4, multi_probe=2, n_tables=8,
+    )
+    return SIM.recall_gate(exact, ann, floor=0.6)
 
 
 @register(
@@ -1317,49 +1352,67 @@ def embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pq_topk",
-    None,  # numpy codebook training not SQL-expressible; rows-only check
-    doc="Flat product-quantization top-k by asymmetric distance: the "
-    "corpus lives as m=16 4-bit codes (8 bytes/vector — the 100x memory "
-    "step to RAM-resident billion-vector indexes); codebooks train "
-    "driver-side on an md5-deterministic sample (the FAISS pattern), "
-    "encoding and scoring stay distributed (per-query LUT precomputed "
-    "pre-join, scoring = m array lookups per pair). Planted-copy anchors "
-    "and a recall floor are pinned in tests; compose with the IVF cell "
-    "join for IVF-PQ.",
+    _EXACT_TOPK_SQL_WITH_FLAG,
+    doc="Product-quantization shortlist + exact re-rank "
+    "(SIM.pq_rerank_topk — the production ADC pattern): the corpus lives "
+    "as m=16 4-bit codes (8 bytes/vector — the 100x memory step to "
+    "RAM-resident billion-vector indexes), LUT lookup-adds prune to a "
+    "100-candidate shortlist, and only the shortlist pays full-precision "
+    "cosine. Gated under the recall-gate contract: the query emits the "
+    "EXACT top-k (hash-matched vs DuckDB) plus a boolean asserting "
+    "re-ranked recall ≥ 0.85 (measured shortlist containment 0.94-1.0 "
+    "across sf0.001/0.01/0.1) — codebook training is numpy, not SQL, but "
+    "a PQ regression still fails the hash. Planted-copy anchors and the "
+    "flat-PQ recall floor stay pinned in tests; IVF-PQ composes the same "
+    "codes with the cell join.",
     tags=("llm", "similarity", "scale"),
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.pq_topk(
-        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5
-    ).select("query_id", "neighbor_id", "sim", "rnk")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+    ann = SIM.pq_rerank_topk(
+        emb, q, "vec_id", "embedding", k=5, shortlist=100, m=16
+    )
+    return SIM.recall_gate(exact, ann, floor=0.85)
 
 
 @register(
     "embedding_ann_ivf",
-    None,  # centroid assignment not reasonably SQL-expressible; rows-only check
+    _EXACT_TOPK_SQL_WITH_FLAG,
     doc="IVF-style approximate top-k: deterministic k-center+Lloyd "
     "centroids, nearest-cell assignment, n_probe query fan-out — "
-    "data-adaptive cells vs LSH's oblivious hyperplanes; recall floor "
-    "asserted in tests against the exact brute-force results. Fine cells "
-    "beat coarse at MATCHED candidate volume (near neighbors concentrate "
-    "in the query's top cells): 32 cells/probe 20 = 62.5% of the corpus "
-    "scored for recall@5 0.90-0.98, where the old 4/3 config scored 75% "
-    "for 0.84 (tools/ann_recall.py sweep).",
+    "data-adaptive cells vs LSH's oblivious hyperplanes. Gated under the "
+    "recall-gate contract (SIM.recall_gate): the query emits the EXACT "
+    "top-k rows (hash-matched vs DuckDB) plus a boolean asserting IVF "
+    "recall ≥ 0.8 (measured 0.84-0.98 across sf0.001/0.01/0.1) — "
+    "centroid assignment is not SQL-expressible, but an IVF regression "
+    "still fails the value hash. Fine cells beat coarse at MATCHED "
+    "candidate volume (near neighbors concentrate in the query's top "
+    "cells): 32 cells/probe 20 = 62.5% of the corpus scored for recall@5 "
+    "0.90-0.98, where the old 4/3 config scored 75% for 0.84 "
+    "(tools/ann_recall.py sweep).",
     tags=("llm", "similarity", "scale"),
 )
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.ivf_topk(
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+    ann = SIM.ivf_topk(
         emb,
-        emb.where(F.col("vec_id") < 10),
+        q,
         "vec_id",
         "embedding",
         k=5,
         n_centroids=32,
         n_probe=20,
         init="kcenter",  # measured +0.08-0.12 recall over the md5 pick
-    ).select("query_id", "neighbor_id", "sim", "rnk")
+    )
+    return SIM.recall_gate(exact, ann, floor=0.8)
 
 
 # ---------------------------------------------------------------------------

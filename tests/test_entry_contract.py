@@ -37,11 +37,9 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert len(qs) >= 30
     missing = set(qs) - set(os_)
-    # only genuinely non-SQL-expressible ops may omit the oracle
+    # only genuinely non-SQL-expressible ops may omit the oracle; the ANN
+    # paths are hash-gated via SIM.recall_gate (exact rows + recall flag)
     assert missing == {
-        "embedding_ann_lsh",
-        "embedding_ann_ivf",
-        "embedding_pq_topk",  # numpy codebook training not SQL-expressible
         "text_compression_ratio",  # zlib not SQL-expressible
     }
 
