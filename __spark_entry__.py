@@ -54,10 +54,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_hourly_gapfilled",
     "text_compression_ratio",
     "embedding_pq_topk",
-    # new in round 4: sketches (t-digest / Misra-Gries / HLL gates)
+    # new in round 4: sketches (t-digest / Misra-Gries / HLL gates),
+    # recall-gated ANN, and the training-pipeline corpus operators
     "event_value_tdigest",
     "events_heavy_hitter_users",
     "events_distinct_users_hll",
+    "documents_domain_cap",
+    "events_user_cms_counts",
+    "events_bloom_pruned_building",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -133,6 +133,61 @@ def weighted_sample_per_stratum(
     )
 
 
+def cap_per_group(
+    df: DataFrame, key_col: str, group_col: str, cap: int, salt: str = "cap"
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen uniformly-at-random but
+    DETERMINISTICALLY (md5 hash rank over the key) — the standard
+    per-domain cap of web-crawl pipelines: no single boilerplate-heavy
+    domain may dominate the training mixture, and re-running the pipeline
+    keeps the SAME survivors (hash rank, not RNG), so incremental
+    re-exports don't churn history.
+
+    Scale shape: the naive form is one window over every row — but a
+    window sort of a 100 TB table is dominated by the mega-domains that
+    motivated the cap in the first place (per-group sort cost is
+    O(n_g log n_g) on exactly the skewed groups). This implementation
+    splits the work:
+
+    1. one ``groupBy(group).count()`` (map-side combined, |groups| rows),
+    2. groups at-or-under the cap pass through UNSORTED via a broadcast
+       anti-join (in web corpora that is the long tail — the vast
+       majority of rows when the cap is generous),
+    3. only over-cap groups pay the rank window, and the over-cap group
+       list rides as a broadcast semi-join (the list is small by
+       construction — it's the head of the distribution).
+
+    Output is identical to the plain rank-everything form (under-cap
+    groups trivially satisfy rank ≤ cap), which is what the SQL oracle
+    replays. Survivor choice orders by (md5(salt|key), key): engine-
+    portable, repartition-stable, and independent of input order."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string")))
+    over = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > cap)
+        .select(group_col)
+    )
+    under_df = df.join(F.broadcast(over), group_col, "left_anti")
+    w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
+    capped = (
+        df.join(F.broadcast(over), group_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under_df.unionByName(capped)
+
+
+def cap_oracle_order_sql(key_expr: str, salt: str = "cap") -> str:
+    """DuckDB ORDER BY expression replaying :func:`cap_per_group`'s
+    survivor choice (md5 hash rank; hex strings compare identically in
+    both engines)."""
+    return f"md5('{salt}|' || {key_expr}::VARCHAR), {key_expr}"
+
+
 def assign_shards(
     df: DataFrame, key_col: str, n_shards: int, salt: str = "shard"
 ) -> DataFrame:

@@ -295,6 +295,96 @@ def heavy_hitters(
     )
 
 
+def _cms_bucket(item: F.Column, row: int, width: int, salt: str) -> F.Column:
+    """Row ``row``'s CMS bucket for a string item: first 8 hex chars of
+    md5('<salt><row>|'||item) mod width — engine-portable (the DuckDB
+    oracle replays it bit-for-bit) and collision-independent across rows
+    (distinct salts ≈ pairwise-independent hash family in practice)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}{row}|"), item)), 1, 8), 16, 10
+    ).cast("long")
+    return h % width
+
+
+def cms_sketch(
+    df: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of an item stream
+    as a DataFrame of (d, bucket, c) — ``depth`` rows × ``width``
+    counters.
+
+    Mergeable by construction: counters ADD, so per-partition partials
+    combine map-side (the groupBy's partial_count) and sketches from
+    different days/streams union+re-aggregate — the property that lets a
+    100 TB corpus keep ONE fixed d×w-counter summary per day and answer
+    frequency queries over any date range by summing sketches. The
+    shuffle after map-side combine carries ≤ d·w rows per task
+    regardless of input size or item cardinality (vs one state entry per
+    distinct item for a plain groupBy — the same wall Misra-Gries
+    addresses, but CMS answers POINT queries for any item, not just the
+    heavy ones). Guarantee: est ≥ true always; est ≤ true + (e/w)·n with
+    probability 1 − e^-depth per item."""
+    items = df.select(F.col(item_col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
+    exploded = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("item"), d, width, salt).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db")
+    ).select("db.d", "db.bucket")
+    return exploded.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-frequency estimates from a CMS: (item_col, est) — min over
+    the ``depth`` counters each query item hashes to. The sketch is ≤
+    d·w rows by construction, so it BROADCASTS: estimating any number of
+    items is a broadcast left join + a min-groupBy, never a shuffle of
+    the sketch. Missing buckets count 0 (item never seen)."""
+    q = queries.select(F.col(item_col)).distinct()
+    qh = q.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(
+                            F.col(item_col).cast("string"), d, width, salt
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select(item_col, "db.d", "db.bucket")
+    return (
+        qh.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .select(item_col, F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .groupBy(item_col)
+        .agg(F.min("c").alias("est"))
+    )
+
+
 def tdigest_percentiles_grouped(
     df: DataFrame,
     group_cols: list[str],

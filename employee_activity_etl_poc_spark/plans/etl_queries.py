@@ -435,6 +435,109 @@ def events_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_user_cms_counts",
+    """
+    WITH items AS (
+      SELECT user_id::VARCHAR AS item FROM events WHERE user_id IS NOT NULL
+    ),
+    hashes AS (
+      SELECT d,
+             CAST('0x' || substr(md5('cms' || d::VARCHAR || '|' || item), 1, 8)
+                  AS BIGINT) % 256 AS bucket
+      FROM items, unnest([0, 1, 2, 3]) AS t(d)
+    ),
+    sketch AS (SELECT d, bucket, count(*) AS c FROM hashes GROUP BY 1, 2),
+    q AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    qh AS (
+      SELECT user_id, d,
+             CAST('0x' || substr(md5('cms' || d::VARCHAR || '|' ||
+                                     user_id::VARCHAR), 1, 8)
+                  AS BIGINT) % 256 AS bucket
+      FROM q, unnest([0, 1, 2, 3]) AS t(d)
+    ),
+    est AS (
+      SELECT user_id, min(coalesce(c, 0)) AS est_count
+      FROM qh LEFT JOIN sketch USING (d, bucket) GROUP BY user_id
+    ),
+    ex AS (
+      SELECT user_id, count(*) AS exact_count FROM events
+      WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT user_id, est_count, exact_count,
+           est_count >= exact_count AS never_undercounts
+    FROM est JOIN ex USING (user_id)
+    """,
+    doc="Count-min sketch point-frequency estimates "
+    "(sketches.cms_sketch/cms_estimate, d=4 × w=256 counters) for 20 "
+    "probe users, against their exact counts. The md5 hash family makes "
+    "the sketch ENGINE-PORTABLE, so the oracle replays the estimates "
+    "bit-for-bit — a full value-hash gate on the sketch itself, stronger "
+    "than an error-bound boolean. At 100 TB the sketch is the only "
+    "fixed-memory answer to point frequencies over unbounded item "
+    "cardinality: counters add (mergeable across partitions, days, "
+    "streams), the post-combine shuffle is ≤ d·w rows per task, and "
+    "estimating any item set is a broadcast join against ≤ d·w rows.",
+    tags=("agg", "sketch", "scale"),
+)
+def events_user_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as SK
+
+    ev = load(spark, sf_dir, "events")
+    sketch = SK.cms_sketch(ev, "user_id", width=256, depth=4)
+    probes = ev.where(F.col("user_id") < 20).select("user_id")
+    est = SK.cms_estimate(sketch, probes, "user_id", width=256, depth=4)
+    exact = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("est").alias("est_count"),
+        "exact_count",
+        (F.col("est") >= F.col("exact_count")).alias("never_undercounts"),
+    )
+
+
+@register(
+    "events_bloom_pruned_building",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events e
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+    )
+    GROUP BY event_type
+    """,
+    doc="Semi-join of events against BUILDING-segment customers with "
+    "Bloom-filter pre-pruning (operators/bloom.py): the build side's "
+    "keys become a 2^16-bit word bitmap via a distributed bit_or "
+    "aggregation (shuffle ≤ bits/64 rows per task, never the keys), the "
+    "probe side drops definite non-members with codegen'd shift-and-mask "
+    "tests before its shuffle, and the exact semi-join removes the "
+    "bloom's false positives — so the output hash-matches the plain "
+    "EXISTS oracle while the probe shuffle carries only ~|matches| + "
+    "fp·|probe| rows. The explicit form of AQE's runtime bloom "
+    "filter, reusable across jobs and in streaming foreachBatch.",
+    tags=("join", "sketch", "scale"),
+)
+def events_bloom_pruned_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_semi_join
+
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    matched = bloom_semi_join(ev, cust, "user_id", "c_custkey")
+    return matched.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+@register(
     "cdc_apply_snapshot",
     """
     WITH snapshot AS (

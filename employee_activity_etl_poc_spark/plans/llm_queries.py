@@ -547,6 +547,46 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "n_tok")
 
 
+@register(
+    "documents_domain_cap",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 7 THEN 'megadomain' ELSE source END AS domain
+      FROM documents
+    )
+    SELECT doc_id, domain FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5('cap|' || doc_id::VARCHAR), doc_id
+             ) AS rn
+      FROM d
+    ) WHERE rn <= 15
+    """,
+    doc="Per-domain document cap (sampling.cap_per_group) — the web-crawl "
+    "pipeline standard: no domain may exceed 15 docs in the mixture. The "
+    "query derives a deliberately SKEWED domain (one 'megadomain' holds "
+    "70% of rows) because skew is the motivating case: under-cap domains "
+    "pass through UNSORTED via a broadcast anti-join, only the over-cap "
+    "head pays the rank window — the plain rank-everything form the "
+    "oracle replays sorts every row of exactly the groups that are "
+    "biggest. Survivors are md5-hash-ranked: deterministic, replayable, "
+    "repartition-stable.",
+    tags=("llm", "sampling", "dedup", "scale"),
+)
+def documents_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import cap_per_group
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("megadomain"))
+        .otherwise(F.col("source"))
+        .alias("domain"),
+    )
+    return cap_per_group(d, "doc_id", "domain", cap=15)
+
+
 _MIX_WEIGHTS = {"en": 0.4, "fr": 0.2, "de": 0.15, "es": 0.15, "zh": 0.1}
 _MIX_BUDGET = 8000.0
 

@@ -580,6 +580,45 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert again == {r["k"] for r in rows}
 
 
+def test_cap_per_group_skew_split(spark):
+    """cap_per_group: under-cap groups pass through complete and unsorted,
+    over-cap groups keep exactly `cap` hash-ranked survivors; the output
+    equals the plain rank-everything form and is repartition-invariant."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from employee_activity_etl_poc_spark.operators.sampling import cap_per_group
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        # one mega-group with 900 rows, ten small groups with 10 each
+        F.when(F.col("id") < 900, "mega")
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 10).cast("string")))
+        .alias("g"),
+    )
+    out = cap_per_group(df, "k", "g", cap=25).collect()
+    by_g: dict[str, set] = {}
+    for r in out:
+        by_g.setdefault(r["g"], set()).add(r["k"])
+    assert len(by_g["mega"]) == 25
+    assert all(len(v) == 10 for g, v in by_g.items() if g != "mega")
+    # equals the naive single-window form
+    h = F.md5(F.concat(F.lit("cap|"), F.col("k").cast("string")))
+    w = Window.partitionBy("g").orderBy(h, F.col("k"))
+    naive = {
+        (r["g"], r["k"])
+        for r in df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 25)
+        .collect()
+    }
+    assert {(r["g"], r["k"]) for r in out} == naive
+    again = {
+        (r["g"], r["k"])
+        for r in cap_per_group(df.repartition(17), "k", "g", cap=25).collect()
+    }
+    assert again == naive
+
+
 def test_pq_topk_codes_and_recall(spark, sf_dir):
     """PQ correctness anchors: an exact copy shares every code (ADC score
     = the query's max, ranks first), and flat-PQ recall@5 vs exact keeps

@@ -186,3 +186,83 @@ def test_heavy_hitters_ignores_nulls(spark):
     got = {(r["item"], r["n"]) for r in SK.heavy_hitters(df, "item", 2).collect()}
     # totals exclude nulls: 12 non-null rows, threshold n/2=6 -> item 1 only
     assert got == {(1, 10)}
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark, skewed):
+    """CMS guarantees: est >= true for EVERY item (deterministic), and
+    est <= true + (e/w)*n for the probed items (the probabilistic bound,
+    comfortably met at w=256 on this fixture)."""
+    import math
+
+    w, d = 256, 4
+    sketch = SK.cms_sketch(skewed, "item", width=w, depth=d)
+    true = {
+        r["item"]: r["c"]
+        for r in skewed.groupBy("item").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(true.values())
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_estimate(
+            sketch, skewed.select("item"), "item", width=w, depth=d
+        ).collect()
+    }
+    assert set(est) == set(true)
+    bound = math.e / w * n
+    for item, c in true.items():
+        assert est[item] >= c, f"undercount on {item}"
+        assert est[item] <= c + bound, f"overcount on {item} beyond eps*n"
+
+
+def test_cms_sketches_merge_by_addition(spark, skewed):
+    """Union-then-sketch equals sketch-then-sum: counters are additive,
+    so daily sketches combine into range queries without the raw data."""
+    a = skewed.where(F.col("item") % 2 == 0)
+    b = skewed.where(F.col("item") % 2 != 0)
+    whole = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in SK.cms_sketch(skewed, "item").collect()
+    }
+    merged: dict = {}
+    for part in (a, b):
+        for r in SK.cms_sketch(part, "item").collect():
+            k = (r["d"], r["bucket"])
+            merged[k] = merged.get(k, 0) + r["c"]
+    assert merged == whole
+
+
+def test_bloom_prune_no_false_negatives_and_prunes(spark):
+    """Bloom pruning never drops a true match, and at 2^16 bits it
+    actually prunes (the point of the exercise); the composed
+    bloom_semi_join equals a plain left_semi."""
+    from employee_activity_etl_poc_spark.operators import bloom as B
+
+    probe = spark.range(0, 5000).select(F.col("id").alias("k"))
+    build = spark.range(0, 5000, 7).select(F.col("id").alias("bk"))  # every 7th
+    bitmap = B.bloom_build(build, "bk")
+    pruned = {r["k"] for r in B.bloom_prune(probe, "k", bitmap).collect()}
+    members = set(range(0, 5000, 7))
+    assert members <= pruned  # no false negatives
+    assert len(pruned) < 5000  # definite non-members dropped
+    exact = {
+        r["k"]
+        for r in probe.join(
+            build.select(F.col("bk").alias("k")), "k", "left_semi"
+        ).collect()
+    }
+    got = {
+        r["k"] for r in B.bloom_semi_join(probe, build, "k", "bk").collect()
+    }
+    assert got == exact == members
+
+
+def test_bloom_bitmaps_merge_by_or(spark):
+    """Bitmap of a union equals the word-wise OR of the parts' bitmaps —
+    build once per day, OR for any range, same as every sketch here."""
+    from employee_activity_etl_poc_spark.operators import bloom as B
+
+    a = spark.range(0, 300).select(F.col("id").alias("k"))
+    b = spark.range(300, 600).select(F.col("id").alias("k"))
+    whole = B.bloom_build(a.unionByName(b), "k")
+    wa, wb = B.bloom_build(a, "k"), B.bloom_build(b, "k")
+    assert [x | y for x, y in zip(wa, wb)] == whole
