@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "documents_domain_cap",
     "events_user_cms_counts",
     "events_bloom_pruned_building",
+    "dedup_levenshtein_blocked",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

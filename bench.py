@@ -65,8 +65,11 @@ HEADLINE = [
     "dedup_exact_normalized",
     "embedding_quantized_topk",
     "events_trailing_hour_sum",
-    # round 4: mergeable percentile sketch
+    # round 4: mergeable percentile sketch, CMS, bloom join, domain cap
     "event_value_tdigest",
+    "events_user_cms_counts",
+    "events_bloom_pruned_building",
+    "documents_domain_cap",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

@@ -765,3 +765,53 @@ def blocked_jaccard_pairs(
             F.round(jac, 4).alias("jaccard"),
         )
     )
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[Column],
+    max_dist: int,
+) -> DataFrame:
+    """Edit-distance near-dup pairs within blocks: (doc_a, doc_b, dist)
+    for every same-block pair with Levenshtein distance ≤ ``max_dist`` —
+    the character-level fuzzy join Jaccard misses (transpositions, small
+    in-word edits barely move a shingle set; they ARE small edit
+    distances).
+
+    Scale shape, cheapest test first:
+
+    1. blocking equi-join (same as :func:`blocked_jaccard_pairs` — never
+       all-pairs across blocks);
+    2. a length prefilter ``|len(a) − len(b)| ≤ max_dist`` — a NECESSARY
+       condition for the distance bound, pure codegen, prunes most of
+       each block before any DP;
+    3. ``levenshtein(a, b, threshold=max_dist)`` — Spark's bounded form
+       runs the banded DP in O(max_dist · min(len)) and bails at -1 when
+       the band is exceeded, instead of O(len²) per pair.
+
+    Blocking is the standard baseline trade: a pair split across blocks
+    is missed (same contract as the Jaccard variant; LSH is the recall
+    path)."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        *[c.alias(f"blk{i}") for i, c in enumerate(block_cols)],
+        F.col(text_col).alias("t"),
+        F.length(text_col).alias("tl"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.doc") < F.col("b.doc")
+    for i in range(len(block_cols)):
+        cond = cond & (F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
+    cond = cond & (F.abs(F.col("a.tl") - F.col("b.tl")) <= max_dist)
+    d = F.levenshtein(F.col("a.t"), F.col("b.t"), max_dist)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            d.alias("dist"),
+        )
+        .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )

@@ -1045,6 +1045,40 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_levenshtein_blocked",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    base AS (
+      SELECT doc_id, lang, right(text, 60) AS t, length(right(text, 60)) AS tl
+      FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.t, b.t) AS dist
+    FROM base a JOIN base b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.tl - b.tl) <= 5
+    WHERE levenshtein(a.t, b.t) <= 5
+    """,
+    doc="Character-level fuzzy near-dup pairs (dedup."
+    "blocked_levenshtein_pairs): Levenshtein ≤ 5 on the 60-char document "
+    "suffix within language blocks — catches the small in-place edits "
+    "whose shingle sets barely move. Cheapest-test-first plan: blocking "
+    "equi-join, then the codegen'd |length diff| ≤ d necessary-condition "
+    "prune, then Spark's THRESHOLD-BOUNDED levenshtein (banded DP, "
+    "O(d·len) per pair with early bail at -1) — the unbounded O(len²) "
+    "form is what the oracle replays.",
+    tags=("llm", "dedup"),
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", F.expr("right(text, 60)").alias("suffix")
+    )
+    return D.blocked_levenshtein_pairs(
+        corpus, "suffix", "doc_id", block_cols=[F.col("lang")], max_dist=5
+    )
+
+
 def _cluster_oracle_sql() -> str:
     """Recursive-CTE oracle for connected components over the minhash
     pairs: reach(node,label) closes transitively, min(label) per node is

@@ -747,3 +747,28 @@ def test_residual_ivf_pq_planted_copy_and_recall(spark, sf_dir):
         )
     )
     assert again == p
+
+
+def test_blocked_levenshtein_pairs(spark):
+    """Bounded-levenshtein fuzzy join: catches small edits, respects the
+    distance threshold, and the length prefilter never drops a true pair
+    (|len diff| <= d is necessary for dist <= d)."""
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "g", "the quick brown fox jumps"),
+        (2, "g", "the quick brown fax jumps"),   # 1 substitution
+        (3, "g", "the quick brown foxx jumps"),  # 1 insertion
+        (4, "g", "completely different words here"),
+        (5, "h", "the quick brown fox jumps"),   # other block: never paired
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in blocked_levenshtein_pairs(
+            df, "text", "doc_id", [F.col("lang")], max_dist=3
+        ).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}

@@ -119,3 +119,22 @@ def test_round3_plans_have_scale_shapes(spark, sf_dir):
     # SCD2: one window pass, no self-join
     plan = _plan(REGISTRY["cdc_scd2_history"].fn(spark, sf_dir))
     assert "Join" not in plan
+
+
+def test_round4_plans_have_scale_shapes(spark, sf_dir):
+    """Round-4 additions keep the claimed plan properties."""
+    # bloom probe: membership tests are plain Filter before the semi-join
+    # (no Python eval), and the semi-join against the distinct build keys
+    # broadcasts — the probe never sort-merge-shuffles
+    plan = _plan(REGISTRY["events_bloom_pruned_building"].fn(spark, sf_dir))
+    assert "shiftright" in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    # per-domain cap: the over-cap group list rides broadcast on BOTH the
+    # anti (tail passthrough) and semi (head ranking) branches
+    plan = _plan(REGISTRY["documents_domain_cap"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    # CMS estimates: the sketch side (<= d*w rows) broadcasts onto the
+    # probe hashes, never a shuffled join
+    plan = _plan(REGISTRY["events_user_cms_counts"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
