@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_user_cms_counts",
     "events_bloom_pruned_building",
     "dedup_levenshtein_blocked",
+    "events_theta_distinct_algebra",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

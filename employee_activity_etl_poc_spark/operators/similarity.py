@@ -1070,7 +1070,11 @@ def ivf_pq_topk(
 
 
 def recall_gate(
-    exact: DataFrame, approx: DataFrame, floor: float, flag_col: str = "recall_ok"
+    exact: DataFrame,
+    approx: DataFrame,
+    floor: float,
+    flag_col: str = "recall_ok",
+    expected_total: int | None = None,
 ) -> DataFrame:
     """Hash-gate an APPROXIMATE top-k against its exact twin: returns the
     EXACT rows (SQL-oracle-able) plus one boolean column asserting the
@@ -1083,17 +1087,23 @@ def recall_gate(
     path needed. Recall is aggregated over ALL queries (per-query recall
     would make the gate fragile to single-query ties); both inputs must
     expose (query_id, neighbor_id). The exact frame is evaluated twice
-    (rows + denominator) — the one extra pass is the documented price of
-    a self-checking gate query, as in ``event_value_tdigest``."""
+    (rows + the hit semi-join) — the one extra pass is the documented
+    price of a self-checking gate query, as in ``event_value_tdigest``;
+    pass ``expected_total`` (= k × |queries| when every query has ≥ k
+    neighbors) to make the denominator a literal instead of a THIRD
+    evaluation of the exact plan."""
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"),
         ["query_id", "neighbor_id"],
         "left_semi",
     )
-    flag = (
-        hits.agg(F.count("*").alias("h"))
-        .crossJoin(exact.agg(F.count("*").alias("t")))
-        .select((F.col("h") >= F.col("t") * F.lit(floor)).alias(flag_col))
+    counted = hits.agg(F.count("*").alias("h"))
+    if expected_total is None:
+        counted = counted.crossJoin(exact.agg(F.count("*").alias("t")))
+    else:
+        counted = counted.withColumn("t", F.lit(expected_total))
+    flag = counted.select(
+        (F.col("h") >= F.col("t") * F.lit(floor)).alias(flag_col)
     )
     return exact.crossJoin(F.broadcast(flag))
 

@@ -385,6 +385,62 @@ def cms_estimate(
     )
 
 
+def _kmv_hash(item: Column, salt: str) -> Column:
+    """Uniform 64-bit-ish hash in [0, 2^32) from md5 — engine-portable
+    (the DuckDB oracle replays KMV sketches bit-for-bit, like the CMS)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), item)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, item_col: str, k: int = 64, salt: str = "kmv"
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) distinct-count sketch: the
+    ``k`` smallest distinct md5 hash values of the items, as rows (h).
+
+    The mergeable form of distinct counting that also supports SET
+    ALGEBRA — where HLL only unions, bottom-k sketches intersect and
+    difference (Beyer et al., SIGMOD'07): the union of two sketches is
+    the k smallest of their union; intersection estimates come from the
+    Jaccard of the shared bottom-k (θ = the k-th smallest normalized
+    hash; |A∩B| ≈ Jaccard · |A∪B|). Distributed shape: distinct hashes,
+    then ``orderBy().limit(k)`` — which compiles to
+    TakeOrderedAndProject: per-partition k-row heaps merged as k rows on
+    the driver, never a global sort or full shuffle of the hash set.
+    Estimator: (k−1) / θ̂ where θ̂ = h_(k) / 2^32."""
+    hashes = (
+        df.select(F.col(item_col).cast("string").alias("item"))
+        .where(F.col("item").isNotNull())
+        .select(_kmv_hash(F.col("item"), salt).alias("h"))
+        .distinct()
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+    # k-row heaps + a k-row driver merge — never a global sort.
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_estimate_distinct(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """(n_est) from a KMV sketch: (k−1)/θ with θ = h_(k)/2^32, or the
+    EXACT row count when the sketch holds fewer than k hashes (a sketch
+    smaller than k IS the full distinct hash set)."""
+    agg = sketch.agg(
+        F.count("*").alias("_n"), F.max("h").alias("_hk")
+    )
+    return agg.select(
+        F.when(F.col("_n") < k, F.col("_n").cast("double"))
+        .otherwise((k - 1) * F.lit(2.0**32) / F.col("_hk"))
+        .alias("n_est")
+    )
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Union of two KMV sketches = bottom-k of the merged hash sets —
+    associative/commutative, so per-segment (or per-day) sketches roll
+    up into any combination without touching raw data."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
 def tdigest_percentiles_grouped(
     df: DataFrame,
     group_cols: list[str],

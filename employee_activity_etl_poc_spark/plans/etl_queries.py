@@ -500,6 +500,132 @@ def events_user_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_theta_distinct_algebra",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             user_id::VARCHAR || '#' || strftime(ts, '%Y-%m-%d') AS item
+      FROM events WHERE event_type IN ('click', 'purchase')
+        AND user_id IS NOT NULL
+    ),
+    ha AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || item), 1, 8) AS BIGINT) AS h
+      FROM ev WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || item), 1, 8) AS BIGINT) AS h
+      FROM ev WHERE event_type = 'purchase'
+    ),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    su AS (
+      SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 256
+    ),
+    ea AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255 * 4294967296.0 / max(h) END AS v FROM sa),
+    eb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255 * 4294967296.0 / max(h) END AS v FROM sb),
+    eu AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                       ELSE 255 * 4294967296.0 / max(h) END AS v FROM su),
+    sh AS (
+      SELECT CAST(count(*) AS DOUBLE) AS ns,
+             (SELECT CAST(count(*) AS DOUBLE) FROM su) AS nu
+      FROM su WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+    ),
+    ex AS (
+      SELECT count(DISTINCT CASE WHEN event_type = 'click' THEN item END)
+               AS n_click_exact,
+             count(DISTINCT CASE WHEN event_type = 'purchase' THEN item END)
+               AS n_purchase_exact,
+             count(DISTINCT item) AS n_union_exact
+      FROM ev
+    )
+    SELECT n_click_exact, n_purchase_exact, n_union_exact,
+           round((SELECT v FROM ea), 4) AS est_click,
+           round((SELECT v FROM eb), 4) AS est_purchase,
+           round((SELECT v FROM eu), 4) AS est_union,
+           round((SELECT ns / nu FROM sh) * (SELECT v FROM eu), 4)
+             AS est_intersection
+    FROM ex
+    """,
+    doc="KMV / bottom-k theta sketch set algebra "
+    "(sketches.kmv_sketch/kmv_union): distinct (user, day) pairs of two "
+    "event segments, their union AND their intersection, estimated from "
+    "256-hash sketches next to the exact counts. The algebra is what HLL "
+    "cannot do: union sketch = bottom-k of the merged hashes "
+    "(associative — per-day/segment sketches roll up arbitrarily), "
+    "intersection via the Jaccard of the shared bottom-k "
+    "(θ-membership: every union-sketch hash is below both input "
+    "thresholds, so sketch membership ⇔ set membership). The md5 hash "
+    "family makes every estimate engine-replayable — the oracle "
+    "hash-matches the ESTIMATES, not just bounds. Sketch build is "
+    "distinct + TakeOrderedAndProject (per-partition k-row heaps, no "
+    "global sort); at 100 TB each segment keeps 256 longs, any "
+    "combination of segments is answerable without raw data.",
+    tags=("agg", "sketch", "scale"),
+)
+def events_theta_distinct_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches as SK
+
+    k = 256
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("#"),
+                F.date_format("ts", "yyyy-MM-dd"),
+            ).alias("item"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    sa = SK.kmv_sketch(clicks, "item", k=k)
+    sb = SK.kmv_sketch(purchases, "item", k=k)
+    su = SK.kmv_union(sa, sb, k=k)
+    est_a = SK.kmv_estimate_distinct(sa, k).select(F.col("n_est").alias("ea"))
+    est_b = SK.kmv_estimate_distinct(sb, k).select(F.col("n_est").alias("eb"))
+    est_u = SK.kmv_estimate_distinct(su, k).select(F.col("n_est").alias("eu"))
+    shared = (
+        su.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count("*").cast("double").alias("ns"))
+        .crossJoin(su.agg(F.count("*").cast("double").alias("nu")))
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("item"))
+        ).alias("n_click_exact"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("item"))
+        ).alias("n_purchase_exact"),
+        F.countDistinct("item").alias("n_union_exact"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(est_a))
+        .crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "n_click_exact",
+            "n_purchase_exact",
+            "n_union_exact",
+            F.round("ea", 4).alias("est_click"),
+            F.round("eb", 4).alias("est_purchase"),
+            F.round("eu", 4).alias("est_union"),
+            F.round(F.col("ns") / F.col("nu") * F.col("eu"), 4).alias(
+                "est_intersection"
+            ),
+        )
+    )
+
+
+@register(
     "events_bloom_pruned_building",
     """
     SELECT event_type,

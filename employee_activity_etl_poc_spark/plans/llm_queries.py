@@ -1385,7 +1385,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, "vec_id", "embedding", dim=64, k=5,
         n_planes=4, multi_probe=2, n_tables=8,
     )
-    return SIM.recall_gate(exact, ann, floor=0.6)
+    return SIM.recall_gate(exact, ann, floor=0.6, expected_total=50)
 
 
 @register(
@@ -1450,7 +1450,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = SIM.pq_rerank_topk(
         emb, q, "vec_id", "embedding", k=5, shortlist=100, m=16
     )
-    return SIM.recall_gate(exact, ann, floor=0.85)
+    return SIM.recall_gate(exact, ann, floor=0.85, expected_total=50)
 
 
 @register(
@@ -1486,7 +1486,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=20,
         init="kcenter",  # measured +0.08-0.12 recall over the md5 pick
     )
-    return SIM.recall_gate(exact, ann, floor=0.8)
+    return SIM.recall_gate(exact, ann, floor=0.8, expected_total=50)
 
 
 # ---------------------------------------------------------------------------

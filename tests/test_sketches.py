@@ -266,3 +266,38 @@ def test_bloom_bitmaps_merge_by_or(spark):
     whole = B.bloom_build(a.unionByName(b), "k")
     wa, wb = B.bloom_build(a, "k"), B.bloom_build(b, "k")
     assert [x | y for x, y in zip(wa, wb)] == whole
+
+
+def test_kmv_estimates_and_set_algebra(spark):
+    """KMV: distinct estimate within the expected relative error
+    (~1/sqrt(k)), union sketch == bottom-k of merged hashes, and the
+    theta-membership intersection estimator lands near the true overlap."""
+    a = spark.range(0, 3000).select(F.concat(F.lit("a"), F.col("id").cast("string")).alias("item"))
+    shared = spark.range(0, 1000).select(F.concat(F.lit("s"), F.col("id").cast("string")).alias("item"))
+    b = spark.range(0, 2000).select(F.concat(F.lit("b"), F.col("id").cast("string")).alias("item"))
+    seta = a.unionByName(shared)      # 4000 distinct
+    setb = b.unionByName(shared)      # 3000 distinct, overlap 1000
+    k = 256
+    sa = SK.kmv_sketch(seta, "item", k=k)
+    sb = SK.kmv_sketch(setb, "item", k=k)
+    est_a = SK.kmv_estimate_distinct(sa, k).collect()[0]["n_est"]
+    assert abs(est_a - 4000) / 4000 < 0.25  # ~4 sigma at k=256
+    su = SK.kmv_union(sa, sb, k=k)
+    est_u = SK.kmv_estimate_distinct(su, k).collect()[0]["n_est"]
+    assert abs(est_u - 6000) / 6000 < 0.25
+    ns = su.join(sa, "h", "left_semi").join(sb, "h", "left_semi").count()
+    nu = su.count()
+    est_i = ns / nu * est_u
+    assert abs(est_i - 1000) / 1000 < 0.4  # ratio estimator: wider band
+    # union is associative merge of the hash rows, order-free
+    again = {r["h"] for r in SK.kmv_union(sb, sa, k=k).collect()}
+    assert again == {r["h"] for r in su.collect()}
+
+
+def test_kmv_small_set_is_exact(spark):
+    """Below k distinct items the sketch IS the hash set and the
+    estimate is exact."""
+    df = spark.range(0, 40).select(F.col("id").cast("string").alias("item"))
+    sk = SK.kmv_sketch(df, "item", k=64)
+    assert sk.count() == 40
+    assert SK.kmv_estimate_distinct(sk, 64).collect()[0]["n_est"] == 40.0
