@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_bloom_pruned_building",
     "dedup_levenshtein_blocked",
     "events_theta_distinct_algebra",
+    "documents_sequence_packing",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -210,6 +210,51 @@ def assign_shards(
     return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    shard_col: str,
+    seq_len: int,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    export): within each shard, documents concatenate in a DETERMINISTIC
+    md5-keyed order and the token stream chunks into fixed ``seq_len``
+    sequences. Adds per-doc placement columns:
+
+    - ``tok_start``: the doc's offset in its shard's token stream,
+    - ``seq_start`` / ``seq_end``: first/last sequence index the doc
+      touches (``seq_end > seq_start`` ⇔ the doc straddles a chunk
+      boundary — the split the no-split packing variants avoid at the
+      cost of padding),
+    - ``n_seqs``: sequences this shard yields in total (ceil of its
+      token mass / seq_len — the number the training loader sees).
+
+    One window per shard (cumulative sum over the hash order) — the same
+    single-shuffle shape as tail-k; shards bound window-partition size by
+    construction, so no unpartitioned sort exists at any scale. Hash
+    order makes packing reproducible AND acts as the shuffle step
+    pretraining wants anyway (documents from one source scatter across
+    sequences instead of clumping)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string")))
+    w = Window.partitionBy(shard_col).orderBy(h, F.col(key_col))
+    tok = F.col(tokens_col).cast("long")
+    start = F.coalesce(F.sum(tok).over(w) - tok, F.lit(0))
+    total = F.sum(tok).over(Window.partitionBy(shard_col))
+    return (
+        df.withColumn("tok_start", start)
+        .withColumn("seq_start", F.floor(F.col("tok_start") / seq_len))
+        .withColumn(
+            "seq_end",
+            F.floor((F.col("tok_start") + F.greatest(tok, F.lit(1)) - 1) / seq_len),
+        )
+        .withColumn("n_seqs", F.ceil(total / F.lit(float(seq_len))))
+    )
+
+
 def split_oracle_case_sql(
     key_expr: str, val_fraction: float = 0.1, test_fraction: float = 0.1,
     salt: str = "split",

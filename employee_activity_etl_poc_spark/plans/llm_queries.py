@@ -493,6 +493,71 @@ def documents_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "documents_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('shard|' || doc_id::VARCHAR), 1, 8)
+                       AS BIGINT) % 8 AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY shard
+               ORDER BY md5('pack|' || doc_id::VARCHAR), doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) - n_tok AS tok_start
+      FROM t
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_seqs,
+           CAST(sum(CASE WHEN tok_start // 512 <>
+                             (tok_start + greatest(n_tok, 1) - 1) // 512
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+           round(sum(n_tok) / (ceil(sum(n_tok) / 512.0) * 512.0), 4) AS fill_pct
+    FROM placed GROUP BY shard
+    """,
+    doc="Concat-and-chunk sequence packing audit "
+    "(sampling.pack_sequences over sampling.assign_shards): per shard, "
+    "documents concatenate in deterministic md5 order and chunk into "
+    "512-token sequences — n_seqs is what the training loader sees, "
+    "n_split_docs counts boundary-straddling docs (the split that "
+    "no-split packers trade padding for), fill is 1.0 minus tail "
+    "padding. One window per shard (shards bound partition size by "
+    "construction — no unpartitioned sort at any scale); hash order "
+    "doubles as the document shuffle pretraining wants. Window floors "
+    "use integer division on BIGINT starts, so Spark and the oracle "
+    "agree exactly.",
+    tags=("llm", "sampling", "scale"),
+)
+def documents_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import assign_shards, pack_sequences
+    from ..operators.textops import n_tokens
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", n_tokens("text").cast("long").alias("n_tok")
+    )
+    placed = pack_sequences(
+        assign_shards(docs, "doc_id", 8), "doc_id", "n_tok", "shard", seq_len=512
+    )
+    return placed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.ceil(F.sum("n_tok") / 512.0).alias("n_seqs"),
+        F.sum(
+            F.when(F.col("seq_start") != F.col("seq_end"), 1).otherwise(0)
+        ).alias("n_split_docs"),
+        F.round(
+            F.sum("n_tok") / (F.ceil(F.sum("n_tok") / 512.0) * 512.0), 4
+        ).alias("fill_pct"),
+    )
+
+
+@register(
     "text_compression_ratio",
     None,  # zlib is not SQL-expressible; rows-only check (deterministic
     # for a fixed zlib level, asserted in tests against planted texts)
@@ -1050,32 +1115,44 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     base AS (
-      SELECT doc_id, lang, right(text, 60) AS t, length(right(text, 60)) AS tl
+      SELECT doc_id, lang, length(text) // 64 AS lb,
+             right(text, 60) AS t, length(right(text, 60)) AS tl
       FROM corpus
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.t, b.t) AS dist
     FROM base a JOIN base b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
      AND abs(a.tl - b.tl) <= 5
     WHERE levenshtein(a.t, b.t) <= 5
     """,
     doc="Character-level fuzzy near-dup pairs (dedup."
     "blocked_levenshtein_pairs): Levenshtein ≤ 5 on the 60-char document "
-    "suffix within language blocks — catches the small in-place edits "
-    "whose shingle sets barely move. Cheapest-test-first plan: blocking "
-    "equi-join, then the codegen'd |length diff| ≤ d necessary-condition "
-    "prune, then Spark's THRESHOLD-BOUNDED levenshtein (banded DP, "
-    "O(d·len) per pair with early bail at -1) — the unbounded O(len²) "
-    "form is what the oracle replays.",
+    "suffix within (language × 64-char length-bucket) blocks — catches "
+    "the small in-place edits whose shingle sets barely move. "
+    "Cheapest-test-first plan: blocking equi-join (the length bucket "
+    "cuts candidate pairs ~10× vs language alone; boundary-straddling "
+    "pairs are missed — the standard blocking-baseline trade, same "
+    "contract as dedup_ngram_blocked's 200-char buckets), then the "
+    "codegen'd |length diff| ≤ d necessary-condition prune, then "
+    "Spark's THRESHOLD-BOUNDED levenshtein (banded DP, O(d·len) per "
+    "pair with early bail at -1) — the unbounded O(len²) form is what "
+    "the oracle replays.",
     tags=("llm", "dedup"),
 )
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_near_copies(load(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", F.expr("right(text, 60)").alias("suffix")
+        "doc_id",
+        "lang",
+        F.floor(F.length("text") / 64).alias("lb"),
+        F.expr("right(text, 60)").alias("suffix"),
     )
     return D.blocked_levenshtein_pairs(
-        corpus, "suffix", "doc_id", block_cols=[F.col("lang")], max_dist=5
+        corpus,
+        "suffix",
+        "doc_id",
+        block_cols=[F.col("lang"), F.col("lb")],
+        max_dist=5,
     )
 
 

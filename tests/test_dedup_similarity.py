@@ -772,3 +772,36 @@ def test_blocked_levenshtein_pairs(spark):
         ).collect()
     }
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
+
+
+def test_pack_sequences_placement_invariants(spark):
+    """Packing invariants: within a shard, tok_start is a gapless prefix
+    sum over the hash order; seq_end-seq_start straddles exactly when the
+    doc crosses a 512 boundary; placement is repartition-invariant."""
+    from employee_activity_etl_poc_spark.operators.sampling import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("shard"),
+        (F.col("id") % 97 + 20).cast("long").alias("n_tok"),
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", "shard", seq_len=512).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["tok_start"])
+        run = 0
+        for r in rows:
+            assert r["tok_start"] == run  # gapless concat
+            assert r["seq_start"] == r["tok_start"] // 512
+            assert r["seq_end"] == (r["tok_start"] + r["n_tok"] - 1) // 512
+            run += r["n_tok"]
+        assert rows[0]["n_seqs"] == -(-run // 512)
+    again = {
+        (r["doc_id"], r["tok_start"])
+        for r in pack_sequences(
+            df.repartition(13), "doc_id", "n_tok", "shard", seq_len=512
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["tok_start"]) for r in out}
