@@ -35,9 +35,14 @@ from pyspark.sql import functions as F
 def _bit_positions(key: Column, n_bits: int, n_hashes: int) -> list[Column]:
     """n_hashes deterministic bit positions in [0, n_bits): xxhash64 of
     (key, i) — varying the second column stands in for a seed, which the
-    PySpark xxhash64 wrapper does not expose."""
+    PySpark xxhash64 wrapper does not expose. The key is canonicalized to
+    string first: xxhash64 is TYPE-sensitive (int 5 and long 5 hash
+    differently), so without canonicalization a probe/build type mismatch
+    would silently produce false negatives — breaking the module's core
+    contract."""
     return [
-        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(n_bits))
+        for i in range(n_hashes)
     ]
 
 

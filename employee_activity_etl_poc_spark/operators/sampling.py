@@ -159,8 +159,11 @@ def cap_per_group(
 
     Output is identical to the plain rank-everything form (under-cap
     groups trivially satisfy rank ≤ cap), which is what the SQL oracle
-    replays. Survivor choice orders by (md5(salt|key), key): engine-
-    portable, repartition-stable, and independent of input order."""
+    replays — INCLUDING a NULL group: window partitioning groups NULLs
+    together, so the over-cap joins use null-safe equality (a plain
+    equi-join would silently pass every NULL-group row through uncapped).
+    Survivor choice orders by (md5(salt|key), key): engine-portable,
+    repartition-stable, and independent of input order."""
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string")))
@@ -168,12 +171,13 @@ def cap_per_group(
         df.groupBy(group_col)
         .agg(F.count("*").alias("_n"))
         .where(F.col("_n") > cap)
-        .select(group_col)
+        .select(F.col(group_col).alias("_over_g"))
     )
-    under_df = df.join(F.broadcast(over), group_col, "left_anti")
+    match = F.col(group_col).eqNullSafe(F.col("_over_g"))
+    under_df = df.join(F.broadcast(over), match, "left_anti")
     w = Window.partitionBy(group_col).orderBy(h, F.col(key_col))
     capped = (
-        df.join(F.broadcast(over), group_col, "left_semi")
+        df.join(F.broadcast(over), match, "left_semi")
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= cap)
         .drop("_rn")
@@ -241,8 +245,12 @@ def pack_sequences(
 
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string")))
     w = Window.partitionBy(shard_col).orderBy(h, F.col(key_col))
-    tok = F.col(tokens_col).cast("long")
-    start = F.coalesce(F.sum(tok).over(w) - tok, F.lit(0))
+    # NULL token counts read as 0-width docs: coercing BEFORE the running
+    # sum keeps every later doc's prefix sum gapless (a NULL inside the
+    # window would otherwise poison the cumulative sum and silently place
+    # the doc at offset 0 on top of the shard's real first doc)
+    tok = F.coalesce(F.col(tokens_col).cast("long"), F.lit(0))
+    start = F.sum(tok).over(w) - tok
     total = F.sum(tok).over(Window.partitionBy(shard_col))
     return (
         df.withColumn("tok_start", start)

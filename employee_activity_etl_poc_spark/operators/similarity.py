@@ -1074,7 +1074,6 @@ def recall_gate(
     approx: DataFrame,
     floor: float,
     flag_col: str = "recall_ok",
-    expected_total: int | None = None,
 ) -> DataFrame:
     """Hash-gate an APPROXIMATE top-k against its exact twin: returns the
     EXACT rows (SQL-oracle-able) plus one boolean column asserting the
@@ -1087,24 +1086,21 @@ def recall_gate(
     path needed. Recall is aggregated over ALL queries (per-query recall
     would make the gate fragile to single-query ties); both inputs must
     expose (query_id, neighbor_id). The exact frame is evaluated twice
-    (rows + the hit semi-join) — the one extra pass is the documented
-    price of a self-checking gate query, as in ``event_value_tdigest``;
-    pass ``expected_total`` (= k × |queries| when every query has ≥ k
-    neighbors) to make the denominator a literal instead of a THIRD
-    evaluation of the exact plan."""
-    hits = exact.select("query_id", "neighbor_id").join(
-        approx.select("query_id", "neighbor_id"),
+    (rows + the gate aggregate) — the one extra pass is the documented
+    price of a self-checking gate query, as in ``event_value_tdigest``.
+    Hit count and denominator come from ONE marker left-join aggregate,
+    so they can never drift apart (a literal denominator would silently
+    loosen the gate if the query set ever grew)."""
+    marked = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("_hit", F.lit(1)),
         ["query_id", "neighbor_id"],
-        "left_semi",
+        "left",
     )
-    counted = hits.agg(F.count("*").alias("h"))
-    if expected_total is None:
-        counted = counted.crossJoin(exact.agg(F.count("*").alias("t")))
-    else:
-        counted = counted.withColumn("t", F.lit(expected_total))
-    flag = counted.select(
-        (F.col("h") >= F.col("t") * F.lit(floor)).alias(flag_col)
-    )
+    flag = marked.agg(
+        F.count("_hit").alias("h"), F.count("*").alias("t")
+    ).select((F.col("h") >= F.col("t") * F.lit(floor)).alias(flag_col))
     return exact.crossJoin(F.broadcast(flag))
 
 

@@ -385,11 +385,18 @@ def cms_estimate(
     )
 
 
+_KMV_SPACE = float(2**48)
+
+
 def _kmv_hash(item: Column, salt: str) -> Column:
-    """Uniform 64-bit-ish hash in [0, 2^32) from md5 — engine-portable
-    (the DuckDB oracle replays KMV sketches bit-for-bit, like the CMS)."""
+    """Uniform 48-bit hash in [0, 2^48) from the first 12 md5 hex chars —
+    engine-portable (the DuckDB oracle replays KMV sketches bit-for-bit,
+    like the CMS). 48 bits keeps birthday collisions negligible to
+    ~10^12 distinct items (vs ~10^8 for a 32-bit space, where collisions
+    would bias the estimator low at large-segment scale) while still
+    fitting a signed 64-bit long in both engines."""
     return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), item)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{salt}|"), item)), 1, 12), 16, 10
     ).cast("long")
 
 
@@ -421,7 +428,7 @@ def kmv_sketch(
 
 
 def kmv_estimate_distinct(sketch: DataFrame, k: int = 64) -> DataFrame:
-    """(n_est) from a KMV sketch: (k−1)/θ with θ = h_(k)/2^32, or the
+    """(n_est) from a KMV sketch: (k−1)/θ with θ = h_(k)/2^48, or the
     EXACT row count when the sketch holds fewer than k hashes (a sketch
     smaller than k IS the full distinct hash set)."""
     agg = sketch.agg(
@@ -429,7 +436,7 @@ def kmv_estimate_distinct(sketch: DataFrame, k: int = 64) -> DataFrame:
     )
     return agg.select(
         F.when(F.col("_n") < k, F.col("_n").cast("double"))
-        .otherwise((k - 1) * F.lit(2.0**32) / F.col("_hk"))
+        .otherwise((k - 1) * F.lit(_KMV_SPACE) / F.col("_hk"))
         .alias("n_est")
     )
 

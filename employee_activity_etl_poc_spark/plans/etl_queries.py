@@ -509,11 +509,11 @@ def events_user_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND user_id IS NOT NULL
     ),
     ha AS (
-      SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || item), 1, 8) AS BIGINT) AS h
+      SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || item), 1, 12) AS BIGINT) AS h
       FROM ev WHERE event_type = 'click'
     ),
     hb AS (
-      SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || item), 1, 8) AS BIGINT) AS h
+      SELECT DISTINCT CAST('0x' || substr(md5('kmv|' || item), 1, 12) AS BIGINT) AS h
       FROM ev WHERE event_type = 'purchase'
     ),
     sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
@@ -522,11 +522,11 @@ def events_user_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 256
     ),
     ea AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                       ELSE 255 * 4294967296.0 / max(h) END AS v FROM sa),
+                       ELSE 255 * 281474976710656.0 / max(h) END AS v FROM sa),
     eb AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                       ELSE 255 * 4294967296.0 / max(h) END AS v FROM sb),
+                       ELSE 255 * 281474976710656.0 / max(h) END AS v FROM sb),
     eu AS (SELECT CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
-                       ELSE 255 * 4294967296.0 / max(h) END AS v FROM su),
+                       ELSE 255 * 281474976710656.0 / max(h) END AS v FROM su),
     sh AS (
       SELECT CAST(count(*) AS DOUBLE) AS ns,
              (SELECT CAST(count(*) AS DOUBLE) FROM su) AS nu

@@ -18,6 +18,7 @@ from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import similarity as SIM
 from ..operators import textops as TX
+from ..operators.sampling import cap_oracle_order_sql as _cap_order_sql
 from .registry import load, register
 
 # ---------------------------------------------------------------------------
@@ -614,7 +615,7 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "documents_domain_cap",
-    """
+    f"""
     WITH d AS (
       SELECT doc_id,
              CASE WHEN doc_id % 10 < 7 THEN 'megadomain' ELSE source END AS domain
@@ -624,7 +625,7 @@ def documents_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, domain,
              row_number() OVER (
                PARTITION BY domain
-               ORDER BY md5('cap|' || doc_id::VARCHAR), doc_id
+               ORDER BY {_cap_order_sql("doc_id")}
              ) AS rn
       FROM d
     ) WHERE rn <= 15
@@ -1462,7 +1463,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, "vec_id", "embedding", dim=64, k=5,
         n_planes=4, multi_probe=2, n_tables=8,
     )
-    return SIM.recall_gate(exact, ann, floor=0.6, expected_total=50)
+    return SIM.recall_gate(exact, ann, floor=0.6)
 
 
 @register(
@@ -1527,7 +1528,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = SIM.pq_rerank_topk(
         emb, q, "vec_id", "embedding", k=5, shortlist=100, m=16
     )
-    return SIM.recall_gate(exact, ann, floor=0.85, expected_total=50)
+    return SIM.recall_gate(exact, ann, floor=0.85)
 
 
 @register(
@@ -1563,7 +1564,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=20,
         init="kcenter",  # measured +0.08-0.12 recall over the md5 pick
     )
-    return SIM.recall_gate(exact, ann, floor=0.8, expected_total=50)
+    return SIM.recall_gate(exact, ann, floor=0.8)
 
 
 # ---------------------------------------------------------------------------

@@ -805,3 +805,35 @@ def test_pack_sequences_placement_invariants(spark):
         ).collect()
     }
     assert again == {(r["doc_id"], r["tok_start"]) for r in out}
+
+
+def test_cap_per_group_null_group_is_capped(spark):
+    """A NULL group must be capped like any other (null-safe joins) —
+    window partitioning groups NULLs together, so the skew-split form has
+    to match the rank-everything form on NULL keys too."""
+    from employee_activity_etl_poc_spark.operators.sampling import cap_per_group
+
+    df = spark.range(40).select(
+        F.col("id").alias("k"), F.lit(None).cast("string").alias("g")
+    )
+    out = cap_per_group(df, "k", "g", cap=5).collect()
+    assert len(out) == 5
+
+
+def test_pack_sequences_null_tokens_zero_width(spark):
+    """NULL token counts place as zero-width docs without poisoning the
+    running sum for later docs in the shard."""
+    from employee_activity_etl_poc_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0, 100), (2, 0, None), (3, 0, 100)],
+        "doc_id long, shard int, n_tok long",
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, "doc_id", "n_tok", "shard", 512).collect()}
+    # the two real docs occupy [0,100) and [100,200); the null doc is
+    # 0-width at whichever md5-order slot it landed (0, 100, or 200)
+    assert sorted(rows[d]["tok_start"] for d in (1, 3)) == [0, 100]
+    assert rows[2]["tok_start"] in (0, 100, 200)
+    assert rows[2]["seq_start"] == rows[2]["seq_end"]
+    total = sum((r["n_tok"] or 0) for r in df.collect())
+    assert all(r["n_seqs"] == -(-total // 512) for r in rows.values())

@@ -301,3 +301,15 @@ def test_kmv_small_set_is_exact(spark):
     sk = SK.kmv_sketch(df, "item", k=64)
     assert sk.count() == 40
     assert SK.kmv_estimate_distinct(sk, 64).collect()[0]["n_est"] == 40.0
+
+
+def test_bloom_type_mismatch_still_exact(spark):
+    """Keys are canonicalized to string before hashing, so an int probe
+    against a long build (or vice versa) keeps the no-false-negative
+    contract instead of silently dropping every match."""
+    from employee_activity_etl_poc_spark.operators import bloom as B
+
+    probe = spark.range(0, 200).select(F.col("id").cast("int").alias("k"))
+    build = spark.range(0, 200, 3).select(F.col("id").alias("bk"))  # long
+    got = {r["k"] for r in B.bloom_semi_join(probe, build, "k", "bk").collect()}
+    assert got == set(range(0, 200, 3))
