@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_levenshtein_blocked",
     "events_theta_distinct_algebra",
     "documents_sequence_packing",
+    "events_snapshot_diff",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -235,3 +235,72 @@ def key_difference(left: DataFrame, right: DataFrame, key: str) -> DataFrame:
     """SO2: distinct keys of ``left`` minus keys of ``right``
     (``find_unique_employee.ipynb:90-92``)."""
     return left.select(key).distinct().exceptAll(right.select(key).distinct())
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Reconcile two snapshots of a keyed table: one row per key that
+    differs, with ``change`` ∈ {'added', 'removed', 'changed'} and
+    ``changed_cols`` (the sorted names of value columns that differ,
+    empty for added/removed).
+
+    The data-engineering audit primitive (validating a migration, a CDC
+    re-sync, a backfill): at 100 TB it is ONE full-outer shuffle join on
+    the key — co-located and shuffle-free if both snapshots are bucketed
+    on it — and every column comparison is a codegen'd null-safe
+    equality; unchanged rows are filtered before anything widens.
+    Comparison uses ``eqNullSafe``: a NULL→value or value→NULL
+    transition counts as a change, NULL→NULL does not."""
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in key_cols],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for k in key_cols:
+        eq = F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    changed_cols = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_cols) > 0, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change",
+            F.when(F.col("change") == "changed", changed_cols)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("changed_cols"),
+        )
+    )

@@ -664,6 +664,77 @@ def events_bloom_pruned_building(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_snapshot_diff",
+    """
+    WITH o AS (
+      SELECT event_id, event_type, round(value, 4) AS v
+      FROM events WHERE event_id < 8000
+    ),
+    n AS (
+      SELECT event_id,
+             CASE WHEN event_id % 11 = 0 THEN 'migrated' ELSE event_type END
+               AS event_type,
+             round(value, 4) + CASE WHEN event_id % 7 = 0 THEN 1000 ELSE 0 END
+               AS v
+      FROM events WHERE event_id < 8500 AND event_id % 13 <> 0
+    ),
+    j AS (
+      SELECT coalesce(o.event_id, n.event_id) AS event_id,
+             o.event_id IS NULL AS added,
+             n.event_id IS NULL AS removed,
+             o.event_type IS DISTINCT FROM n.event_type AS ct,
+             o.v IS DISTINCT FROM n.v AS cv
+      FROM o FULL OUTER JOIN n ON o.event_id = n.event_id
+    )
+    SELECT event_id,
+           CASE WHEN added THEN 'added' WHEN removed THEN 'removed'
+                ELSE 'changed' END AS change,
+           CASE WHEN added OR removed THEN ''
+                ELSE concat_ws(',', CASE WHEN ct THEN 'event_type' END,
+                                    CASE WHEN cv THEN 'v' END) END
+             AS changed_cols_str
+    FROM j WHERE added OR removed OR ct OR cv
+    """,
+    doc="Snapshot reconciliation (relational.snapshot_diff): a synthetic "
+    "'re-synced' events snapshot (some ids dropped, some appended, two "
+    "modulo families of value/type edits) diffed against the original — "
+    "one row per divergent key with change ∈ added/removed/changed and "
+    "the exact column names that moved. The audit primitive for "
+    "migrations, CDC re-syncs, and backfills: ONE full-outer shuffle on "
+    "the key (shuffle-free when both snapshots are bucketed on it), "
+    "codegen'd null-safe column compares, unchanged rows filtered before "
+    "anything widens. Hash-gated against the DuckDB FULL OUTER JOIN "
+    "replay down to the per-column change lists.",
+    tags=("join", "audit", "scale"),
+)
+def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import snapshot_diff
+
+    ev = load(spark, sf_dir, "events")
+    old = ev.where(F.col("event_id") < 8000).select(
+        "event_id", "event_type", F.round("value", 4).alias("v")
+    )
+    new = (
+        ev.where((F.col("event_id") < 8500) & (F.col("event_id") % 13 != 0))
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 11 == 0, F.lit("migrated"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            (
+                F.round("value", 4)
+                + F.when(F.col("event_id") % 7 == 0, 1000).otherwise(0)
+            ).alias("v"),
+        )
+    )
+    return snapshot_diff(old, new, ["event_id"], ["event_type", "v"]).select(
+        "event_id",
+        "change",
+        F.array_join("changed_cols", ",").alias("changed_cols_str"),
+    )
+
+
+@register(
     "cdc_apply_snapshot",
     """
     WITH snapshot AS (

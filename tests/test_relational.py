@@ -80,3 +80,39 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.06
+
+
+def test_snapshot_diff_changes(spark):
+    """snapshot_diff: added/removed/changed classification, per-column
+    change lists, null-safe compares (NULL->NULL is not a change;
+    NULL->value is)."""
+    from employee_activity_etl_poc_spark.operators.relational import snapshot_diff
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "X", 31.0), (5, "e", 50.0)],
+        "id long, t string, v double",
+    )
+    got = {
+        r["id"]: (r["change"], list(r["changed_cols"]))
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    # 1 unchanged, 2 unchanged (NULL==NULL null-safely)
+    assert got == {
+        3: ("changed", ["t", "v"]),
+        4: ("removed", []),
+        5: ("added", []),
+    }
+    # NULL -> value IS a change
+    new2 = spark.createDataFrame([(2, "b", 99.0)], "id long, t string, v double")
+    got2 = {
+        r["id"]: (r["change"], list(r["changed_cols"]))
+        for r in snapshot_diff(
+            old.where(F.col("id") == 2), new2, ["id"]
+        ).collect()
+    }
+    assert got2 == {2: ("changed", ["v"])}
