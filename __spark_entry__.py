@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_theta_distinct_algebra",
     "documents_sequence_packing",
     "events_snapshot_diff",
+    "events_robust_outliers",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

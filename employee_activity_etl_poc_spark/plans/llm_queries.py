@@ -298,6 +298,65 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           round(any_value(m.med), 4) AS med,
+           round(any_value(d.mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(round(0.6745 * (e.value - m.med) / d.mad, 4))
+                              > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="Robust outlier detection via median/MAD (the modified z-score, "
+    "|0.6745·(x−med)/MAD| > 3.5 — Iglewicz & Hoaglin): the quality "
+    "filter that survives what breaks mean/stddev z-scores, a single "
+    "contaminated heavy tail dragging μ and σ toward the outliers it "
+    "should flag. Two grouped percentile passes + broadcast joins of the "
+    "|groups|-row stats; all comparisons codegen. At 100 TB swap exact "
+    "percentile for the t-digest (operators/sketches.py) — same shape, "
+    "mergeable, no per-group buffering.",
+    tags=("llm", "quality", "agg"),
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    rz = F.round(
+        0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 4
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med"), 4).alias("med"),
+            F.round(F.any_value("mad"), 4).alias("mad"),
+            F.sum(F.when(F.abs(rz) > 3.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
     "events_user_zscores",
     """
     WITH stats AS (
