@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "documents_sequence_packing",
     "events_snapshot_diff",
     "events_robust_outliers",
+    "large_order_customers",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -856,6 +856,62 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "large_order_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): the HAVING subquery "
+    "becomes a pre-aggregated key set (map-side combined — one row per "
+    "qualifying order) semi-joined back before anything widens, then the "
+    "customer dim broadcasts onto the survivors. The anti-pattern this "
+    "dodges at 100 TB: joining customer×orders×lineitem FIRST and "
+    "filtering after — the pre-agg prunes the fact table to the "
+    "qualifying handful of keys up front.",
+    tags=("join", "multiway", "having"),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pruned_li = li.join(
+        F.broadcast(big), li.l_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        pruned_li.join(orders, pruned_li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            S.format_ts("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
 # ===========================================================================
 # Windows / sorts / top-k (SURVEY §2.5)
 # ===========================================================================
