@@ -29,22 +29,17 @@ def default_parallelism() -> int:
     return os.cpu_count() or 4
 
 
-def get_spark(
-    app_name: str = "employee_activity_etl_poc_spark",
-    shuffle_partitions: int | None = None,
-    extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    """Build (or fetch) the singleton SparkSession.
-
-    Local mode is single-JVM; on a cluster the same conf applies minus the
-    master override. Every knob here is a plain public Spark conf.
-    """
-    cores = default_parallelism()
-    n_shuffle = shuffle_partitions or cores
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+def apply_engine_conf(
+    builder, shuffle_partitions: int | None = None
+):
+    """Apply the engine's session conf to ANY builder — shared by the
+    local singleton (:func:`get_spark`) and alternate masters (e.g.
+    ``tools/cluster_check.py``'s local-cluster parity run), so a
+    different deployment mode can never silently drop a correctness-
+    relevant knob (UTC, nanos handling, Arrow)."""
+    n_shuffle = shuffle_partitions or default_parallelism()
+    return (
+        builder.config("spark.sql.shuffle.partitions", str(n_shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -76,6 +71,23 @@ def get_spark(
         # session tz) rather than TIMESTAMP_NTZ so µs-epoch functions and
         # the DuckDB oracle agree (sources/readers.py::_ensure_session_conf).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    )
+
+
+def get_spark(
+    app_name: str = "employee_activity_etl_poc_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    Local mode is single-JVM; on a cluster the same conf applies minus the
+    master override. Every knob here is a plain public Spark conf.
+    """
+    cores = default_parallelism()
+    builder = apply_engine_conf(
+        SparkSession.builder.appName(app_name).master(f"local[{cores}]"),
+        shuffle_partitions,
     )
     if extra_conf:
         for k, v in extra_conf.items():

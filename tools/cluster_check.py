@@ -1,0 +1,83 @@
+"""Multi-executor parity check: local-cluster vs local.
+
+``local[n]`` runs every task in ONE JVM — broadcasts never serialize,
+"shuffles" are in-process, and a driver-side object that accidentally
+leaks into a task closure still works. ``local-cluster[2,2,1024]`` spawns
+two REAL executor JVMs: broadcasts ship over the wire, shuffle blocks
+cross process boundaries, Python workers run per-executor — the closest
+single-machine approximation of a real cluster.
+
+This tool runs a representative slice of the registry on BOTH masters
+and compares normalized results (same row/col/value-hash compare as the
+oracle gate). Any operator that secretly depends on single-JVM locality
+(un-serialized state, driver-local caches, partition-count assumptions)
+fails here before it would fail on a thousand executors.
+
+Usage: python tools/cluster_check.py [sf_dir]  (exit 0 = parity)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.check_oracle import normalize  # noqa: E402
+
+# Chosen to cross every mechanism that changes shape across JVMs:
+# broadcast joins, shuffles+windows, persisted frames, mapInPandas
+# (Arrow workers per executor), driver-side collects feeding
+# createDataFrame (ANN probes/LUTs), and mergeable sketches.
+QUERIES = [
+    "revenue_by_segment",        # broadcast dim join
+    "latest_events_per_user",    # shuffle + window
+    "dedup_minhash_lsh",         # persist + self-join + verify
+    "embedding_ann_ivf",         # BLAS mapInPandas + driver probes + flag
+    "event_value_tdigest",       # partition sketches + single-task merge
+    "events_user_cms_counts",    # explode + map-side combine + broadcast
+    "documents_domain_cap",      # null-safe broadcast anti/semi split
+    "events_snapshot_diff",      # full-outer shuffle join
+]
+
+
+def _run(master: str, sf_dir: str) -> dict[str, tuple]:
+    from pyspark.sql import SparkSession
+
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+    from employee_activity_etl_poc_spark.session import apply_engine_conf
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName("cluster_check")
+        # executor JVMs spawn their OWN Python workers, which know nothing
+        # of the driver's sys.path hack — ship the repo root explicitly
+        # (the local-mode equivalent of --py-files / a wheel on a cluster)
+        .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+    )
+    spark = apply_engine_conf(builder).getOrCreate()
+    try:
+        out = {}
+        for name in QUERIES:
+            out[name] = normalize(REGISTRY[name].fn(spark, sf_dir).toPandas())
+        return out
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    local = _run("local[4]", sf_dir)
+    cluster = _run("local-cluster[2,2,1024]", sf_dir)
+    failures = 0
+    for name in QUERIES:
+        ok = local[name] == cluster[name]
+        print(f"{'OK  ' if ok else 'FAIL'} {name}: local {local[name][0]} rows "
+              f"vs cluster {cluster[name][0]} rows, hash "
+              f"{'match' if local[name][2] == cluster[name][2] else 'MISMATCH'}")
+        failures += 0 if ok else 1
+    print("ALL OK" if not failures else f"{failures} FAILURES")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
