@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_snapshot_diff",
     "events_robust_outliers",
     "large_order_customers",
+    "embedding_incremental_near_dup",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

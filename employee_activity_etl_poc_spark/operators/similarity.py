@@ -1148,3 +1148,108 @@ def pq_rerank_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def embedding_signature_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+) -> DataFrame:
+    """(id, v, n, sig): the persistable signature store for INCREMENTAL
+    embedding near-dup detection — the vector analog of
+    :func:`..dedup.minhash_signature_table`. Sign each vector once, ever;
+    new batches only sign themselves. Signatures run in the Arrow/BLAS
+    tier (one matmul + bit-pack per batch, same as the L-table index
+    pass); at 100 TB this table is what you checkpoint between ingest
+    batches."""
+    import numpy as np
+    import pandas as pd
+
+    w_mat = np.array(_plane_weights(dim, n_planes, 0), dtype=np.float64).T
+    pow2 = 2 ** np.arange(n_planes)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def sign(batches):
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["i"],
+                    "v": pdf["v"],
+                    "n": np.linalg.norm(x, axis=1),
+                    "sig": ((x @ w_mat >= 0).astype(np.int64) @ pow2),
+                }
+            )
+
+    return (
+        _as_double(df, vec_col)
+        .select(F.col(id_col).alias("i"), "v")
+        .mapInPandas(
+            sign, schema=f"id {id_type}, v array<double>, n double, sig long"
+        )
+    )
+
+
+def embedding_incremental_pairs(
+    store: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    multi_probe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs INVOLVING AT LEAST ONE NEW vector — the
+    incremental form of :func:`bucketed_near_duplicate_pairs` for
+    streaming/batched ingest, mirroring
+    :func:`..dedup.minhash_incremental_pairs` exactly.
+
+    ``store``/``new`` are signature tables from
+    :func:`embedding_signature_table`; the store is never re-signed, so
+    per-batch cost is O(|new|) signing + the bucket equi-join. Only the
+    NEW side probes bit-flips; XOR involution makes probing symmetric
+    (sig_store ∈ probes(new) ⇔ sig_new ∈ probes(store)), so the caught
+    pair set equals the batch operator's on (store ∪ new) restricted to
+    pairs touching ``new`` — the union of per-batch outputs over any
+    ingest order equals the full batch result (exactly-once per pair:
+    store×store pairs were emitted by earlier batches). Exact copies
+    share every signature, so they are always caught; verification is
+    exact cosine, precision 1.0."""
+    probes = F.array_distinct(
+        F.array(
+            F.col("sig"),
+            *[
+                F.col("sig").bitwiseXOR(F.lit(2**p))
+                for p in range(min(multi_probe, n_planes))
+            ],
+        )
+    )
+    a = new.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        F.explode(probes).alias("bucket"),
+    )
+    all_docs = store.unionByName(new)
+    b = all_docs.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        F.col("sig").alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("p_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("p_b"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .where(F.col("s") >= threshold)
+        .select(
+            F.col("p_a").alias("id_a"),
+            F.col("p_b").alias("id_b"),
+            F.round("s", 4).alias("sim"),
+        )
+        .distinct()
+    )

@@ -1450,6 +1450,45 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_incremental_near_dup",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+    doc="Incremental embedding near-dup via the signature store "
+    "(SIM.embedding_signature_table / embedding_incremental_pairs — the "
+    "vector analog of the minhash signature store): batch 1 is the base "
+    "corpus, batch 2 the planted copies; each batch signs ONLY itself "
+    "(BLAS matmul + bit-pack) and joins its probe buckets against "
+    "store ∪ batch. XOR-involution probing makes the caught pair set "
+    "equal the batch operator's restricted to pairs touching the new "
+    "batch, so the UNION of the two batch outputs hash-matches the "
+    "full-corpus brute-force oracle (exactly-once per pair across the "
+    "ingest history). Per-batch cost at 100 TB: O(|batch|) signing + a "
+    "bucket equi-join — the store is never re-signed.",
+    tags=("llm", "dedup", "similarity", "scale", "incremental"),
+)
+def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    sig1 = SIM.embedding_signature_table(emb, "vec_id", "embedding", dim=64)
+    sig2 = SIM.embedding_signature_table(copies, "vec_id", "embedding", dim=64)
+    out1 = SIM.embedding_incremental_pairs(sig1.limit(0), sig1, threshold=0.99)
+    out2 = SIM.embedding_incremental_pairs(sig1, sig2, threshold=0.99)
+    return out1.unionByName(out2)
+
+
+@register(
     "embedding_quantized_topk",
     """
     WITH base AS (

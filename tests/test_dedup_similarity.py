@@ -837,3 +837,40 @@ def test_pack_sequences_null_tokens_zero_width(spark):
     assert rows[2]["seq_start"] == rows[2]["seq_end"]
     total = sum((r["n_tok"] or 0) for r in df.collect())
     assert all(r["n_seqs"] == -(-total // 512) for r in rows.values())
+
+
+def test_embedding_incremental_equals_batch(spark, sf_dir):
+    """Two-batch ingest through the embedding signature store yields
+    exactly the batch operator's pairs: no overlap between batch outputs,
+    union identical — the exactly-once-per-pair contract, mirroring the
+    minhash store test."""
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(copies)
+    full = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in SIM.bucketed_near_duplicate_pairs(
+            corpus, "vec_id", "embedding", dim=64, threshold=0.99
+        ).collect()
+    }
+    sig1 = SIM.embedding_signature_table(emb, "vec_id", "embedding", dim=64)
+    sig2 = SIM.embedding_signature_table(copies, "vec_id", "embedding", dim=64)
+    out1 = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in SIM.embedding_incremental_pairs(
+            sig1.limit(0), sig1, threshold=0.99
+        ).collect()
+    }
+    out2 = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in SIM.embedding_incremental_pairs(
+            sig1, sig2, threshold=0.99
+        ).collect()
+    }
+    assert out1 | out2 == full
+    assert not (out1 & out2)
+    assert out2, "cross-batch copy pairs expected"
