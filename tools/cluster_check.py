@@ -64,6 +64,53 @@ def _run(master: str, sf_dir: str) -> dict[str, tuple]:
         spark.stop()
 
 
+def _retry_resilience(sf_dir: str) -> bool:
+    """Task-retry transparency: inject a FIRST-ATTEMPT failure into one
+    partition of a mapInPandas stage under local-cluster (where the
+    scheduler retries tasks, maxFailures=4 — local mode aborts on first
+    failure) and assert the t-digest result is identical to a clean run.
+    This is the 100 TB reality check sketches must pass: on a thousand
+    executors, tasks FAIL — preemption, OOM-kills, spot reclaim — and a
+    mergeable sketch is only scale-safe if a re-run partition produces
+    the identical partial (deterministic, no RNG, no cross-attempt
+    state)."""
+    from pyspark import TaskContext
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators import sketches as SK
+    from employee_activity_etl_poc_spark.session import apply_engine_conf
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    builder = (
+        SparkSession.builder.master("local-cluster[2,2,1024]")
+        .appName("retry_check")
+        .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+    )
+    spark = apply_engine_conf(builder).getOrCreate()
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("value").cast("double").alias("v")
+        )
+
+        def flaky(batches):
+            ctx = TaskContext.get()
+            if ctx is not None and ctx.partitionId() == 0 and ctx.attemptNumber() == 0:
+                raise RuntimeError("injected first-attempt failure")
+            yield from batches
+
+        flaked = ev.mapInPandas(flaky, schema="v double")
+        got = normalize(
+            SK.tdigest_percentiles(flaked, "v", [0.5, 0.9]).toPandas()
+        )
+        clean = normalize(
+            SK.tdigest_percentiles(ev, "v", [0.5, 0.9]).toPandas()
+        )
+        return got == clean
+    finally:
+        spark.stop()
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     local = _run("local[4]", sf_dir)
@@ -75,6 +122,10 @@ def main() -> int:
               f"vs cluster {cluster[name][0]} rows, hash "
               f"{'match' if local[name][2] == cluster[name][2] else 'MISMATCH'}")
         failures += 0 if ok else 1
+    retry_ok = _retry_resilience(sf_dir)
+    print(f"{'OK  ' if retry_ok else 'FAIL'} retry_resilience: injected "
+          "task failure, digest identical" if retry_ok else "digest DIVERGED")
+    failures += 0 if retry_ok else 1
     print("ALL OK" if not failures else f"{failures} FAILURES")
     return 1 if failures else 0
 
