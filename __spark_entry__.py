@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_robust_outliers",
     "large_order_customers",
     "embedding_incremental_near_dup",
+    "delta_roundtrip_stats",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -664,6 +664,56 @@ def events_bloom_pruned_building(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_roundtrip_stats",
+    """
+    WITH current AS (
+      SELECT event_type, round(value, 4) AS v FROM events
+      WHERE event_id % 3 = 0
+    ),
+    v1 AS (
+      SELECT count(*) AS n_v1 FROM events WHERE event_id % 2 = 0
+    )
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(v), 4) AS sum_v,
+           (SELECT n_v1 FROM v1) AS n_version1
+    FROM current GROUP BY event_type
+    """,
+    doc="S6 without the jar, under the hash gate: events are committed "
+    "through the pure-Python Delta log (sources/deltalog.py) as two "
+    "appends (even ids, odd ids) then an OVERWRITE (ids %3=0 — "
+    "remove-all + add in one atomic commit), read back via the "
+    "transaction log (tombstoned files skipped; a directory scan would "
+    "double-count every batch) plus a versionAsOf=0 time-travel read of "
+    "the first append. The oracle computes both states straight from "
+    "the source table — matching hashes prove commits, tombstones, and "
+    "time travel round-trip exactly.",
+    tags=("source", "delta", "scale"),
+)
+def delta_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.deltalog import read_delta_pylog, write_delta_pylog
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 4).alias("v")
+    )
+    path = tempfile.mkdtemp(prefix="delta_rt_")
+    write_delta_pylog(ev.where(F.col("event_id") % 2 == 0), path)
+    write_delta_pylog(ev.where(F.col("event_id") % 2 == 1), path)
+    write_delta_pylog(
+        ev.where(F.col("event_id") % 3 == 0), path, mode="overwrite"
+    )
+    current = read_delta_pylog(spark, path)
+    n_v1 = read_delta_pylog(spark, path, version_as_of=0).count()
+    return current.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("v"), 4).alias("sum_v"),
+        F.lit(n_v1).cast("long").alias("n_version1"),
+    )
+
+
+@register(
     "events_snapshot_diff",
     """
     WITH o AS (

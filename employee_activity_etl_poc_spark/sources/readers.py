@@ -208,14 +208,23 @@ def delta_available(spark: SparkSession) -> bool:
 
 
 def read_delta(spark: SparkSession, path: str) -> DataFrame:
-    """S6: Delta source. Falls back to a plain parquet scan when the Delta
-    jar is absent (correct only for append-only tables with no tombstones —
-    which is exactly the reference's raw-parquet shortcut at
-    ``bronze/readSampleDelta.py:13-73``; with the jar present we read the
-    log properly instead).
+    """S6: Delta source, three tiers:
+
+    1. Delta jar present → native ``format('delta')``.
+    2. No jar but ``_delta_log/`` exists → the pure-Python log reader
+       (``sources/deltalog.py``): resolves the LIVE file set from the
+       transaction log, so tombstoned files (overwrites, compactions)
+       are correctly skipped and ``version_as_of`` time travel works.
+    3. No log at all → plain parquet scan (the reference's raw-parquet
+       shortcut at ``bronze/readSampleDelta.py:13-73`` — correct only
+       for append-only directories).
     """
     if delta_available(spark):
         return spark.read.format("delta").load(path)
+    from .deltalog import is_delta_table, read_delta_pylog
+
+    if is_delta_table(path):
+        return read_delta_pylog(spark, path)
     return spark.read.parquet(path)
 
 
