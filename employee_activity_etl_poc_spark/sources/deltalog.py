@@ -284,3 +284,41 @@ def _load_checkpoint(path: str, version: int):
             a = json.loads(row["add"])
             live[a["path"]] = a
     return meta, live
+
+
+def delta_merge_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> int:
+    """Jar-free MERGE INTO (whole-table form): read the current snapshot
+    through the log, apply ``operators.relational.merge_upsert`` (update
+    matched keys, insert new ones), commit the result as ONE overwrite —
+    readers see the pre- or post-merge table, never a mix. The jar's
+    MERGE rewrites only touched files; this form rewrites the table, the
+    right trade for dimension-sized targets (the reference's upsert
+    surface) and the documented jar-only gap for fact-sized ones."""
+    from ..operators.relational import merge_upsert
+
+    current = read_delta_pylog(spark, path)
+    merged = merge_upsert(current, updates, key)
+    return write_delta_pylog(merged, path, mode="overwrite")
+
+
+def delta_version_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-Data-Feed-lite: what changed between two versions of a
+    Delta table, as ``operators.relational.snapshot_diff`` rows (one row
+    per divergent key: added / removed / changed + the column names that
+    moved). Real CDF materializes per-commit change files at write time;
+    diffing two time-travel snapshots reconstructs the same answer for
+    keyed tables at the cost of reading both versions — no jar, no
+    write-path cooperation needed."""
+    from ..operators.relational import snapshot_diff
+
+    old = read_delta_pylog(spark, path, version_as_of=v_from)
+    new = read_delta_pylog(spark, path, version_as_of=v_to)
+    return snapshot_diff(old, new, key_cols)

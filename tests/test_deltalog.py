@@ -97,3 +97,29 @@ def test_concurrent_commit_conflicts_loudly(spark, tmp_path, monkeypatch):
         write_delta_pylog(df, path)
     monkeypatch.undo()
     assert _existing_versions(path) == [0, 1]
+
+
+def test_delta_merge_upsert_and_version_diff(spark, tmp_path):
+    """Jar-free MERGE commits one overwrite version; CDF-lite diff
+    between versions reports exactly the merge's effects."""
+    from employee_activity_etl_poc_spark.sources.deltalog import (
+        delta_merge_upsert,
+        delta_version_diff,
+    )
+
+    path = str(tmp_path / "mtbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, t string, v double"
+    )
+    write_delta_pylog(base, path)
+    updates = spark.createDataFrame(
+        [(2, "b", 99.0), (4, "d", 40.0)], "id long, t string, v double"
+    )
+    assert delta_merge_upsert(spark, path, updates, "id") == 1
+    got = {tuple(r) for r in read_delta_pylog(spark, path).collect()}
+    assert got == {(1, "a", 10.0), (2, "b", 99.0), (3, "c", 30.0), (4, "d", 40.0)}
+    diff = {
+        r["id"]: (r["change"], list(r["changed_cols"]))
+        for r in delta_version_diff(spark, path, 0, 1, ["id"]).collect()
+    }
+    assert diff == {2: ("changed", ["v"]), 4: ("added", [])}
