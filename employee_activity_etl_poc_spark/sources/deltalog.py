@@ -127,6 +127,8 @@ def write_delta_pylog(
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
+    txn: tuple[str, int] | None = None,
+    data_change: bool = True,
 ) -> int:
     """Commit ``df`` to a Delta log without the jar; returns the new
     version. ``mode='append'`` adds files; ``mode='overwrite'`` removes
@@ -134,7 +136,12 @@ def write_delta_pylog(
     see old or new, never both). The commit file is created with
     ``open('x')``: if a concurrent writer took the version, this raises
     instead of overwriting — the caller retries on the next version,
-    exactly the optimistic-concurrency loop of the real LogStore."""
+    exactly the optimistic-concurrency loop of the real LogStore.
+
+    ``txn=(app_id, version)`` stamps the commit with Delta's idempotent-
+    writer action (see :func:`streaming_delta_sink`);
+    ``data_change=False`` marks a layout-only rewrite (compaction) whose
+    adds/removes streaming readers must skip."""
     spark = df.sparkSession
     os.makedirs(_log_dir(path), exist_ok=True)
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
@@ -168,7 +175,7 @@ def write_delta_pylog(
                         "partitionValues": part_values,
                         "size": os.path.getsize(dest),
                         "modificationTime": now,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
             )
@@ -201,10 +208,12 @@ def write_delta_pylog(
                     "remove": {
                         "path": p,
                         "deletionTimestamp": now,
-                        "dataChange": True,
+                        "dataChange": data_change,
                     }
                 }
             )
+    if txn is not None:
+        actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
     actions.extend(adds)
     actions.append(
         {
@@ -322,3 +331,98 @@ def delta_version_diff(
     old = read_delta_pylog(spark, path, version_as_of=v_from)
     new = read_delta_pylog(spark, path, version_as_of=v_to)
     return snapshot_diff(old, new, key_cols)
+
+
+# ---------------------------------------------------------------------------
+# streaming idempotency (txn), compaction (OPTIMIZE-lite), vacuum
+# ---------------------------------------------------------------------------
+
+
+def last_txn_version(path: str, app_id: str) -> int:
+    """Highest committed ``txn`` version for ``app_id``, or -1 — the
+    Delta idempotent-writer protocol: a streaming sink stamps each
+    commit with (appId, batchVersion), and on at-least-once replay skips
+    batches it already owns. Replays the JSON log only (commit JSONs are
+    never deleted here, so this stays correct regardless of
+    checkpoints)."""
+    best = -1
+    for v in _existing_versions(path):
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    best = max(best, int(txn["version"]))
+    return best
+
+
+def streaming_delta_sink(path: str, app_id: str):
+    """foreachBatch sink with Delta's txn-based exactly-once contract:
+    ``writeStream.foreachBatch(streaming_delta_sink(path, app))``. Spark
+    guarantees at-least-once batch delivery; the (appId, epoch) txn
+    action recorded IN the same atomic commit as the data makes replays
+    detectable, so a crash after commit but before checkpoint advances
+    re-delivers the batch and the sink skips it — the jar's
+    ``txnAppId``/``txnVersion`` option, reimplemented on the log."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if epoch_id <= last_txn_version(path, app_id):
+            return  # replayed batch: already durably committed
+        write_delta_pylog(batch_df, path, mode="append", txn=(app_id, epoch_id))
+
+    return sink
+
+
+def compact_delta(
+    spark: SparkSession, path: str, target_partitions: int = 1
+) -> int:
+    """OPTIMIZE-lite: rewrite the live file set into ``target_partitions``
+    files in ONE commit whose add/remove actions carry
+    ``dataChange=false`` — the table's ROWS are unchanged (streaming
+    readers of the log know to skip the commit as a no-op), only the
+    file layout improves. This is the small-file antidote for streaming
+    ingest at scale: many per-batch files become a few scan-friendly
+    ones, while every historical version stays readable."""
+    current = read_delta_pylog(spark, path)
+    return write_delta_pylog(
+        current.coalesce(target_partitions),
+        path,
+        mode="overwrite",
+        data_change=False,
+    )
+
+
+def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
+    """Delete data files tombstoned LONGER than ``retention_ms`` ago and
+    not re-added since; returns the number deleted. The standard trade:
+    storage is reclaimed, but time travel to versions that referenced
+    the deleted files now fails — which is why the default retention is
+    a week, not zero. The log itself is never deleted (metadata is
+    cheap; history stays auditable)."""
+    now = int(time.time() * 1000)
+    removed_at: dict[str, int] = {}
+    live_now: set[str] = set()
+    for v in _existing_versions(path):
+        with open(_commit_file(path, v)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "remove" in action:
+                    r = action["remove"]
+                    removed_at[r["path"]] = r.get("deletionTimestamp", now)
+                    live_now.discard(r["path"])
+                elif "add" in action:
+                    live_now.add(action["add"]["path"])
+                    removed_at.pop(action["add"]["path"], None)
+    n = 0
+    for rel, ts in removed_at.items():
+        if rel in live_now or now - ts < retention_ms:
+            continue
+        full = os.path.join(path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            n += 1
+    return n

@@ -123,3 +123,68 @@ def test_delta_merge_upsert_and_version_diff(spark, tmp_path):
         for r in delta_version_diff(spark, path, 0, 1, ["id"]).collect()
     }
     assert diff == {2: ("changed", ["v"]), 4: ("added", [])}
+
+
+def test_streaming_sink_txn_idempotency(spark, tmp_path):
+    """At-least-once replay of a foreachBatch epoch is a no-op: the txn
+    action committed WITH the data makes the replay detectable."""
+    from employee_activity_etl_poc_spark.sources.deltalog import (
+        streaming_delta_sink,
+    )
+
+    path = str(tmp_path / "stbl")
+    sink = streaming_delta_sink(path, app_id="ingest-a")
+    b0 = spark.range(0, 10).select(F.col("id"))
+    b1 = spark.range(10, 20).select(F.col("id"))
+    sink(b0, 0)
+    sink(b1, 1)
+    assert read_delta_pylog(spark, path).count() == 20
+    sink(b1, 1)  # crash-replay of epoch 1
+    sink(b0, 0)  # very late replay of epoch 0
+    assert read_delta_pylog(spark, path).count() == 20
+    assert _existing_versions(str(tmp_path / "stbl")) == [0, 1]
+
+
+def test_compaction_preserves_rows_and_history(spark, tmp_path):
+    """OPTIMIZE-lite: fewer live files, identical rows, dataChange=false
+    in the commit, and every historical version still readable."""
+    import json as J
+    import os as O
+
+    from employee_activity_etl_poc_spark.sources.deltalog import (
+        _replay,
+        compact_delta,
+    )
+
+    path = str(tmp_path / "otbl")
+    for i in range(4):
+        write_delta_pylog(
+            spark.range(i * 5, i * 5 + 5).select(F.col("id")), path
+        )
+    n_files_before = len(_replay(path)[2])
+    v = compact_delta(spark, path, target_partitions=1)
+    assert read_delta_pylog(spark, path).count() == 20
+    assert len(_replay(path)[2]) < n_files_before
+    assert read_delta_pylog(spark, path, version_as_of=1).count() == 10
+    commit = O.path.join(path, "_delta_log", f"{v:020d}.json")
+    adds = [J.loads(x) for x in open(commit) if '"add"' in x]
+    assert adds and all(a["add"]["dataChange"] is False for a in adds)
+
+
+def test_vacuum_reclaims_tombstones_only(spark, tmp_path):
+    """Vacuum deletes only files tombstoned past retention; the current
+    snapshot is untouched, and time travel past the vacuum horizon is
+    the documented casualty."""
+    from employee_activity_etl_poc_spark.sources.deltalog import vacuum_delta
+
+    path = str(tmp_path / "vtbl")
+    a = spark.range(0, 5).select(F.col("id"))
+    b = spark.range(100, 103).select(F.col("id"))
+    write_delta_pylog(a, path)
+    write_delta_pylog(b, path, mode="overwrite")
+    assert vacuum_delta(path, retention_ms=10**12) == 0  # inside retention
+    n = vacuum_delta(path, retention_ms=0)
+    assert n >= 1
+    assert {r["id"] for r in read_delta_pylog(spark, path).collect()} == {100, 101, 102}
+    with pytest.raises(Exception):
+        read_delta_pylog(spark, path, version_as_of=0).collect()
