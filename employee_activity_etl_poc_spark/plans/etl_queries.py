@@ -691,14 +691,23 @@ def events_bloom_pruned_building(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("source", "delta", "scale"),
 )
 def delta_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
+    import os
 
     from ..sources.deltalog import read_delta_pylog, write_delta_pylog
 
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", F.round("value", 4).alias("v")
     )
-    path = tempfile.mkdtemp(prefix="delta_rt_")
+    # fixed per-sf scratch path, rebuilt each run: repeated invocations
+    # (bench loops, oracle sweeps) reuse ONE directory instead of
+    # leaking a fresh mkdtemp per call
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_delta_rt_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
     write_delta_pylog(ev.where(F.col("event_id") % 2 == 0), path)
     write_delta_pylog(ev.where(F.col("event_id") % 2 == 1), path)
     write_delta_pylog(

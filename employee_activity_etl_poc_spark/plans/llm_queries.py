@@ -313,7 +313,8 @@ def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            round(any_value(m.med), 4) AS med,
            round(any_value(d.mad), 4) AS mad,
-           CAST(sum(CASE WHEN abs(round(0.6745 * (e.value - m.med) / d.mad, 4))
+           CAST(sum(CASE WHEN d.mad > 0
+                          AND abs(round(0.6745 * (e.value - m.med) / d.mad, 4))
                               > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e
     JOIN med m USING (event_type)
@@ -349,7 +350,11 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.any_value("med"), 4).alias("med"),
             F.round(F.any_value("mad"), 4).alias("mad"),
-            F.sum(F.when(F.abs(rz) > 3.5, 1).otherwise(0))
+            # mad=0 guard in BOTH engines: Spark's x/0 is NULL while
+            # DuckDB's IEEE division is inf — without the explicit guard
+            # the degenerate-group case diverges (and the modified
+            # z-score is undefined there anyway)
+            F.sum(F.when((F.col("mad") > 0) & (F.abs(rz) > 3.5), 1).otherwise(0))
             .cast("long")
             .alias("n_outliers"),
         )
@@ -1481,7 +1486,13 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     copies = emb.where(F.col("vec_id") < 20).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
-    sig1 = SIM.embedding_signature_table(emb, "vec_id", "embedding", dim=64)
+    # persist: the store is referenced by both batch outputs (3 plan
+    # references total) — without it the signing matmul re-runs per
+    # reference, defeating the sign-once contract (mirrors the persisted
+    # minhash signature table)
+    sig1 = SIM.embedding_signature_table(
+        emb, "vec_id", "embedding", dim=64
+    ).persist()
     sig2 = SIM.embedding_signature_table(copies, "vec_id", "embedding", dim=64)
     out1 = SIM.embedding_incremental_pairs(sig1.limit(0), sig1, threshold=0.99)
     out2 = SIM.embedding_incremental_pairs(sig1, sig2, threshold=0.99)

@@ -60,7 +60,10 @@ def _existing_versions(path: str) -> list[int]:
         return []
     out = []
     for f in os.listdir(_log_dir(path)):
-        if f.endswith(".json") and f[:20].isdigit():
+        # exactly NNN...N.json — compacted/sidecar logs (x.y.compacted.json
+        # etc.) are a newer protocol feature this reader must not
+        # misparse as a plain commit
+        if f.endswith(".json") and len(f) == 25 and f[:20].isdigit():
             out.append(int(f[:20]))
     return sorted(out)
 
@@ -80,6 +83,13 @@ def _replay(path: str, version_as_of: int | None = None):
     live: dict[str, dict] = {}
     start = 0
     ckpt = _read_last_checkpoint(path)
+    if ckpt is not None and ckpt.get("parts"):
+        # multi-part checkpoints are a feature of big jar-written tables;
+        # refusing loudly beats silently reading part 1 of N
+        raise NotImplementedError(
+            "multi-part Delta checkpoint: this jar-free reader supports "
+            "single-file checkpoints only"
+        )
     if ckpt is not None and ckpt["version"] <= target:
         meta, live = _load_checkpoint(path, ckpt["version"])
         start = ckpt["version"] + 1
@@ -91,7 +101,18 @@ def _replay(path: str, version_as_of: int | None = None):
                 if not line.strip():
                     continue
                 action = json.loads(line)
-                if "metaData" in action:
+                if "protocol" in action:
+                    reader_v = action["protocol"].get("minReaderVersion", 1)
+                    if reader_v > 1:
+                        # deletion vectors / column mapping etc.: replaying
+                        # adds alone would silently resurrect deleted rows
+                        raise NotImplementedError(
+                            f"Delta minReaderVersion={reader_v}: this "
+                            "jar-free reader implements reader protocol 1 "
+                            "(plain add/remove); refusing rather than "
+                            "returning wrong rows"
+                        )
+                elif "metaData" in action:
                     meta = action["metaData"]
                 elif "add" in action:
                     live[action["add"]["path"]] = action["add"]
@@ -277,20 +298,36 @@ def _write_checkpoint(path: str, version: int) -> None:
 
 
 def _load_checkpoint(path: str, version: int):
+    """State from a single-file checkpoint. Handles BOTH layouts: ours
+    (JSON strings per action column) and the jar's (typed structs, which
+    pyarrow hands back as dicts) — including the protocol row, which for
+    jar-written tables lives in the checkpoint rather than a replayed
+    JSON commit, so the minReaderVersion guard must fire here too."""
     import pyarrow.parquet as pq
+
+    def _as_dict(v):
+        return json.loads(v) if isinstance(v, str) else v
 
     table = pq.read_table(_checkpoint_file(path, version)).to_pylist()
     meta = None
     live: dict[str, dict] = {}
     for row in table:
+        if row.get("protocol"):
+            p = _as_dict(row["protocol"])
+            reader_v = (p or {}).get("minReaderVersion", 1)
+            if reader_v and reader_v > 1:
+                raise NotImplementedError(
+                    f"Delta minReaderVersion={reader_v} (from checkpoint): "
+                    "this jar-free reader implements reader protocol 1"
+                )
         if row.get("metaData"):
-            m = json.loads(row["metaData"])
+            m = _as_dict(row["metaData"])
             meta = {
                 "schemaString": m["schemaString"],
                 "partitionColumns": m["partitionColumns"],
             }
         if row.get("add"):
-            a = json.loads(row["add"])
+            a = _as_dict(row["add"])
             live[a["path"]] = a
     return meta, live
 
@@ -338,15 +375,22 @@ def delta_version_diff(
 # ---------------------------------------------------------------------------
 
 
-def last_txn_version(path: str, app_id: str) -> int:
-    """Highest committed ``txn`` version for ``app_id``, or -1 — the
-    Delta idempotent-writer protocol: a streaming sink stamps each
-    commit with (appId, batchVersion), and on at-least-once replay skips
-    batches it already owns. Replays the JSON log only (commit JSONs are
-    never deleted here, so this stays correct regardless of
-    checkpoints)."""
+def last_txn_version(
+    path: str, app_id: str, from_version: int = 0
+) -> tuple[int, int]:
+    """(highest committed ``txn`` version for ``app_id`` or -1, last log
+    version scanned) — the Delta idempotent-writer protocol: a streaming
+    sink stamps each commit with (appId, batchVersion), and on
+    at-least-once replay skips batches it already owns. ``from_version``
+    lets a long-lived caller scan only the log TAIL it has not seen
+    (commit JSONs are never deleted here, so a tail scan composes with
+    any earlier full scan)."""
     best = -1
+    last = from_version - 1
     for v in _existing_versions(path):
+        if v < from_version:
+            continue
+        last = max(last, v)
         with open(_commit_file(path, v)) as fh:
             for line in fh:
                 if not line.strip():
@@ -355,7 +399,7 @@ def last_txn_version(path: str, app_id: str) -> int:
                 txn = action.get("txn")
                 if txn and txn.get("appId") == app_id:
                     best = max(best, int(txn["version"]))
-    return best
+    return best, last
 
 
 def streaming_delta_sink(path: str, app_id: str):
@@ -365,12 +409,24 @@ def streaming_delta_sink(path: str, app_id: str):
     action recorded IN the same atomic commit as the data makes replays
     detectable, so a crash after commit but before checkpoint advances
     re-delivers the batch and the sink skips it — the jar's
-    ``txnAppId``/``txnVersion`` option, reimplemented on the log."""
+    ``txnAppId``/``txnVersion`` option, reimplemented on the log.
+
+    The closure scans the full log ONCE (restart recovery), then only
+    the tail of versions it has not yet seen — per-epoch cost stays
+    O(new commits), not O(history), over a stream's lifetime."""
+    state = {"best": -1, "next_scan": 0}
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        if epoch_id <= last_txn_version(path, app_id):
+        best_new, last = last_txn_version(path, app_id, state["next_scan"])
+        state["best"] = max(state["best"], best_new)
+        state["next_scan"] = last + 1
+        if epoch_id <= state["best"]:
             return  # replayed batch: already durably committed
-        write_delta_pylog(batch_df, path, mode="append", txn=(app_id, epoch_id))
+        v = write_delta_pylog(
+            batch_df, path, mode="append", txn=(app_id, epoch_id)
+        )
+        state["best"] = max(state["best"], epoch_id)
+        state["next_scan"] = max(state["next_scan"], v + 1)
 
     return sink
 
@@ -395,14 +451,19 @@ def compact_delta(
 
 
 def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
-    """Delete data files tombstoned LONGER than ``retention_ms`` ago and
-    not re-added since; returns the number deleted. The standard trade:
-    storage is reclaimed, but time travel to versions that referenced
-    the deleted files now fails — which is why the default retention is
-    a week, not zero. The log itself is never deleted (metadata is
+    """Delete data files no version ≤ retention references: tombstones
+    removed longer than ``retention_ms`` ago, AND parquet files the log
+    never tracked at all (stranded by a writer that moved data files in
+    but lost the commit race / crashed before committing — real VACUUM
+    removes untracked files for exactly this reason, else every
+    conflict leaks storage forever). Returns the number deleted. The
+    standard trade: storage is reclaimed, but time travel to versions
+    referencing deleted files now fails — hence a week, not zero, as the
+    default retention. The log itself is never deleted (metadata is
     cheap; history stays auditable)."""
     now = int(time.time() * 1000)
     removed_at: dict[str, int] = {}
+    ever_added: set[str] = set()
     live_now: set[str] = set()
     for v in _existing_versions(path):
         with open(_commit_file(path, v)) as fh:
@@ -415,6 +476,7 @@ def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
                     removed_at[r["path"]] = r.get("deletionTimestamp", now)
                     live_now.discard(r["path"])
                 elif "add" in action:
+                    ever_added.add(action["add"]["path"])
                     live_now.add(action["add"]["path"])
                     removed_at.pop(action["add"]["path"], None)
     n = 0
@@ -425,4 +487,17 @@ def vacuum_delta(path: str, retention_ms: int = 7 * 24 * 3600 * 1000) -> int:
         if os.path.exists(full):
             os.remove(full)
             n += 1
+    # orphans: data files present on disk that NO commit ever added
+    for root, dirs, fnames in os.walk(path):
+        dirs[:] = [d for d in dirs if d != _LOG and not d.startswith(".staging-")]
+        for f in fnames:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, path).replace(os.sep, "/")
+            if rel in ever_added:
+                continue
+            if now - int(os.path.getmtime(full) * 1000) >= retention_ms:
+                os.remove(full)
+                n += 1
     return n

@@ -188,3 +188,29 @@ def test_vacuum_reclaims_tombstones_only(spark, tmp_path):
     assert {r["id"] for r in read_delta_pylog(spark, path).collect()} == {100, 101, 102}
     with pytest.raises(Exception):
         read_delta_pylog(spark, path, version_as_of=0).collect()
+
+
+def test_vacuum_reclaims_orphans(spark, tmp_path):
+    """A data file no commit ever added (lost race / crash between move
+    and commit) is removed once past retention — real VACUUM semantics."""
+    from employee_activity_etl_poc_spark.sources.deltalog import vacuum_delta
+
+    path = str(tmp_path / "orph")
+    write_delta_pylog(spark.range(5).select(F.col("id")), path)
+    orphan = os.path.join(path, "part-orphaned-from-lost-race.snappy.parquet")
+    open(orphan, "wb").write(b"not really parquet")
+    assert vacuum_delta(path, retention_ms=10**12) == 0
+    assert vacuum_delta(path, retention_ms=0) == 1
+    assert not os.path.exists(orphan)
+    assert read_delta_pylog(spark, path).count() == 5
+
+
+def test_reader_refuses_advanced_protocol(spark, tmp_path):
+    """A table demanding minReaderVersion > 1 (deletion vectors etc.)
+    raises instead of silently resurrecting deleted rows."""
+    path = str(tmp_path / "adv")
+    write_delta_pylog(spark.range(3).select(F.col("id")), path)
+    log = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    open(log, "w").write('{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}\n')
+    with pytest.raises(NotImplementedError):
+        read_delta_pylog(spark, path)

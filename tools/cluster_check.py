@@ -123,8 +123,10 @@ def main() -> int:
               f"{'match' if local[name][2] == cluster[name][2] else 'MISMATCH'}")
         failures += 0 if ok else 1
     retry_ok = _retry_resilience(sf_dir)
-    print(f"{'OK  ' if retry_ok else 'FAIL'} retry_resilience: injected "
-          "task failure, digest identical" if retry_ok else "digest DIVERGED")
+    if retry_ok:
+        print("OK   retry_resilience: injected task failure, digest identical")
+    else:
+        print("FAIL retry_resilience: digest DIVERGED after injected failure")
     failures += 0 if retry_ok else 1
     print("ALL OK" if not failures else f"{failures} FAILURES")
     return 1 if failures else 0
