@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "large_order_customers",
     "embedding_incremental_near_dup",
     "delta_roundtrip_stats",
+    "streaming_ingest_gate",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

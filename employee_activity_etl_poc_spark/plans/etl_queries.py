@@ -723,6 +723,71 @@ def delta_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_ingest_gate",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_v
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Structured Streaming inside the value-hash gate: the events "
+    "table is consumed as a REAL stream (readStream file source, "
+    "Trigger.AvailableNow, its own checkpoint) through "
+    "foreachBatch + the jar-free txn Delta sink "
+    "(sources/deltalog.streaming_delta_sink), then the committed Delta "
+    "table is read back through the log and aggregated — the oracle "
+    "computes the same rollup straight from the source, so matching "
+    "hashes prove the streaming path (micro-batching, checkpointing, "
+    "idempotent txn commits, log read-back) moved every row exactly "
+    "once regardless of how the files were batched. This is the one "
+    "streaming surface a SQL oracle CAN check; ordering/watermark "
+    "semantics stay in the pytest suite.",
+    tags=("streaming", "delta", "scale"),
+)
+def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.deltalog import read_delta_pylog, streaming_delta_sink
+
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_stream_gate_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    table = os.path.join(scratch, "table")
+    ckpt = os.path.join(scratch, "ckpt")
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the file source streams DIRECTORIES; glob-filter to the events
+    # table inside the fixture dir
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+    )
+    q = (
+        stream.writeStream.foreachBatch(streaming_delta_sink(table, "gate"))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_delta_pylog(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v"),
+        )
+    )
+
+
+@register(
     "events_snapshot_diff",
     """
     WITH o AS (
