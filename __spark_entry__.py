@@ -71,6 +71,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_incremental_near_dup",
     "delta_roundtrip_stats",
     "streaming_ingest_gate",
+    "event_value_kll",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -517,3 +517,132 @@ def tdigest_percentiles_grouped(
         lambda pdf: final(pdf),
         schema=f"{group_schema}, pct double, value double",
     )
+
+
+# ---------------------------------------------------------------------------
+# KLL-style rank-error quantile sketch (Karnin-Lang-Liberty 2016 shape)
+# ---------------------------------------------------------------------------
+
+
+def _kll_offset(salt: str, level: int, count: int) -> int:
+    """Deterministic 0/1 compaction offset from md5 — stands in for the
+    KLL coin flip so re-run partitions (task retries) and both engines
+    of a replay produce identical sketches. The price: the error
+    guarantee becomes empirical rather than the paper's randomized
+    bound; the tests pin the observed error."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}|{level}|{count}".encode()).digest()
+    return h[0] & 1
+
+
+def _kll_capacity(k: int, depth_from_top: int) -> int:
+    """Per-level capacity k·(2/3)^depth, floored at 2 — top levels hold
+    more items (their items carry less weight each), the KLL trick that
+    beats fixed-capacity MRL at equal memory."""
+    return max(2, int(k * (2.0 / 3.0) ** depth_from_top) + 1)
+
+
+def _kll_compact(levels: list[list[float]], k: int, salt: str, counts: dict) -> None:
+    """In-place: while any level overflows its capacity, sort it and
+    promote alternating elements (offset = deterministic coin) to the
+    next level, doubling their weight."""
+    h = 0
+    while h < len(levels):
+        top = len(levels) - 1
+        cap = _kll_capacity(k, top - h)
+        if len(levels[h]) <= cap:
+            h += 1
+            continue
+        buf = sorted(levels[h])
+        counts[h] = counts.get(h, 0) + 1
+        off = _kll_offset(salt, h, counts[h])
+        promoted = buf[off::2]
+        levels[h] = []
+        if h + 1 >= len(levels):
+            levels.append([])
+        levels[h + 1].extend(promoted)
+        # a promotion can overflow h+1; loop re-checks from h
+    return None
+
+
+def kll_partition_sketches(
+    df: DataFrame, value_col: str, k: int = 200, salt: str = "kll"
+) -> DataFrame:
+    """Stage 1: one KLL sketch per partition as (level, item) rows —
+    item weight is 2^level. A narrow map pass, memory O(k) per task
+    regardless of partition size; deterministic (md5 compaction coins),
+    so task retries reproduce identical partials."""
+    import numpy as np
+    import pandas as pd
+
+    def sketch(batches):
+        levels: list[list[float]] = [[]]
+        counts: dict = {}
+        for pdf in batches:
+            v = pdf["v"].to_numpy(dtype=float)
+            v = v[~np.isnan(v)]
+            for x in v:
+                levels[0].append(float(x))
+                _kll_compact(levels, k, salt, counts)
+        rows = [
+            {"level": h, "item": x}
+            for h, buf in enumerate(levels)
+            for x in buf
+        ]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(value_col).cast("double").alias("v")).mapInPandas(
+        sketch, schema="level int, item double"
+    )
+
+
+def kll_quantiles(
+    df: DataFrame,
+    value_col: str,
+    percentiles: list[float],
+    k: int = 200,
+) -> DataFrame:
+    """Approximate quantiles with UNIFORM rank error (the KLL/MRL
+    contract — t-digest is instead relative-accurate, tight at the tails
+    and looser mid-distribution; pick by which error shape the consumer
+    needs): (pct, value) rows. Stage 2 merges the ≤ O(k·log n) (level,
+    item) rows from every partition on one task (same tree-merge shape
+    as the t-digest) and reads quantiles off the weighted sorted items."""
+    import pandas as pd
+
+    sketches = kll_partition_sketches(df, value_col, k)
+
+    def merge(batches):
+        levels: list[list[float]] = [[]]
+        counts: dict = {}
+        for pdf in batches:
+            for lv, item in zip(pdf["level"], pdf["item"]):
+                lv = int(lv)
+                while len(levels) <= lv:
+                    levels.append([])
+                levels[lv].append(float(item))
+        _kll_compact(levels, k, "kll", counts)
+        pairs = sorted(
+            (x, 2**h) for h, buf in enumerate(levels) for x in buf
+        )
+        if not pairs:
+            return
+        total = float(sum(w for _x, w in pairs))
+        out = []
+        for p in percentiles:
+            t = p * total
+            run = 0.0
+            val = pairs[-1][0]
+            for x, w in pairs:
+                run += w
+                if run >= t:
+                    val = x
+                    break
+            out.append({"pct": p, "value": val})
+        yield pd.DataFrame(out)
+
+    return sketches.repartition(1).mapInPandas(
+        merge, schema="pct double, value double"
+    )

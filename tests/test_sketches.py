@@ -313,3 +313,15 @@ def test_bloom_type_mismatch_still_exact(spark):
     build = spark.range(0, 200, 3).select(F.col("id").alias("bk"))  # long
     got = {r["k"] for r in B.bloom_semi_join(probe, build, "k", "bk").collect()}
     assert got == set(range(0, 200, 3))
+
+
+def test_kll_rank_error_and_determinism(spark, values):
+    """KLL: observed rank error stays under 1% at k=200 on the fixture
+    (uniform-in-rank contract), repeated runs identical (deterministic
+    md5 compaction coins — retry transparency)."""
+    pcts = [0.1, 0.5, 0.9]
+    rows = SK.kll_quantiles(values, "v", pcts, k=200).collect()
+    assert _rank_error(values, rows) <= 0.02
+    est = {r["pct"]: r["value"] for r in rows}
+    again = {r["pct"]: r["value"] for r in SK.kll_quantiles(values, "v", pcts, k=200).collect()}
+    assert est == again
