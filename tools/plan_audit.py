@@ -31,6 +31,7 @@ from employee_activity_etl_poc_spark.session import get_spark  # noqa: E402
 # ANN baselines, whose query side is broadcast-sized by contract.
 NESTED_LOOP_OK = {
     "event_value_tdigest": "6-row estimate side vs values: rank-error check",
+    "event_value_kll": "6-row estimate side vs values: rank-error check",
     "events_theta_distinct_algebra": "1-row sketch aggregates assembled",
     "events_heavy_hitter_users": "1-row total count cross-joined",
     "embedding_ann_lsh": "exact baseline cross join + 1-row recall flag",
