@@ -70,6 +70,19 @@ HEADLINE = [
     "events_user_cms_counts",
     "events_bloom_pruned_building",
     "documents_domain_cap",
+    # round 4b: fuzzy join, theta algebra, packing, table diff, robust
+    # outliers, Q18, incremental embedding store, jar-free Delta,
+    # streaming-in-the-gate, KLL
+    "dedup_levenshtein_blocked",
+    "events_theta_distinct_algebra",
+    "documents_sequence_packing",
+    "events_snapshot_diff",
+    "events_robust_outliers",
+    "large_order_customers",
+    "embedding_incremental_near_dup",
+    "delta_roundtrip_stats",
+    "streaming_ingest_gate",
+    "event_value_kll",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as
