@@ -72,6 +72,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "delta_roundtrip_stats",
     "streaming_ingest_gate",
     "event_value_kll",
+    "events_cms_daily_range",
     # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",

@@ -347,6 +347,51 @@ def cms_sketch(
     return exploded.groupBy("d", "bucket").agg(F.count("*").alias("c"))
 
 
+def cms_sketch_grouped(
+    df: DataFrame,
+    item_col: str,
+    seg_col,
+    width: int = 256,
+    depth: int = 4,
+    salt: str = "cms",
+) -> DataFrame:
+    """One CMS per segment (day, source, tenant …) as (seg, d, bucket,
+    c) rows — the persistable form behind "keep a sketch per day, answer
+    any date range": counters over disjoint row sets ADD, so summing the
+    daily counters for a range IS the range's sketch, exactly (same hash
+    family, no approximation in the merge). Build cost is one pass +
+    map-side combine; each segment's sketch is ≤ d·w rows forever."""
+    items = df.select(
+        seg_col.alias("seg"), F.col(item_col).cast("string").alias("item")
+    ).where(F.col("item").isNotNull())
+    exploded = items.select(
+        "seg",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(F.col("item"), d, width, salt).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("db"),
+    ).select("seg", "db.d", "db.bucket")
+    return exploded.groupBy("seg", "d", "bucket").agg(F.count("*").alias("c"))
+
+
+def cms_range_sketch(grouped: DataFrame, seg_pred) -> DataFrame:
+    """Sum the per-segment counters matching ``seg_pred`` into one
+    sketch usable by :func:`cms_estimate` — the range-query merge, exact
+    by counter additivity."""
+    return (
+        grouped.where(seg_pred)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     queries: DataFrame,

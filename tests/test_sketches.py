@@ -347,3 +347,23 @@ def test_kll_grouped_matches_exact_within_bound(spark, sf_dir):
         cdf = bisect.bisect_right(vals, r["value"]) / len(vals)
         worst = max(worst, abs(cdf - r["pct"]))
     assert worst <= 0.03, worst
+
+
+def test_cms_range_merge_is_exact(spark):
+    """Summed per-segment sketches equal the directly-built range sketch
+    bit-for-bit (counter additivity over disjoint rows)."""
+    df = spark.range(3000).select(
+        (F.col("id") % 7).alias("seg"), (F.col("id") % 131).alias("item")
+    )
+    daily = SK.cms_sketch_grouped(df, "item", F.col("seg"))
+    ranged = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in SK.cms_range_sketch(daily, F.col("seg").between(2, 4)).collect()
+    }
+    direct = {
+        (r["d"], r["bucket"]): r["c"]
+        for r in SK.cms_sketch(
+            df.where(F.col("seg").between(2, 4)), "item"
+        ).collect()
+    }
+    assert ranged == direct
