@@ -37,6 +37,11 @@ QUERIES = [
     "events_user_cms_counts",    # explode + map-side combine + broadcast
     "documents_domain_cap",      # null-safe broadcast anti/semi split
     "events_snapshot_diff",      # full-outer shuffle join
+    "event_value_kll",           # KLL compactors per partition + merge
+    "events_theta_distinct_algebra",  # bottom-k heaps + semi-join algebra
+    "events_cms_daily_range",    # per-segment sketches + range rollup
+    "dedup_levenshtein_blocked", # block join + bounded DP verify
+    "delta_roundtrip_stats",     # distributed writes through the pylog
 ]
 
 
