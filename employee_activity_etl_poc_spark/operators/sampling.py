@@ -163,7 +163,11 @@ def cap_per_group(
     together, so the over-cap joins use null-safe equality (a plain
     equi-join would silently pass every NULL-group row through uncapped).
     Survivor choice orders by (md5(salt|key), key): engine-portable,
-    repartition-stable, and independent of input order."""
+    repartition-stable, and independent of input order. PRECONDITION:
+    ``key_col`` must be unique per row within a group — duplicate keys
+    tie in the ordering and row_number breaks the tie arbitrarily, so
+    WHICH physical duplicate survives could churn across runs (the
+    surviving key VALUES are still deterministic either way)."""
     from pyspark.sql import Window
 
     h = F.md5(F.concat(F.lit(salt), F.lit("|"), F.col(key_col).cast("string")))

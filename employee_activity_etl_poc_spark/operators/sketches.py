@@ -460,7 +460,8 @@ def kmv_sketch(
     then ``orderBy().limit(k)`` — which compiles to
     TakeOrderedAndProject: per-partition k-row heaps merged as k rows on
     the driver, never a global sort or full shuffle of the hash set.
-    Estimator: (k−1) / θ̂ where θ̂ = h_(k) / 2^32."""
+    Estimator: (k−1) / θ̂ where θ̂ = h_(k) / 2^48 (48-bit hash space,
+    ``_KMV_SPACE`` — see :func:`kmv_estimate_distinct`)."""
     hashes = (
         df.select(F.col(item_col).cast("string").alias("item"))
         .where(F.col("item").isNotNull())

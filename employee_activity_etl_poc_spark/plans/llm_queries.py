@@ -624,20 +624,49 @@ def documents_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_compression_ratio",
-    None,  # zlib is not SQL-expressible; rows-only check (deterministic
-    # for a fixed zlib level, asserted in tests against planted texts)
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n_bytes,
+           TRUE AS ratio_valid_ok,
+           TRUE AS long_docs_compress_ok,
+           TRUE AS redundancy_gap_ok
+    FROM documents
+    """,
     doc="zlib compression ratio per document (mapInPandas, Arrow-batched; "
     "a REAL Python path, unlike the stubbed multimodal decodes) — the "
     "classic redundancy/spam signal production pipelines threshold on: "
     "boilerplate and generated spam compress far better than prose. Only "
-    "(id, 3 numbers) leave the Python worker.",
+    "(id, 3 numbers) leave the Python worker. HASH-GATED via the "
+    "recall-gate contract (SIM.recall_gate / the HLL & t-digest gates): "
+    "per-doc rows carry the SQL-replayable byte length, plus three "
+    "corpus-level booleans the oracle pins as TRUE — every ratio in "
+    "(0.2, 1.5], every >=200-byte doc compressing below 0.8 (the "
+    "synthetic small-vocab corpus measures max 0.64 there at all SFs), "
+    "and a >=0.15 mean-ratio gap between short (<200 B) and long "
+    "(>=400 B) docs (measured ~0.3). A zlib-path regression flips a "
+    "flag and fails the driver's value-hash compare — no SQL expression "
+    "of zlib needed.",
     tags=("llm", "text", "pandas-udf"),
 )
 def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textops import compression_ratio_features
 
     docs = load(spark, sf_dir, "documents")
-    return compression_ratio_features(docs, "text", "doc_id")
+    feats = compression_ratio_features(docs, "text", "doc_id")
+    short_mean = F.avg(F.when(F.col("n_bytes") < 200, F.col("ratio")))
+    long_mean = F.avg(F.when(F.col("n_bytes") >= 400, F.col("ratio")))
+    flags = feats.agg(
+        ((F.min("ratio") > 0.2) & (F.max("ratio") <= 1.5)).alias(
+            "ratio_valid_ok"
+        ),
+        (
+            F.max(F.when(F.col("n_bytes") >= 200, F.col("ratio"))) < 0.8
+        ).alias("long_docs_compress_ok"),
+        ((short_mean - long_mean) >= 0.15).alias("redundancy_gap_ok"),
+    )
+    # feats evaluates twice (rows + gate aggregate) — the documented
+    # price of a self-checking gate query, as in event_value_tdigest
+    return feats.select("doc_id", "n_bytes").crossJoin(F.broadcast(flags))
 
 
 @register(

@@ -18,8 +18,12 @@ implements the subset the reference's pipeline actually exercises:
   does not (this is precisely what the jar-gated fallback in
   ``readers.read_delta`` could not do — with this module it can).
 - **Checkpoints**: every ``checkpoint_interval`` commits the full state
-  is compacted into ``N.checkpoint.parquet`` + ``_last_checkpoint``, so
-  readers replay O(interval) JSONs, not O(history).
+  is compacted into ``N.checkpoint.pylog.parquet`` + a PRIVATE
+  ``_last_checkpoint.pylog`` pointer, so our readers replay O(interval)
+  JSONs, not O(history). The spec's ``_last_checkpoint`` is deliberately
+  NOT written: our checkpoint layout is private, and spec readers that
+  never see a pointer simply replay the commit JSONs — which are spec.
+  Jar-written standard checkpoints are still honored on read.
 
 Scale notes: data files are written by Spark (distributed, partitioned
 layout preserved — ``partitionBy`` dirs become Delta partitionValues);
@@ -69,9 +73,10 @@ def _existing_versions(path: str) -> list[int]:
 
 
 def _replay(path: str, version_as_of: int | None = None):
-    """(schema_json_str, partition_cols, {data_path: add_action}) at the
-    requested version — checkpoint (if usable) + JSON tail, else full
-    JSON replay."""
+    """(schema_json_str, partition_cols, {data_path: add_action}, meta)
+    at the requested version — checkpoint (if usable) + JSON tail, else
+    full JSON replay. ``meta`` is the LATEST metaData action seen (schema
+    evolution: a later commit's metaData supersedes version 0's)."""
     versions = _existing_versions(path)
     if not versions:
         raise FileNotFoundError(f"no Delta log at {path}")
@@ -91,7 +96,9 @@ def _replay(path: str, version_as_of: int | None = None):
             "single-file checkpoints only"
         )
     if ckpt is not None and ckpt["version"] <= target:
-        meta, live = _load_checkpoint(path, ckpt["version"])
+        meta, live = _load_checkpoint(
+            path, ckpt["version"], pylog=ckpt.get("_pylog", False)
+        )
         start = ckpt["version"] + 1
     for v in versions:
         if v < start or v > target:
@@ -120,7 +127,13 @@ def _replay(path: str, version_as_of: int | None = None):
                     live.pop(action["remove"]["path"], None)
     if meta is None:
         raise ValueError(f"no metaData action in log at {path}")
-    return meta["schemaString"], meta.get("partitionColumns", []), live
+    return meta["schemaString"], meta.get("partitionColumns", []), live, meta
+
+
+def _schemas_equal(a: str, b: str) -> bool:
+    """schemaString equality up to JSON formatting (key order/whitespace
+    differ between writers; the parsed structure is what matters)."""
+    return json.loads(a) == json.loads(b)
 
 
 def read_delta_pylog(
@@ -131,7 +144,7 @@ def read_delta_pylog(
     scan exactly those parquet files with the log's schema. Partitioned
     tables recover partition columns from the ``k=v`` layout via
     ``basePath`` — the same directory convention Delta itself writes."""
-    schema_str, part_cols, live = _replay(path, version_as_of)
+    schema_str, part_cols, live, _meta = _replay(path, version_as_of)
     schema = StructType.fromJson(json.loads(schema_str))
     files = [os.path.join(path, p) for p in sorted(live)]
     if not files:
@@ -165,6 +178,19 @@ def write_delta_pylog(
     adds/removes streaming readers must skip."""
     spark = df.sparkSession
     os.makedirs(_log_dir(path), exist_ok=True)
+    if mode == "append" and _existing_versions(path):
+        # fail BEFORE writing data files: an append that mismatches the
+        # table schema would otherwise strand its parquet until vacuum
+        schema_str, cur_parts, _live, _m = _replay(path)
+        if not _schemas_equal(schema_str, df.schema.json()) or (
+            (partition_by or []) != cur_parts
+        ):
+            raise ValueError(
+                f"append schema mismatch at {path}: table has "
+                f"{schema_str} / partitions {cur_parts}, append brings "
+                f"{df.schema.json()} / partitions {partition_by or []}; "
+                "use mode='overwrite' to evolve the schema"
+            )
     staging = os.path.join(path, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -221,17 +247,38 @@ def write_delta_pylog(
                 }
             }
         )
-    elif mode == "overwrite":
-        _schema, _parts, live = _replay(path)
-        for p in sorted(live):
-            actions.append(
-                {
-                    "remove": {
-                        "path": p,
-                        "deletionTimestamp": now,
-                        "dataChange": data_change,
+    else:
+        schema_str, cur_parts, live, cur_meta = _replay(path)
+        schema_changed = not _schemas_equal(schema_str, df.schema.json())
+        parts_changed = (partition_by or []) != cur_parts
+        if mode == "overwrite":
+            # schema evolution by overwrite (the jar's overwriteSchema):
+            # refresh metaData IN the overwrite commit so readers never
+            # apply a stale schema to the new files — the alternative is
+            # silently-NULL missing columns (ADVICE r4, medium)
+            if schema_changed or parts_changed:
+                new_meta = dict(cur_meta)
+                new_meta["schemaString"] = df.schema.json()
+                new_meta["partitionColumns"] = partition_by or []
+                actions.append({"metaData": new_meta})
+            for p in sorted(live):
+                actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": data_change,
+                        }
                     }
-                }
+                )
+        elif schema_changed or parts_changed:
+            # append must match the table schema exactly — refusing loudly
+            # beats committing files the log's schema will misread
+            raise ValueError(
+                f"append schema mismatch at {path}: table has "
+                f"{schema_str} / partitions {cur_parts}, append brings "
+                f"{df.schema.json()} / partitions {partition_by or []}; "
+                "use mode='overwrite' to evolve the schema"
             )
     if txn is not None:
         actions.append({"txn": {"appId": txn[0], "version": int(txn[1])}})
@@ -261,28 +308,45 @@ def write_delta_pylog(
 
 
 def _read_last_checkpoint(path: str) -> dict | None:
-    f = os.path.join(_log_dir(path), "_last_checkpoint")
-    if not os.path.exists(f):
-        return None
-    with open(f) as fh:
-        return json.load(fh)
+    """Checkpoint pointer, preferring OUR private one. We deliberately do
+    NOT write the spec's ``_last_checkpoint``: our checkpoint layout is
+    JSON-strings-per-column, and a jar reader that followed the standard
+    pointer would choke on it (ADVICE r4) — with only the private pointer
+    present, spec readers simply replay the commit JSONs, which ARE spec.
+    Jar-written tables still work: their standard pointer + typed
+    checkpoint is read when no private pointer exists."""
+    for fname, pylog in (("_last_checkpoint.pylog", True), ("_last_checkpoint", False)):
+        f = os.path.join(_log_dir(path), fname)
+        if os.path.exists(f):
+            with open(f) as fh:
+                info = json.load(fh)
+            info["_pylog"] = pylog
+            return info
+    return None
 
 
-def _checkpoint_file(path: str, version: int) -> str:
-    return os.path.join(_log_dir(path), f"{version:020d}.checkpoint.parquet")
+def _checkpoint_file(path: str, version: int, pylog: bool = True) -> str:
+    suffix = "checkpoint.pylog.parquet" if pylog else "checkpoint.parquet"
+    return os.path.join(_log_dir(path), f"{version:020d}.{suffix}")
 
 
 def _write_checkpoint(path: str, version: int) -> None:
-    """Compact the state at ``version`` into one parquet file + the
-    ``_last_checkpoint`` pointer — readers then replay only newer JSONs."""
+    """Compact the state at ``version`` into one parquet file + a PRIVATE
+    ``_last_checkpoint.pylog`` pointer — our readers then replay only
+    newer JSONs, while spec readers (which never see the private pointer)
+    replay the full JSON log, every line of which is spec-conformant."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    schema_str, part_cols, live = _replay(path, version)
+    schema_str, part_cols, live, meta = _replay(path, version)
     rows = [
         {
             "metaData": json.dumps(
-                {"schemaString": schema_str, "partitionColumns": part_cols}
+                {
+                    "schemaString": schema_str,
+                    "partitionColumns": part_cols,
+                    "id": meta.get("id"),
+                }
             ),
             "add": None,
         }
@@ -290,14 +354,14 @@ def _write_checkpoint(path: str, version: int) -> None:
     for p in sorted(live):
         rows.append({"metaData": None, "add": json.dumps(live[p])})
     table = pa.Table.from_pylist(rows)
-    pq.write_table(table, _checkpoint_file(path, version))
-    tmp = os.path.join(_log_dir(path), "_last_checkpoint.tmp")
+    pq.write_table(table, _checkpoint_file(path, version, pylog=True))
+    tmp = os.path.join(_log_dir(path), "_last_checkpoint.pylog.tmp")
     with open(tmp, "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
-    os.replace(tmp, os.path.join(_log_dir(path), "_last_checkpoint"))
+    os.replace(tmp, os.path.join(_log_dir(path), "_last_checkpoint.pylog"))
 
 
-def _load_checkpoint(path: str, version: int):
+def _load_checkpoint(path: str, version: int, pylog: bool = True):
     """State from a single-file checkpoint. Handles BOTH layouts: ours
     (JSON strings per action column) and the jar's (typed structs, which
     pyarrow hands back as dicts) — including the protocol row, which for
@@ -308,7 +372,7 @@ def _load_checkpoint(path: str, version: int):
     def _as_dict(v):
         return json.loads(v) if isinstance(v, str) else v
 
-    table = pq.read_table(_checkpoint_file(path, version)).to_pylist()
+    table = pq.read_table(_checkpoint_file(path, version, pylog=pylog)).to_pylist()
     meta = None
     live: dict[str, dict] = {}
     for row in table:
@@ -323,8 +387,11 @@ def _load_checkpoint(path: str, version: int):
         if row.get("metaData"):
             m = _as_dict(row["metaData"])
             meta = {
+                "id": m.get("id") or str(uuid.uuid4()),
+                "format": m.get("format") or {"provider": "parquet", "options": {}},
                 "schemaString": m["schemaString"],
                 "partitionColumns": m["partitionColumns"],
+                "configuration": m.get("configuration") or {},
             }
         if row.get("add"):
             a = _as_dict(row["add"])

@@ -102,11 +102,20 @@ def make_notifier(
                     f"⏭️ Rattrapage: {skipped} activité(s) plus ancienne(s) non "
                     f"notifiée(s), voici les {len(rows)} dernières:"
                 )
-        else:
-            rows = df.orderBy("_ord").collect()
-        for i, row in enumerate(rows):
-            if i and delay_s:
+            for i, row in enumerate(rows):
+                if i and delay_s:
+                    time.sleep(delay_s)
+                send(row[message_col])
+            return
+        # live path: toLocalIterator streams one partition at a time to
+        # the driver (ordering preserved from the sort) — an unthrottled
+        # backlog batch never materializes whole in driver memory, while
+        # the paced per-message sends proceed exactly as before
+        first = True
+        for row in df.orderBy("_ord").toLocalIterator():
+            if not first and delay_s:
                 time.sleep(delay_s)
+            first = False
             send(row[message_col])
 
     return handle

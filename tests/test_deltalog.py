@@ -66,7 +66,7 @@ def test_checkpoint_compaction_and_read(spark, tmp_path):
         write_delta_pylog(df, path, checkpoint_interval=5)
     # checkpoint written at version 5; reader replays ckpt + tail
     assert os.path.exists(
-        os.path.join(path, "_delta_log", f"{5:020d}.checkpoint.parquet")
+        os.path.join(path, "_delta_log", f"{5:020d}.checkpoint.pylog.parquet")
     )
     assert read_delta_pylog(spark, path).count() == 60
     # state after checkpoint matches full-JSON replay (time travel still
@@ -214,3 +214,103 @@ def test_reader_refuses_advanced_protocol(spark, tmp_path):
     open(log, "w").write('{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}\n')
     with pytest.raises(NotImplementedError):
         read_delta_pylog(spark, path)
+
+
+def test_overwrite_refreshes_metadata_on_schema_change(spark, tmp_path):
+    """Schema evolution by overwrite: the overwrite commit must carry an
+    updated metaData action, so the new columns round-trip and old
+    versions still time-travel with THEIR schema (ADVICE r4, medium —
+    stale version-0 schema would silently NULL the new column)."""
+    path = str(tmp_path / "evo")
+    v0 = spark.range(3).select(F.col("id"), F.lit("x").alias("a"))
+    v1 = spark.range(3).select(
+        F.col("id"), F.lit("y").alias("a"), F.lit(1.5).alias("b")
+    )
+    write_delta_pylog(v0, path)
+    write_delta_pylog(v1, path, mode="overwrite")
+    back = read_delta_pylog(spark, path)
+    assert set(back.columns) == {"id", "a", "b"}
+    assert {r["b"] for r in back.collect()} == {1.5}
+    old = read_delta_pylog(spark, path, version_as_of=0)
+    assert set(old.columns) == {"id", "a"}
+    # table id must survive the metaData refresh (same table, new schema)
+    import json as J
+
+    metas = []
+    for v in (0, 1):
+        for line in open(os.path.join(path, "_delta_log", f"{v:020d}.json")):
+            a = J.loads(line)
+            if "metaData" in a:
+                metas.append(a["metaData"])
+    assert len(metas) == 2 and metas[0]["id"] == metas[1]["id"]
+
+
+def test_append_schema_mismatch_raises_before_writing(spark, tmp_path):
+    """A mismatched append refuses loudly BEFORE moving data files in —
+    no stranded parquet for vacuum to clean."""
+    path = str(tmp_path / "mis")
+    write_delta_pylog(spark.range(3).select(F.col("id")), path)
+    n_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    bad = spark.range(3).select(F.col("id"), F.lit(1).alias("extra"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_pylog(bad, path)
+    n_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    assert n_after == n_before
+
+
+def test_checkpoint_is_private_and_spec_pointer_absent(spark, tmp_path):
+    """Our checkpoint layout is non-spec, so the spec's _last_checkpoint
+    must NOT be written (a jar reader following it would choke — ADVICE
+    r4): spec readers see only spec-conformant commit JSONs."""
+    path = str(tmp_path / "spec")
+    for i in range(6):
+        write_delta_pylog(
+            spark.range(i * 2, i * 2 + 2).select(F.col("id")),
+            path,
+            checkpoint_interval=5,
+        )
+    log = os.path.join(path, "_delta_log")
+    assert os.path.exists(os.path.join(log, "_last_checkpoint.pylog"))
+    assert not os.path.exists(os.path.join(log, "_last_checkpoint"))
+    # our reader still uses the private checkpoint + tail
+    assert read_delta_pylog(spark, path).count() == 12
+
+
+def test_two_writers_interleave_via_retry_loop(spark, tmp_path):
+    """The documented optimistic-concurrency contract end-to-end: two
+    writers appending to one table, each retrying on FileExistsError,
+    both land on distinct contiguous versions and no rows are lost."""
+    path = str(tmp_path / "race2")
+    write_delta_pylog(spark.range(0, 1).select(F.col("id")), path)
+
+    def append_with_retry(df, attempts=5):
+        for _ in range(attempts):
+            try:
+                return write_delta_pylog(df, path)
+            except FileExistsError:
+                continue
+        raise AssertionError("retry budget exhausted")
+
+    import threading
+
+    dfs = [
+        spark.range(10 * k, 10 * k + 3).select(F.col("id")) for k in (1, 2)
+    ]
+    got = {}
+    threads = [
+        threading.Thread(target=lambda k=k, d=d: got.update({k: append_with_retry(d)}))
+        for k, d in enumerate(dfs)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(got.values()) == [1, 2]
+    assert _existing_versions(path) == [0, 1, 2]
+    assert read_delta_pylog(spark, path).count() == 7

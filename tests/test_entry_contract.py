@@ -37,11 +37,10 @@ def test_every_query_has_callable_and_most_have_oracles(spark):
     qs, os_ = E.queries(), E.oracle_sql()
     assert len(qs) >= 30
     missing = set(qs) - set(os_)
-    # only genuinely non-SQL-expressible ops may omit the oracle; the ANN
-    # paths are hash-gated via SIM.recall_gate (exact rows + recall flag)
-    assert missing == {
-        "text_compression_ratio",  # zlib not SQL-expressible
-    }
+    # every registry query is oracle-gated: the non-SQL-expressible ops
+    # (zlib, ANN) use the recall-gate contract — exact/replayable rows
+    # plus boolean flags the oracle pins as TRUE
+    assert missing == set()
 
 
 @pytest.fixture(scope="module")
