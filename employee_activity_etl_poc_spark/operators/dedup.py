@@ -158,6 +158,60 @@ def minhash_near_duplicates(
     the signatures AND the verify Jaccard use the pruned sets, i.e.
     similarity is measured over content, not chrome.
     """
+    hashed, banded = lsh_banded_frame(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        persist=persist,
+        max_bucket_size=max_bucket_size,
+        max_doc_frequency=max_doc_frequency,
+    )
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    hs_a = hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hs_b = hashed.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        pairs.join(hs_a, "doc_a")
+        .join(hs_b, "doc_b")
+        # project jaccard ONCE, then filter on the bound column — the
+        # intersect/union arrays are expensive and must not be re-evaluated
+        # per reference
+        .select("doc_a", "doc_b", jaccard(F.col("hs_a"), F.col("hs_b")).alias("j"))
+        .where(F.col("j") >= threshold)
+        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
+    )
+
+
+def lsh_banded_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    persist: bool = True,
+    max_bucket_size: int | None = None,
+    max_doc_frequency: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The candidate-generation half of :func:`minhash_near_duplicates`:
+    ``(hashed, banded)`` where ``hashed`` is (doc, hs: array<long>) and
+    ``banded`` is (doc, band, key) — the frame whose (band, key)
+    self-equi-join produces LSH candidate pairs. Public so skew
+    monitoring (:func:`lsh_bucket_stats`) and the adversarial-corpus
+    stress tests measure EXACTLY the candidate space the dedup join
+    pays for, not a reimplementation of it."""
     rows_per_band = num_perm // bands
     # Hash shingles to 32-bit longs IMMEDIATELY (one md5 pass), distinct,
     # and persist the LONG arrays — signatures, band keys, and the verify
@@ -228,29 +282,50 @@ def minhash_near_duplicates(
             .where(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
-    pairs = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
+    return hashed, banded
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+    max_doc_frequency: int | None = None,
+) -> DataFrame:
+    """Skew monitor for the LSH candidate space: one row —
+    (n_docs, n_buckets, max_bucket, candidate_pairs) — where
+    ``candidate_pairs`` = Σ over (band, key) buckets of C(n_b, 2), i.e.
+    the EXACT number of raw pairs the dedup equi-join will generate
+    (before the doc_a < doc_b distinct). The production pre-flight for a
+    100 TB dedup run: a template-flooded corpus shows up here as one
+    cheap aggregate (bucket sizes, |buckets| rows) BEFORE anyone pays
+    the quadratic join — and the same knobs (``max_doc_frequency``,
+    ``max_bucket_size``) can be evaluated against the real corpus by
+    re-running the monitor, not the join."""
+    _hashed, banded = lsh_banded_frame(
+        df,
+        text_col,
+        id_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        persist=False,
+        max_bucket_size=max_bucket_size,
+        max_doc_frequency=max_doc_frequency,
     )
-    hs_a = hashed.select(F.col("doc").alias("doc_a"), F.col("hs").alias("hs_a"))
-    hs_b = hashed.select(F.col("doc").alias("doc_b"), F.col("hs").alias("hs_b"))
-    return (
-        pairs.join(hs_a, "doc_a")
-        .join(hs_b, "doc_b")
-        # project jaccard ONCE, then filter on the bound column — the
-        # intersect/union arrays are expensive and must not be re-evaluated
-        # per reference
-        .select("doc_a", "doc_b", jaccard(F.col("hs_a"), F.col("hs_b")).alias("j"))
-        .where(F.col("j") >= threshold)
-        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
-    )
+    buckets = banded.groupBy("band", "key").agg(F.count("*").alias("n_b"))
+    return buckets.agg(
+        F.count_distinct(F.col("key")).alias("n_buckets"),
+        F.max("n_b").alias("max_bucket"),
+        F.sum(F.col("n_b") * (F.col("n_b") - 1) / 2)
+        .cast("long")
+        .alias("candidate_pairs"),
+    ).crossJoin(
+        F.broadcast(banded.agg(F.count_distinct("doc").alias("n_docs")))
+    ).select("n_docs", "n_buckets", "max_bucket", "candidate_pairs")
 
 
 def minhash_signature_table(

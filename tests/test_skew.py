@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from employee_activity_etl_poc_spark.operators.skew import salted_agg, salted_join
@@ -125,3 +126,83 @@ def test_salted_agg_count_star_counts_nulls(spark):
         ).collect()
     }
     assert out == {"a": (2, 1), "b": (1, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Adversarial template-flood stress for the MinHash-LSH hot path (VERDICT
+# r4 #4): 50% of the sf0.1 corpus replaced by ONE identical boilerplate
+# doc — the known 100 TB hazard (license headers, cookie banners). The
+# undefended candidate space must be observably quadratic, and EACH
+# shipped defense (bucket caps, document-frequency pruning) must bound it
+# to O(n) while still finding a planted organic near-dup pair.
+# ---------------------------------------------------------------------------
+
+TEMPLATE = " ".join(
+    ["accept cookie banner privacy policy terms nav chrome subscribe"] * 10
+)
+SF01_DOCS = "/root/testdata/sf0.1/documents.parquet"
+BANDS = 4
+
+
+def _pathological_corpus(spark):
+    """sf0.1 documents with every even doc_id's text replaced by the
+    template, plus one planted near-dup of doc 1 (id 10_000_001)."""
+    docs = spark.read.parquet(SF01_DOCS).select("doc_id", "text")
+    flooded = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(TEMPLATE))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    seed = docs.where(F.col("doc_id") == 1).select(
+        F.lit(10_000_001).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing mutation")).alias("text"),
+    )
+    return flooded.unionByName(seed)
+
+
+def test_template_flood_is_quadratic_undefended(spark):
+    from employee_activity_etl_poc_spark.operators.dedup import lsh_bucket_stats
+
+    corpus = _pathological_corpus(spark)
+    n = corpus.count()
+    stats = lsh_bucket_stats(corpus, "text", "doc_id", bands=BANDS).collect()[0]
+    # 2500 identical docs share every band bucket: C(2500,2) per band.
+    # This is the disaster the monitor exists to flag BEFORE the join.
+    assert stats["max_bucket"] >= n // 2 - 1
+    assert stats["candidate_pairs"] > 10 * n  # measured: ~12.5M vs n≈5001
+
+
+@pytest.mark.parametrize(
+    "defense",
+    [{"max_bucket_size": 20}, {"max_doc_frequency": 50}],
+    ids=["bucket-cap", "df-pruning"],
+)
+def test_template_flood_defenses_bound_candidates(spark, defense):
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        lsh_bucket_stats,
+        minhash_near_duplicates,
+    )
+
+    corpus = _pathological_corpus(spark)
+    n = corpus.count()
+    cap = defense.get("max_bucket_size", 20)
+    stats = lsh_bucket_stats(
+        corpus, "text", "doc_id", bands=BANDS, **defense
+    ).collect()[0]
+    # O(n) candidate bound: each doc sits in <= BANDS buckets of <= cap
+    # docs, so sum C(n_b,2) <= BANDS * n * (cap-1)/2 (measured: 246)
+    assert stats["candidate_pairs"] <= BANDS * n * (cap - 1) / 2
+    assert stats["max_bucket"] <= max(cap, 50)
+    # the defense must not cost recall on ORGANIC near-dups: the planted
+    # mutation of doc 1 still comes back from the end-to-end join
+    pairs = minhash_near_duplicates(
+        corpus, "text", "doc_id", bands=BANDS, threshold=0.5, **defense
+    )
+    found = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.where(
+            (F.col("doc_a") == 1) | (F.col("doc_b") == 1)
+        ).collect()
+    }
+    assert (1, 10_000_001) in found

@@ -47,15 +47,23 @@ def normalize(df) -> tuple[int, list[str], str]:
     return len(rows), cols, h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("check_oracle")
+def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """DuckDB connection with the testdata tables registered as views —
+    the driver's oracle environment, reproduced."""
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def run_sweep(spark, sf_dir: str, only: set[str] | None = None) -> int:
+    """Run the full registry-vs-oracle compare; returns the failure
+    count. Callable from main() AND from the in-suite
+    ``pytest -m oracle_sweep`` test, so 'ALL OK' is a test, not a
+    claim."""
+    con = oracle_connection(sf_dir)
     failures = 0
     for name, q in REGISTRY.items():
         if only and name not in only:
@@ -97,7 +105,14 @@ def main() -> int:
                 print(f"   only-spark: {list(s_t - o_t)[:3]}")
                 print(f"   only-duck : {list(o_t - s_t)[:3]}")
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("check_oracle")
+    return 1 if run_sweep(spark, sf_dir, only or None) else 0
 
 
 if __name__ == "__main__":

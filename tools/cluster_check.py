@@ -42,6 +42,7 @@ QUERIES = [
     "events_cms_daily_range",    # per-segment sketches + range rollup
     "dedup_levenshtein_blocked", # block join + bounded DP verify
     "delta_roundtrip_stats",     # distributed writes through the pylog
+    "streaming_ingest_gate",     # readStream -> foreachBatch -> txn sink
 ]
 
 
