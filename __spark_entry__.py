@@ -43,16 +43,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # every plan changed this round — followed by a representative slice of the
 # relational catalog. Everything else keeps registration order after them.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-4 rotation: the 8 registry queries that have never appeared in
-    # the driver's gate window (verified locally every round via
-    # tools/check_oracle.py; rotated first so CORRECTNESS_r04 shows them).
+    # Round-5 rotation: new/changed this round — the new LSH skew-monitor
+    # gate, the newly-oracled zlib query (no more no_oracle rows), the
+    # three minhash queries whose candidate generation was refactored
+    # into lsh_banded_frame, and the two Delta-backed gates whose log
+    # writer changed (metaData refresh + private checkpoints).
+    "dedup_lsh_bucket_stats",
+    "text_compression_ratio",
+    "dedup_minhash_lsh",
+    "dedup_minhash_df_pruned",
+    "dedup_minhash_incremental",
+    "delta_roundtrip_stats",
+    "streaming_ingest_gate",
+    # Round-4 rotation (kept high: still the most recently first-gated)
     "events_json_props_stats",
     "event_type_user_grouping_sets",
     "order_priority_check",
     "promo_revenue_share",
     "events_trailing_hour_sum",
     "events_hourly_gapfilled",
-    "text_compression_ratio",
     "embedding_pq_topk",
     # new in round 4: sketches (t-digest / Misra-Gries / HLL gates),
     # recall-gated ANN, and the training-pipeline corpus operators

@@ -318,7 +318,7 @@ def lsh_bucket_stats(
     )
     buckets = banded.groupBy("band", "key").agg(F.count("*").alias("n_b"))
     return buckets.agg(
-        F.count_distinct(F.col("key")).alias("n_buckets"),
+        F.count("*").alias("n_buckets"),
         F.max("n_b").alias("max_bucket"),
         F.sum(F.col("n_b") * (F.col("n_b") - 1) / 2)
         .cast("long")

@@ -1073,6 +1073,98 @@ def dedup_minhash_df_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_stats_oracle_sql(cap: int) -> str:
+    """Oracle for the LSH skew monitor: same hash family, permutation
+    constants, and band keys as the dedup oracles, aggregated to bucket
+    statistics for the undefended AND the df-pruned candidate space —
+    so the monitor's candidate-pair arithmetic (the number the 100 TB
+    pre-flight decision rides on) is value-hash-gated, not just
+    pytest-bounded."""
+    from ..operators.dedup import MINHASH_PRIME, _perm_params
+
+    perms = ", ".join(
+        f"list_min([({a} * h + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in _perm_params(16)
+    )
+    stats = """
+      SELECT '{mode}' AS mode,
+             (SELECT count(DISTINCT doc_id) FROM {bands}) AS n_docs,
+             count(*) AS n_buckets,
+             max(n_b) AS max_bucket,
+             CAST(sum(n_b * (n_b - 1) / 2) AS BIGINT) AS candidate_pairs
+      FROM (SELECT b, key, count(*) AS n_b FROM {bands} GROUP BY b, key)
+    """
+    return f"""
+    WITH corpus AS ({_BOILER_CORPUS_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, len(ws) - 2)]) AS s
+      FROM w WHERE len(ws) >= 3
+    ),
+    hh0 AS (
+      SELECT doc_id,
+             list_distinct([CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) for x in s]) AS hs
+      FROM sh
+    ),
+    freq AS (
+      SELECT coalesce(list(h), []) AS fl FROM (
+        SELECT h FROM (SELECT unnest(hs) AS h FROM hh0) GROUP BY h
+        HAVING count(*) > {cap}
+      )
+    ),
+    hh1 AS (
+      SELECT doc_id, [x for x in hs if NOT list_contains(fl, x)] AS hs
+      FROM hh0, freq
+    ),
+    sig0 AS (SELECT doc_id, [{perms}] AS mh FROM hh0 WHERE len(hs) > 0),
+    sig1 AS (SELECT doc_id, [{perms}] AS mh FROM hh1 WHERE len(hs) > 0),
+    bands0 AS (
+      SELECT doc_id, b,
+             mh[4*b+1]::VARCHAR || ',' || mh[4*b+2]::VARCHAR || ',' ||
+             mh[4*b+3]::VARCHAR || ',' || mh[4*b+4]::VARCHAR AS key
+      FROM sig0, generate_series(0, 3) t(b)
+    ),
+    bands1 AS (
+      SELECT doc_id, b,
+             mh[4*b+1]::VARCHAR || ',' || mh[4*b+2]::VARCHAR || ',' ||
+             mh[4*b+3]::VARCHAR || ',' || mh[4*b+4]::VARCHAR AS key
+      FROM sig1, generate_series(0, 3) t(b)
+    )
+    {stats.format(mode="undefended", bands="bands0")}
+    UNION ALL
+    {stats.format(mode="df_pruned", bands="bands1")}
+    """
+
+
+@register(
+    "dedup_lsh_bucket_stats",
+    _lsh_bucket_stats_oracle_sql(30),
+    doc="LSH skew monitor (dedup.lsh_bucket_stats) on the boilerplate-"
+    "flooded corpus: one cheap aggregate per mode reporting bucket count, "
+    "max bucket size, and the EXACT candidate-pair count the dedup "
+    "equi-join would generate — the 100 TB pre-flight that flags a "
+    "template flood BEFORE anyone pays the quadratic join. Two gated "
+    "rows: undefended (chrome header shared by all 525 docs floods every "
+    "band) vs df > 30 pruning (candidates collapse to the organic "
+    "near-dup load). Oracle replays the identical hash family, "
+    "permutations, band keys, and C(n_b,2) arithmetic.",
+    tags=("llm", "dedup", "scale"),
+)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_boilerplate_near_copies(load(spark, sf_dir, "documents"))
+
+    def stats(mode: str, **kw) -> DataFrame:
+        return D.lsh_bucket_stats(
+            corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, **kw
+        ).select(F.lit(mode).alias("mode"), "*")
+
+    return stats("undefended").unionByName(
+        stats("df_pruned", max_doc_frequency=30)
+    )
+
+
 @register(
     "dedup_minhash_incremental",
     _minhash_oracle_sql(),
