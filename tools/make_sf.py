@@ -9,10 +9,24 @@ by a per-family stride (max key + 1), so join fan-outs, group
 cardinalities, and key distributions all scale together — orders still
 join their customers, lineitems their orders/parts/suppliers, events get
 K x distinct users. region/nation stay fixed (broadcast dims by
-construction, same as TPC-H). Replica texts get a per-replica suffix
-(near-dups, not exact dups — realistic dedup load) and embeddings a tiny
-deterministic per-replica perturbation (distinct vectors, same cluster
-structure).
+construction, same as TPC-H).
+
+Replicas must be DISTINCT documents/vectors, not near-dups of each
+other: the driver's own sf progression keeps planted-duplicate counts
+constant while the corpus grows, and the scaling bench exists to measure
+operator scaling, not fixture-manufactured quadratic duplicate density
+(K replicas per family = C(K,2) true pairs per family — the first sf1
+run flagged exactly this on the Levenshtein and embedding near-dup
+queries). So replica texts are REPLACED with deterministic md5 token
+streams of the same token count (shingle Jaccard ~0 vs base and between
+replicas, text volume stays ~K x — an appended-filler variant inflated
+bytes 1.7 x beyond the row growth and muddied every text-op ratio) and
+replica embeddings get a per-(vector, replica, element) hash-signed
++-0.025*i perturbation — cosine < 0.99 against base and every other
+replica, and NO shared perturbation direction (a common direction
+clustered all same-i replicas into the same LSH hyperplane buckets and
+manufactured quadratic candidate skew: 205 s on the incremental
+near-dup query, 5 s after the fix).
 
 DuckDB writes ONE parquet file per table (the layout the loader and the
 streaming gate's pathGlobFilter expect); multi-row-group files stay
@@ -82,22 +96,36 @@ def make_sf(src: str, dest: str, k: int) -> None:
             if (t, c) in strides:
                 sel.append(f"{c} + i * {strides[(t, c)]} AS {c}")
             elif t == "documents" and c == "text":
-                # near-dup replicas, not byte-identical ones: dedup and
-                # fingerprint queries see realistic (bounded) cluster load
                 sel.append(
-                    "text || CASE WHEN i = 0 THEN '' ELSE ' rep' || i END AS text"
+                    "CASE WHEN i = 0 THEN text ELSE "
+                    "array_to_string([substr(md5(doc_id::VARCHAR || '-' || "
+                    "i::VARCHAR || '-' || j::VARCHAR), 1, 5) "
+                    "for j in generate_series(1, len(string_split(text, ' ')))], "
+                    "' ') END AS text"
                 )
             elif t == "embeddings" and c == "embedding":
                 sel.append(
-                    "list_transform(embedding, x -> "
-                    "CAST(x + i * 0.0001 AS FLOAT))::FLOAT[] AS embedding"
+                    "[CAST(embedding[j] + 0.025 * i * "
+                    "(CASE WHEN hash(vec_id::VARCHAR || ':' || i::VARCHAR "
+                    "|| ':' || j::VARCHAR) % 2 = 0 THEN 1 ELSE -1 END) "
+                    "AS FLOAT) "
+                    "for j in generate_series(1, len(embedding))]::FLOAT[] "
+                    "AS embedding"
                 )
             else:
                 sel.append(c)
+        inner = (
+            f"SELECT {', '.join(sel)} FROM '{src}/{t}.parquet' "
+            f"CROSS JOIN range({k}) r(i)"
+        )
+        if t == "documents":
+            # replica texts grew; keep the derived length column honest
+            inner = (
+                f"SELECT * REPLACE (length(text)::BIGINT AS n_chars) "
+                f"FROM ({inner})"
+            )
         con.execute(
-            f"COPY (SELECT {', '.join(sel)} FROM '{src}/{t}.parquet' "
-            f"CROSS JOIN range({k}) r(i)) TO '{dest}/{t}.parquet' "
-            "(FORMAT PARQUET)"
+            f"COPY ({inner}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
         )
         n = con.execute(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
