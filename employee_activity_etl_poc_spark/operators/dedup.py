@@ -848,6 +848,7 @@ def blocked_levenshtein_pairs(
     id_col: str,
     block_cols: list[Column],
     max_dist: int,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Edit-distance near-dup pairs within blocks: (doc_a, doc_b, dist)
     for every same-block pair with Levenshtein distance ≤ ``max_dist`` —
@@ -868,13 +869,32 @@ def blocked_levenshtein_pairs(
 
     Blocking is the standard baseline trade: a pair split across blocks
     is missed (same contract as the Jaccard variant; LSH is the recall
-    path)."""
+    path).
+
+    ``max_block_size``: blocks are FIXED IN NUMBER (lang × length
+    bucket), so per-block population — and the within-block pair count —
+    grows quadratically with the corpus (measured at the sf1 self-bench:
+    4.7× the linear extrapolation). The cap drops over-populated blocks
+    before the join, the same bounded-candidates defense the LSH path
+    ships as its bucket cap: exactness within surviving blocks is kept,
+    a dropped block is a LOUD coverage decision the caller sizes, and
+    the candidate count is bounded by blocks · C(cap, 2). None (the
+    default, and the gated baseline's contract) keeps full exactness."""
     base = df.select(
         F.col(id_col).alias("doc"),
         *[c.alias(f"blk{i}") for i, c in enumerate(block_cols)],
         F.col(text_col).alias("t"),
         F.length(text_col).alias("tl"),
     )
+    if max_block_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy(*[f"blk{i}" for i in range(len(block_cols))])
+        base = (
+            base.withColumn("_bn", F.count("*").over(wb))
+            .where(F.col("_bn") <= max_block_size)
+            .drop("_bn")
+        )
     a, b = base.alias("a"), base.alias("b")
     cond = F.col("a.doc") < F.col("b.doc")
     for i in range(len(block_cols)):

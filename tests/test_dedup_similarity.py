@@ -774,6 +774,37 @@ def test_blocked_levenshtein_pairs(spark):
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2}
 
 
+def test_blocked_levenshtein_block_cap(spark):
+    """max_block_size: fixed-count blocks grow quadratically with the
+    corpus (sf1 self-bench measured 4.7x linear), so the cap drops
+    over-populated blocks BEFORE the join — pairs within surviving
+    blocks are untouched, capped-out blocks contribute nothing, and the
+    default (None) stays the gated baseline's exact contract."""
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    # block g: 12 mutually-near docs (over cap); block h: 2 near docs
+    rows = [(i, "g", f"shared prefix words {i % 2}") for i in range(12)]
+    rows += [(100, "h", "other block text a"), (101, "h", "other block text b")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in blocked_levenshtein_pairs(
+            df, "text", "doc_id", [F.col("lang")], max_dist=3
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in blocked_levenshtein_pairs(
+            df, "text", "doc_id", [F.col("lang")], max_dist=3, max_block_size=5
+        ).collect()
+    }
+    assert (100, 101) in uncapped and (100, 101) in capped
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+    assert capped == {(100, 101)}  # the flooded block dropped whole
+
+
 def test_pack_sequences_placement_invariants(spark):
     """Packing invariants: within a shard, tok_start is a gapless prefix
     sum over the hash order; seq_end-seq_start straddles exactly when the

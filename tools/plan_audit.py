@@ -39,6 +39,8 @@ NESTED_LOOP_OK = {
     "embedding_pq_topk": "exact baseline + LUT join + 1-row recall flag",
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
     "embedding_quantized_topk": "exact baseline over int8 codes",
+    "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
+    "dedup_lsh_bucket_stats": "1-row bucket aggregates assembled (2 modes)",
 }
 
 COUNTERS = {
