@@ -55,6 +55,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def money_sum(expr, nd: int = 2):
+    """Exact financial sum: accumulate in DECIMAL(30,10), round, return
+    double. Double summation is association-order-dependent — at sf1 the
+    ~1e10-magnitude revenue totals started flipping their last rounded
+    cent between Spark's partition-order sums and DuckDB's sequential
+    ones (brand_volume, order_revenue_cube: off by 0.01). Decimal
+    accumulation is order-independent and exact in BOTH engines — the
+    same reason TPC-H mandates DECIMAL for money — so the oracle hash is
+    stable at EVERY scale, not just where double noise stays under the
+    rounding granularity. The per-row product is still computed in
+    double (bit-identical across engines: same IEEE ops), then cast;
+    only the many-row accumulation changes. Oracle twin:
+    ``round(sum(CAST(expr AS DECIMAL(30,10))), nd)::DOUBLE``."""
+    return F.round(F.sum(expr.cast("decimal(30,10)")), nd).cast("double")
+
+
 # ===========================================================================
 # Aggregations (SURVEY §2.4) + scan/filter pushdown (§2.2)
 # ===========================================================================
@@ -65,11 +81,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2)::DOUBLE   AS sum_base_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2)::DOUBLE
+             AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,10))), 2)::DOUBLE
+             AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(sum(CAST(l_extendedprice AS DECIMAL(30,10)))::DOUBLE / count(*), 4)
+             AS avg_price,
            round(avg(l_discount), 4)                                        AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
@@ -77,7 +96,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="A3/A9-style multi-aggregate groupBy with a pushed-down scan "
-    "predicate (TPC-H Q1 shape). One shuffle, map-side partial agg.",
+    "predicate (TPC-H Q1 shape). One shuffle, map-side partial agg. "
+    "Money sums accumulate in DECIMAL (see money_sum) — order-"
+    "independent and scale-stable, as TPC-H itself mandates.",
     tags=("agg", "scan"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,11 +109,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # exact decimal sum cast to double BEFORE the divide: both
+            # engines then do the identical double division
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,10)"))
+                .cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -104,7 +132,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2)::DOUBLE AS sum_disc_price,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -123,7 +151,7 @@ def pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2)                         AS sum_qty,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
                count(*)                                          AS count_order
         FROM lineitem_v
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -577,8 +605,8 @@ def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*)                     AS n_orders,
-           round(sum(o_totalprice), 2)  AS revenue,
-           round(avg(o_totalprice), 4)  AS avg_order
+           round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)::DOUBLE  AS revenue,
+           round(sum(CAST(o_totalprice AS DECIMAL(30,10)))::DOUBLE / count(*), 4)  AS avg_order
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -594,8 +622,12 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_order"),
+        money_sum(F.col("o_totalprice")).alias("revenue"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_order"),
     )
 
 
@@ -605,7 +637,7 @@ def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_brand,
            count(*)                                          AS n_items,
            round(sum(l_quantity), 2)                         AS sum_qty,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2)::DOUBLE AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -622,8 +654,9 @@ def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-            .alias("revenue"),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
         )
     )
 
@@ -682,7 +715,7 @@ def open_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT r_name, n_name,
            count(*)                                          AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))), 2)::DOUBLE AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN supplier ON l_suppkey = s_suppkey
@@ -719,8 +752,8 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue"),
         )
     )
@@ -766,10 +799,10 @@ def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     """
-    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT round(100.0 * sum(CAST(CASE WHEN p_type = 'PROMO'
                                   THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+                                  ELSE 0 END AS DECIMAL(30,10)))::DOUBLE
+                 / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10)))::DOUBLE, 4) AS promo_pct,
            count(*) AS n_lines
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1995-03-01'
@@ -793,8 +826,12 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(30,10)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(30,10)")).cast("double"),
                 4,
             ).alias("promo_pct"),
             F.count("*").alias("n_lines"),
@@ -1508,7 +1545,7 @@ def lineitem_union_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(c_mktsegment, '<all>') AS segment,
            COALESCE(o_orderstatus, '<all>') AS status,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS revenue
+           round(sum(CAST(o_totalprice AS DECIMAL(30,10))), 2)::DOUBLE AS revenue
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY CUBE (c_mktsegment, o_orderstatus)
     """,
@@ -1525,7 +1562,7 @@ def order_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.cube("c_mktsegment", "o_orderstatus")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.count("*").alias("n"), money_sum(F.col("o_totalprice")).alias("revenue"))
         .select(
             F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
             F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),

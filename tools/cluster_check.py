@@ -43,6 +43,8 @@ QUERIES = [
     "dedup_levenshtein_blocked", # block join + bounded DP verify
     "delta_roundtrip_stats",     # distributed writes through the pylog
     "streaming_ingest_gate",     # readStream -> foreachBatch -> txn sink
+    "text_compression_ratio",    # zlib mapInPandas + corpus-flag gate
+    "dedup_lsh_bucket_stats",    # skew monitor: candidate arithmetic
 ]
 
 
