@@ -55,6 +55,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "delta_roundtrip_stats",
     "streaming_ingest_gate",
+    # the seven revenue rollups converted to decimal accumulation
+    # (scale-stable money sums — see registry.money_sum)
+    "pricing_summary",
+    "pricing_summary_sql",
+    "revenue_by_segment",
+    "brand_volume",
+    "regional_supplier_volume",
+    "order_revenue_cube",
+    "promo_revenue_share",
     # Round-4 rotation (kept high: still the most recently first-gated)
     "events_json_props_stats",
     "event_type_user_grouping_sets",

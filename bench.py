@@ -83,6 +83,8 @@ HEADLINE = [
     "delta_roundtrip_stats",
     "streaming_ingest_gate",
     "event_value_kll",
+    # round 5: the newly hash-gated zlib path (mapInPandas, Arrow-batched)
+    "text_compression_ratio",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as
