@@ -84,7 +84,9 @@ HEADLINE = [
     "streaming_ingest_gate",
     "event_value_kll",
     # round 5: the newly hash-gated zlib path (mapInPandas, Arrow-batched)
+    # and the keyed (linear-at-scale) interval join
     "text_compression_ratio",
+    "error_in_signup_window_by_user",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as
