@@ -56,6 +56,29 @@ def _with_norm(df: DataFrame, vec_col: str, id_col: str, id_out: str, v_out: str
     )
 
 
+def suggest_granularity(n_rows: int, target_bucket: int = 64) -> int:
+    """Bucket-granularity auto-scaling: the number of hyperplanes (LSH)
+    or the log2 cell count (IVF) that keeps the EXPECTED bucket
+    population near ``target_bucket`` — ceil(log2(n / target)), floored
+    at 1.
+
+    Fixed granularity is the quiet scale bug of every bucketed
+    candidate scheme: candidates per query grow ~n/2^planes, so a
+    config tuned at one corpus size scans a constant FRACTION (not a
+    constant COUNT) of every larger corpus — the sf1 sweep measured the
+    gated (4, 2, 8) LSH config scanning 150% of a 20k-vector corpus per
+    query, while 8 planes held recall 0.9 at 9% (SCALE.md §ANN). Use
+    this at index-build time from a cheap ``df.count()``; re-validate
+    recall with ``tools/ann_recall.py`` when the corpus grows a decade.
+    The same arithmetic sizes ``n_centroids = 2**suggest_granularity``
+    for IVF and the band count trade for MinHash bucket caps."""
+    import math
+
+    if n_rows <= target_bucket:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket)))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

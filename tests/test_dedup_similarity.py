@@ -905,3 +905,21 @@ def test_embedding_incremental_equals_batch(spark, sf_dir):
     assert out1 | out2 == full
     assert not (out1 & out2)
     assert out2, "cross-batch copy pairs expected"
+
+
+def test_suggest_granularity_tracks_corpus_size():
+    """Index-build-time granularity: expected bucket population stays
+    near target as the corpus scales decades — the fix for fixed-planes
+    configs scanning a constant FRACTION of ever-larger corpora."""
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        suggest_granularity,
+    )
+
+    assert suggest_granularity(50) == 1          # tiny corpus: 2 buckets
+    assert suggest_granularity(2_000) == 5       # sf0.1 embeddings
+    assert suggest_granularity(20_000) == 9      # sf1: 512 buckets, ~39/bucket
+    assert suggest_granularity(20_000_000) == 19
+    # expected bucket population within [target/2, 2*target] at every decade
+    for n in (10**3, 10**4, 10**6, 10**9):
+        p = suggest_granularity(n)
+        assert 32 <= n / 2**p <= 128, (n, p)

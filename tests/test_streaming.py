@@ -250,6 +250,23 @@ def test_notifier_backlog_compression(spark, activities):
     assert len(sent) == 3
 
 
+def test_notifier_live_path_streams_in_order(spark, activities):
+    """batch_id > 0 sends EVERY row in time order without collect(): the
+    toLocalIterator path (r5 fix — an unthrottled backlog batch must not
+    materialize whole on the driver) preserves the sort across multiple
+    partitions."""
+    sent: list[str] = []
+    notifier = make_notifier(sent.append, max_buffer_size=5)
+    batch = activities.select(
+        "start_ts", activity_message().alias("message")
+    ).repartition(7)  # ordering must survive a multi-partition frame
+    expected = [
+        r["message"] for r in batch.orderBy("start_ts").collect()
+    ]
+    notifier(batch, 3)
+    assert sent == expected
+
+
 def test_tumbling_window_agg_under_readstream(spark, activities, tmp_path):
     """The windows operators run unchanged under Structured Streaming with
     a watermark (append mode emits a window once the watermark passes its
