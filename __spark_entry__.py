@@ -49,6 +49,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # into lsh_banded_frame, and the two Delta-backed gates whose log
     # writer changed (metaData refresh + private checkpoints).
     "dedup_lsh_bucket_stats",
+    "dedup_duplicated_spans",
     "error_in_signup_window_by_user",
     "text_compression_ratio",
     "dedup_minhash_lsh",

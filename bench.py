@@ -83,10 +83,11 @@ HEADLINE = [
     "delta_roundtrip_stats",
     "streaming_ingest_gate",
     "event_value_kll",
-    # round 5: the newly hash-gated zlib path (mapInPandas, Arrow-batched)
-    # and the keyed (linear-at-scale) interval join
+    # round 5: the newly hash-gated zlib path (mapInPandas, Arrow-batched),
+    # the keyed (linear-at-scale) interval join, and span-level dedup
     "text_compression_ratio",
     "error_in_signup_window_by_user",
+    "dedup_duplicated_spans",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

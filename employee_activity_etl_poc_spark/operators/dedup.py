@@ -910,3 +910,83 @@ def blocked_levenshtein_pairs(
         )
         .where((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact substring-duplication detection — the span-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): per document, the maximal token spans whose k-grams occur
+    at least ``min_occurrences`` times in the corpus (boilerplate,
+    licenses, quoted chunks, crawl echoes). Document-level dedup keeps
+    one copy of a page; THIS finds the duplicated passages inside
+    otherwise-unique pages — the signal used to cut memorization.
+
+    The reference algorithm builds a corpus-wide suffix array — exact
+    but single-machine. The distributed equivalent: positioned k-gram
+    fingerprints (any duplicated substring of length >= k contains a
+    duplicated k-gram, so k-gram recall is complete for spans >= k),
+    a count>=m filter over ONE groupBy, then a per-document run-merge —
+    positions whose gap <= k-1 produce overlapping gram windows and
+    fuse into one span (one lag + one running-sum window, partitioned
+    by document: bounded partitions at any corpus size).
+
+    Output: (doc_id, span_start, span_end, span_tokens, n_dup_grams) —
+    token offsets, 0-based inclusive. Scale shape: the gram explode is
+    ~|tokens| rows but map-side-combines to one row per DISTINCT gram
+    for the frequency filter; the hits semi-join keys on the gram hash;
+    nothing is quadratic. Shorter-than-k docs yield no rows by
+    construction (the guarded sequence)."""
+    from pyspark.sql import Window
+
+    ws = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    # positioned grams: NO array_distinct (positions matter here, unlike
+    # the minhash shingle set)
+    make = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
+    grams = (
+        df.where(F.size(tokens(F.col(text_col))) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.transform(idx, make)).alias("pos", "gram"),
+        )
+        .select("doc", F.col("pos").cast("long").alias("pos"), _hash_long(F.col("gram")).alias("g"))
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= min_occurrences)
+        .select("g")
+    )
+    hits = grams.join(dup, "g", "left_semi").select("doc", "pos")
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = hits.withColumn(
+        "_brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn(
+        "_grp",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "span_start",
+            "span_end",
+            "span_tokens",
+            "n_dup_grams",
+        )
+    )

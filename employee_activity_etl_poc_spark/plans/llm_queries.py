@@ -836,6 +836,60 @@ _NEAR_CORPUS_SQL = """
 
 
 @register(
+    "dedup_duplicated_spans",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i - 1,
+                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8) AS BIGINT))
+                     for i in generate_series(1, len(ws) - 7)],
+                    recursive := true)
+      FROM w WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM sh WHERE g IN (SELECT g FROM dup)),
+    runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp_id
+      FROM runs
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
+           count(*) AS n_dup_grams
+    FROM grp GROUP BY doc_id, grp_id
+    """,
+    doc="Exact substring-duplication detection (dedup.duplicated_token_spans "
+    "— the span-level dedup of Lee et al. 2022, 'Deduplicating Training "
+    "Data Makes Language Models Better'): per document, the maximal token "
+    "spans whose 8-grams repeat in the corpus. Document-level dedup keeps "
+    "one copy of a page; this finds the duplicated PASSAGES inside "
+    "otherwise-unique pages (licenses, boilerplate, quoted chunks) — the "
+    "memorization signal. The reference algorithm is a single-machine "
+    "suffix array; the distributed form is positioned k-gram fingerprints "
+    "(complete recall for spans >= k), one frequency groupBy, a semi-join, "
+    "and a per-document run-merge window — nothing quadratic, partitions "
+    "bounded by document length. The near-copy corpus plants 25 "
+    "first-word-dropped variants whose shared tails surface as "
+    "near-full-document spans in both members of each pair.",
+    tags=("llm", "dedup", "text", "scale"),
+)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    return D.duplicated_token_spans(corpus, "text", "doc_id", k=8)
+
+
+@register(
     "dedup_exact",
     f"""
     WITH corpus AS ({_EXACT_CORPUS_SQL})

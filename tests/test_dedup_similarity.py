@@ -923,3 +923,23 @@ def test_suggest_granularity_tracks_corpus_size():
     for n in (10**3, 10**4, 10**6, 10**9):
         p = suggest_granularity(n)
         assert 32 <= n / 2**p <= 128, (n, p)
+
+
+def test_duplicated_token_spans_finds_planted_passage(spark):
+    """Lee-et-al-style span dedup: a 12-token passage shared by two docs
+    comes back as one maximal span in EACH doc at the right offsets;
+    unique docs yield nothing; spans chain across overlapping grams."""
+    shared = " ".join(f"c{i}" for i in range(12))
+    rows = [
+        (1, "u1 u2 u3 " + shared + " t1 t2 t3"),
+        (2, "v1 v2 " + shared + " w1 w2 w3 w4"),
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_tokens"], r["n_dup_grams"])
+        for r in D.duplicated_token_spans(df, "text", "doc_id", k=8).collect()
+    }
+    # doc 1: tokens 3..14 = the 12-token passage -> 5 overlapping 8-grams
+    # fused into ONE span; doc 2 same passage at 2..13; doc 3 clean
+    assert out == {1: (3, 14, 12, 5), 2: (2, 13, 12, 5)}
