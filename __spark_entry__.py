@@ -50,6 +50,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # writer changed (metaData refresh + private checkpoints).
     "dedup_lsh_bucket_stats",
     "dedup_duplicated_spans",
+    "dedup_span_removal_stats",
     "error_in_signup_window_by_user",
     "text_compression_ratio",
     "dedup_minhash_lsh",

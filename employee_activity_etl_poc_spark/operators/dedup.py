@@ -990,3 +990,125 @@ def duplicated_token_spans(
             "n_dup_grams",
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The APPLY step of span-level dedup (Lee et al. 2022): rewrite the
+    corpus keeping exactly ONE canonical occurrence of each duplicated
+    passage — the keeper is the (min doc, min offset) occurrence among
+    spans with identical token content; every other occurrence is cut.
+
+    Returns every input row as (id, text_clean, n_tokens_before,
+    n_tokens_removed, n_spans_removed); untouched docs pass through with
+    zeros. Scale shape: spans come from
+    :func:`duplicated_token_spans` (nothing quadratic); the rewrite
+    explodes tokens ONLY for docs that actually lose a span (semi-join
+    first), marks tokens covered by a removal span via a per-doc
+    range-filtered join (spans per doc are few), and reassembles with
+    one sort_array+collect_list per doc — partitions bounded by document
+    length. Content identity is md5 over the span's token slice, so two
+    occurrences match iff their text matches exactly — the same
+    contract the detector's k-gram fingerprints guarantee for spans
+    ≥ k."""
+    from pyspark.sql import Window
+
+    spans = duplicated_token_spans(
+        df, text_col, id_col, k=k, min_occurrences=min_occurrences
+    )
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("ws")
+    )
+    located = spans.join(
+        base, spans.doc_id == base.doc
+    ).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        "span_tokens",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("ws"), F.col("span_start") + 1, F.col("span_tokens")),
+                " ",
+            )
+        ).alias("content"),
+    )
+    w_keep = Window.partitionBy("content").orderBy("doc_id", "span_start")
+    removals = (
+        located.withColumn("_rk", F.row_number().over(w_keep))
+        .where(F.col("_rk") > 1)  # rank 1 = the canonical keeper, stays
+        .select("doc_id", "span_start", "span_end")
+    )
+    # removals is referenced three times (coverage join, span counts, the
+    # affected-doc semi-join) and each reference would otherwise re-run
+    # the whole detect pipeline; the frame is tiny (one row per removed
+    # span), so persist it — same caller contract as the persisted
+    # minhash shingle frame.
+    removals = removals.persist()
+    affected = base.join(
+        removals.select(F.col("doc_id").alias("doc")).distinct(), "doc", "left_semi"
+    )
+    toks = affected.select(
+        "doc", F.posexplode("ws").alias("pos", "tok")
+    )
+    cut = (
+        toks.join(
+            removals,
+            (toks.doc == removals.doc_id)
+            & (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") <= F.col("span_end")),
+            "left",
+        )
+        .groupBy("doc", "pos", "tok")
+        .agg(F.max(F.col("span_start").isNotNull().cast("int")).alias("_cut"))
+    )
+    rebuilt = (
+        cut.groupBy("doc")
+        .agg(
+            F.count("*").alias("n_tokens_before"),
+            F.sum("_cut").cast("long").alias("n_tokens_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_cut") == 0,
+                                F.struct(F.col("pos"), F.col("tok")),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+    n_spans = removals.groupBy(F.col("doc_id").alias("doc")).agg(
+        F.count("*").cast("long").alias("n_spans_removed")
+    )
+    changed = rebuilt.join(n_spans, "doc")
+    untouched = (
+        base.join(changed.select("doc"), "doc", "left_anti")
+        .join(df.select(F.col(id_col).alias("doc"), F.col(text_col)), "doc")
+        .select(
+            "doc",
+            F.size("ws").cast("long").alias("n_tokens_before"),
+            F.lit(0).cast("long").alias("n_tokens_removed"),
+            F.col(text_col).alias("text_clean"),
+            F.lit(0).cast("long").alias("n_spans_removed"),
+        )
+    )
+    return changed.select(
+        "doc", "n_tokens_before", "n_tokens_removed", "text_clean", "n_spans_removed"
+    ).unionByName(untouched).select(
+        F.col("doc").alias(id_col),
+        "text_clean",
+        "n_tokens_before",
+        "n_tokens_removed",
+        "n_spans_removed",
+    )

@@ -890,6 +890,78 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal_stats",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i - 1,
+                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8) AS BIGINT))
+                     for i in generate_series(1, len(ws) - 7)],
+                    recursive := true)
+      FROM w WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM sh WHERE g IN (SELECT g FROM dup)),
+    runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp_id
+      FROM runs
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM grp GROUP BY doc_id, grp_id
+    ),
+    loc AS (
+      SELECT spans.doc_id, s, e,
+             md5(array_to_string(w.ws[s + 1 : e + 1], ' ')) AS content
+      FROM spans JOIN w ON spans.doc_id = w.doc_id
+    ),
+    rem AS (
+      SELECT doc_id, s, e FROM (
+        SELECT *, row_number() OVER (PARTITION BY content ORDER BY doc_id, s) AS rk
+        FROM loc
+      ) WHERE rk > 1
+    ),
+    removed AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM rem),
+    rstat AS (SELECT doc_id, count(DISTINCT p) AS n_tok FROM removed GROUP BY doc_id),
+    sstat AS (SELECT doc_id, count(*) AS n_sp FROM rem GROUP BY doc_id)
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(rstat.n_tok, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(coalesce(sstat.n_sp, 0) AS BIGINT) AS n_spans_removed
+    FROM w LEFT JOIN rstat ON w.doc_id = rstat.doc_id
+           LEFT JOIN sstat ON w.doc_id = sstat.doc_id
+    """,
+    doc="The APPLY step of span-level dedup (dedup.remove_duplicated_spans "
+    "— Lee et al. 2022's actual pipeline transform): keep exactly one "
+    "canonical occurrence of each duplicated passage (min doc, min "
+    "offset over identical span content), cut every other. Gated on the "
+    "per-doc rewrite accounting — tokens before, tokens removed (distinct "
+    "positions under any removal span), spans removed — for EVERY corpus "
+    "row; the rewritten text itself is pinned by the unit-test fixture "
+    "(the oracle replays the full detect -> content-hash -> keeper-rank "
+    "-> coverage-count pipeline in SQL). Scale shape: only docs that "
+    "lose a span pay the token explode; keeper choice is one window over "
+    "the (small) span set.",
+    tags=("llm", "dedup", "text", "scale"),
+)
+def dedup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    return D.remove_duplicated_spans(corpus, "text", "doc_id", k=8).select(
+        "doc_id", "n_tokens_before", "n_tokens_removed", "n_spans_removed"
+    )
+
+
+@register(
     "dedup_exact",
     f"""
     WITH corpus AS ({_EXACT_CORPUS_SQL})

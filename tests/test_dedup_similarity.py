@@ -943,3 +943,28 @@ def test_duplicated_token_spans_finds_planted_passage(spark):
     # doc 1: tokens 3..14 = the 12-token passage -> 5 overlapping 8-grams
     # fused into ONE span; doc 2 same passage at 2..13; doc 3 clean
     assert out == {1: (3, 14, 12, 5), 2: (2, 13, 12, 5)}
+
+
+def test_remove_duplicated_spans_keeps_one_canonical_copy(spark):
+    """Apply step: the (min doc, min offset) occurrence survives, every
+    other occurrence is cut from the text, untouched docs pass through
+    byte-identical with zero counters."""
+    shared = " ".join(f"c{i}" for i in range(12))
+    rows = [
+        (1, "u1 u2 u3 " + shared + " t1 t2 t3"),
+        (2, "v1 v2 " + shared + " w1 w2 w3 w4"),
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["text_clean"],
+            r["n_tokens_before"],
+            r["n_tokens_removed"],
+            r["n_spans_removed"],
+        )
+        for r in D.remove_duplicated_spans(df, "text", "doc_id", k=8).collect()
+    }
+    assert out[1] == (rows[0][1], 18, 0, 0)  # keeper: untouched
+    assert out[2] == ("v1 v2 w1 w2 w3 w4", 18, 12, 1)
+    assert out[3] == (rows[2][1], 10, 0, 0)
