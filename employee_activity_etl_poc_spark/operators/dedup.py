@@ -67,6 +67,20 @@ def _hash_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _hash_long60(col: Column) -> Column:
+    """60-bit md5 prefix (15 hex chars), as a long. For corpus-wide
+    FREQUENCY counting (the span detector), where the 32-bit space of
+    :func:`_hash_long` hits birthday collisions around ~65k distinct
+    grams — at billions of grams unrelated text would be falsely
+    reported as duplicated (expected spurious pairs ~ n^2/2^33). 60
+    bits pushes that to ~n^2/2^61, i.e. negligible below ~1e9 distinct
+    grams; 15 hex chars (not 16) so the value always fits a signed
+    64-bit long. Minhash keeps the 32-bit form on purpose: its hashes
+    feed mod-P permutations and the Jaccard contract is pinned to the
+    32-bit shingle space (see ROADMAP 'semantic pins')."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # Linear-permutation minhash parameters: h_i(x) = (a_i*x + b_i) mod P.
 # P is the standard >2^32 prime; a_i is capped at 2^28 bits so a*x stays
 # well under 2^63 (ANSI mode would error on long overflow). Parameters are
@@ -941,7 +955,10 @@ def duplicated_token_spans(
     ~|tokens| rows but map-side-combines to one row per DISTINCT gram
     for the frequency filter; the hits semi-join keys on the gram hash;
     nothing is quadratic. Shorter-than-k docs yield no rows by
-    construction (the guarded sequence)."""
+    construction (the guarded sequence). Gram fingerprints are 60-bit
+    (:func:`_hash_long60`) — corpus-wide frequency counting in a 32-bit
+    space would birthday-collide around ~65k distinct grams and report
+    unique text as duplicated."""
     from pyspark.sql import Window
 
     ws = tokens(F.col(text_col))
@@ -955,7 +972,7 @@ def duplicated_token_spans(
             F.col(id_col).alias("doc"),
             F.posexplode(F.transform(idx, make)).alias("pos", "gram"),
         )
-        .select("doc", F.col("pos").cast("long").alias("pos"), _hash_long(F.col("gram")).alias("g"))
+        .select("doc", F.col("pos").cast("long").alias("pos"), _hash_long60(F.col("gram")).alias("g"))
     )
     dup = (
         grams.groupBy("g")
@@ -998,6 +1015,7 @@ def remove_duplicated_spans(
     id_col: str,
     k: int = 8,
     min_occurrences: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """The APPLY step of span-level dedup (Lee et al. 2022): rewrite the
     corpus keeping exactly ONE canonical occurrence of each duplicated
@@ -1044,15 +1062,20 @@ def remove_duplicated_spans(
         .where(F.col("_rk") > 1)  # rank 1 = the canonical keeper, stays
         .select("doc_id", "span_start", "span_end")
     )
-    # removals is referenced three times (coverage join, span counts, the
-    # affected-doc semi-join) and each reference would otherwise re-run
-    # the whole detect pipeline; the frame is tiny (one row per removed
-    # span), so persist it — same caller contract as the persisted
-    # minhash shingle frame.
-    removals = removals.persist()
-    affected = base.join(
-        removals.select(F.col("doc_id").alias("doc")).distinct(), "doc", "left_semi"
-    )
+    # removals is referenced four times (coverage join, span counts, the
+    # affected-doc semi-join, the untouched anti-join) and each reference
+    # would otherwise re-run the whole detect pipeline; the frame is tiny
+    # (one row per removed span), so persist AND materialize it — the
+    # eager count makes the detect pipeline run exactly once instead of
+    # racing across downstream stages. ``persist=False`` hands lifecycle
+    # to a caller that manages its own checkpoint (e.g. per micro-batch
+    # use, where an unmanaged cache would accumulate one frame per call —
+    # same contract as the persisted minhash shingle frame).
+    if persist:
+        removals = removals.persist()
+        removals.count()
+    affected_docs = removals.select(F.col("doc_id").alias("doc")).distinct()
+    affected = base.join(affected_docs, "doc", "left_semi")
     toks = affected.select(
         "doc", F.posexplode("ws").alias("pos", "tok")
     )
@@ -1092,8 +1115,13 @@ def remove_duplicated_spans(
         F.count("*").cast("long").alias("n_spans_removed")
     )
     changed = rebuilt.join(n_spans, "doc")
+    # Docs in `changed` == docs with >= 1 removal (rebuilt covers exactly
+    # the affected docs, and n_spans keys on the same removal set), so the
+    # untouched side anti-joins the CACHED removal-doc keys instead of
+    # `changed.select("doc")` — which would replay the whole
+    # explode -> coverage-join -> reassemble pipeline a second time.
     untouched = (
-        base.join(changed.select("doc"), "doc", "left_anti")
+        base.join(affected_docs, "doc", "left_anti")
         .join(df.select(F.col(id_col).alias("doc"), F.col(text_col)), "doc")
         .select(
             "doc",

@@ -79,6 +79,31 @@ def suggest_granularity(n_rows: int, target_bucket: int = 64) -> int:
     return max(1, math.ceil(math.log2(n_rows / target_bucket)))
 
 
+# Expected bucket population the AUTO (n_planes=None) LSH paths aim for.
+# 128 reproduces the swept gated configs at their tuning corpora (4 planes
+# at the 2k-vector sf0.1 corpus, 8 planes at the 20k sf1 corpus — the
+# point SCALE.md measured at recall 0.9 / 9% scan) and rounds DOWN the
+# plane count at smaller corpora, where bigger buckets only raise recall.
+AUTO_TARGET_BUCKET = 128
+
+
+def suggest_ivf_cells(n_rows: int) -> int:
+    """Data-adaptive IVF cell count: 2^ceil(log2(sqrt(n))) — the classic
+    inverted-file sizing rule (cells ~ sqrt(n), rounded to a power of two
+    so the cell id packs like an LSH bucket). With ``n_probe`` FIXED, the
+    scanned fraction is n_probe/cells ~ n_probe/sqrt(n) and the scanned
+    COUNT is n_probe*sqrt(n) — sublinear, unlike a fixed cell count whose
+    probes scan a constant fraction of every larger corpus (the sf1 sweep
+    bug this replaces). Reproduces the swept gated config at its tuning
+    corpus: 500 vectors -> 32 cells (recall 0.84-0.98 at probe 20);
+    20k -> 256 cells at probe 20 = 7.8% scanned."""
+    import math
+
+    if n_rows <= 4:
+        return 2
+    return 2 ** max(1, math.ceil(math.log2(math.sqrt(n_rows))))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -655,14 +655,21 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = compression_ratio_features(docs, "text", "doc_id")
     short_mean = F.avg(F.when(F.col("n_bytes") < 200, F.col("ratio")))
     long_mean = F.avg(F.when(F.col("n_bytes") >= 400, F.col("ratio")))
+    # Each flag coalesces to vacuous-TRUE: if a size class is empty (no
+    # <200 B docs, no >=400 B docs, ...), the conditional avg/max is NULL
+    # and the comparison would yield NULL — failing the hash gate against
+    # the oracle's pinned TRUE even though the zlib path is healthy.
     flags = feats.agg(
-        ((F.min("ratio") > 0.2) & (F.max("ratio") <= 1.5)).alias(
-            "ratio_valid_ok"
-        ),
-        (
-            F.max(F.when(F.col("n_bytes") >= 200, F.col("ratio"))) < 0.8
+        F.coalesce(
+            (F.min("ratio") > 0.2) & (F.max("ratio") <= 1.5), F.lit(True)
+        ).alias("ratio_valid_ok"),
+        F.coalesce(
+            F.max(F.when(F.col("n_bytes") >= 200, F.col("ratio"))) < 0.8,
+            F.lit(True),
         ).alias("long_docs_compress_ok"),
-        ((short_mean - long_mean) >= 0.15).alias("redundancy_gap_ok"),
+        F.coalesce((short_mean - long_mean) >= 0.15, F.lit(True)).alias(
+            "redundancy_gap_ok"
+        ),
     )
     # feats evaluates twice (rows + gate aggregate) — the documented
     # price of a self-checking gate query, as in event_value_tdigest
@@ -843,7 +850,7 @@ _NEAR_CORPUS_SQL = """
     sh AS (
       SELECT doc_id,
              unnest([struct_pack(pos := i - 1,
-                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8) AS BIGINT))
+                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT))
                      for i in generate_series(1, len(ws) - 7)],
                     recursive := true)
       FROM w WHERE len(ws) >= 8
@@ -897,7 +904,7 @@ def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id,
              unnest([struct_pack(pos := i - 1,
-                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 8) AS BIGINT))
+                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT))
                      for i in generate_series(1, len(ws) - 7)],
                     recursive := true)
       FROM w WHERE len(ws) >= 8

@@ -273,7 +273,18 @@ def write_delta_pylog(
                 )
         elif schema_changed or parts_changed:
             # append must match the table schema exactly — refusing loudly
-            # beats committing files the log's schema will misread
+            # beats committing files the log's schema will misread. This
+            # re-check fires only on the TOCTOU path (a concurrent
+            # schema-evolving commit landed between the early pre-check
+            # and here), AFTER the staged files were moved into the table
+            # root — remove them before propagating, or the raise itself
+            # would strand exactly the orphans the pre-check exists to
+            # prevent (no commit references them, so deletion is safe).
+            for a in adds:
+                try:
+                    os.remove(os.path.join(path, a["add"]["path"]))
+                except OSError:
+                    pass
             raise ValueError(
                 f"append schema mismatch at {path}: table has "
                 f"{schema_str} / partitions {cur_parts}, append brings "

@@ -314,3 +314,39 @@ def test_two_writers_interleave_via_retry_loop(spark, tmp_path):
     assert sorted(got.values()) == [1, 2]
     assert _existing_versions(path) == [0, 1, 2]
     assert read_delta_pylog(spark, path).count() == 7
+
+
+def test_toctou_schema_race_cleans_staged_files(spark, tmp_path, monkeypatch):
+    """The LATE schema re-check (a concurrent schema-evolving commit lands
+    between the append pre-check and the version computation) must delete
+    the already-moved staged files before raising — otherwise the raise
+    itself strands exactly the orphans the pre-check prevents (ADVICE r5).
+    Simulated by blinding the pre-check's version listing on its first
+    call, so the mismatch is only caught at commit-build time."""
+    from employee_activity_etl_poc_spark.sources import deltalog as DL
+
+    path = str(tmp_path / "toctou")
+    write_delta_pylog(spark.range(3).select(F.col("id")), path)
+    n_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    real = DL._existing_versions
+    calls = {"n": 0}
+
+    def blind_first(p):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real(p)
+
+    monkeypatch.setattr(DL, "_existing_versions", blind_first)
+    bad = spark.range(3).select(F.col("id"), F.lit(1).alias("extra"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        write_delta_pylog(bad, path)
+    monkeypatch.undo()
+    n_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    assert n_after == n_before
+    # and the table still reads as the original commit left it
+    assert read_delta_pylog(spark, path).count() == 3
