@@ -165,7 +165,7 @@ def near_duplicate_pairs(
     vec_col: str,
     dim: int,
     threshold: float = 0.99,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     multi_probe: int = 2,
 ) -> DataFrame:
     """Embedding near-dup pairs under the natural name = the SCALE-SAFE
@@ -185,7 +185,7 @@ def bucketed_near_duplicate_pairs(
     vec_col: str,
     dim: int,
     threshold: float = 0.99,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     multi_probe: int = 2,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: hyperplane-LSH candidate
@@ -206,7 +206,17 @@ def bucketed_near_duplicate_pairs(
     caught with probability rising in ``multi_probe``/falling in
     ``n_planes`` — the standard LSH trade. Verification is exact (cosine
     on the original vectors), so precision is 1.0 either way.
+
+    ``n_planes=None`` (the default) derives the plane count from a cheap
+    ``df.count()`` via :func:`suggest_granularity` at
+    :data:`AUTO_TARGET_BUCKET`, so candidate volume per bucket stays
+    bounded as the corpus grows (within-bucket pairs are quadratic in
+    bucket size — the fixed-plane config turns linear corpus growth into
+    quadratic candidate growth). Exact copies are caught at ANY plane
+    count (identical signatures); only the near-1.0 recall knob moves.
     """
+    if n_planes is None:
+        n_planes = suggest_granularity(df.count(), AUTO_TARGET_BUCKET)
     base = _with_norm(df, vec_col, id_col, "id", "v", "n").withColumn(
         "_sig", hyperplane_signature(F.col("v"), dim, n_planes)
     )
@@ -524,7 +534,7 @@ def ivf_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_probe: int = 2,
     init: str = "md5",
 ) -> DataFrame:
@@ -539,6 +549,13 @@ def ivf_topk(
     k-center greedy + Lloyd refinement (better cell balance on clustered
     data; identical plan shape).
 
+    ``n_centroids=None`` (the default) derives the cell count from a
+    cheap ``corpus.count()`` via :func:`suggest_ivf_cells` — cells ~
+    sqrt(n), so at fixed ``n_probe`` the scanned fraction SHRINKS as the
+    corpus grows instead of staying constant (the fixed-cell scale bug
+    the sf1 sweep measured). Pin an explicit value when the index is
+    built once and probed across sessions.
+
     Corpus cell assignment runs in the Arrow/BLAS tier (one matmul per
     batch — with fine-cell configs, n_centroids interpreted fold-dots per
     corpus row became the dominant cost); the query side's probed cells
@@ -548,6 +565,8 @@ def ivf_topk(
     import numpy as np
     from pyspark.sql import Window
 
+    if n_centroids is None:
+        n_centroids = suggest_ivf_cells(corpus.count())
     if init == "kcenter":
         cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
     else:
@@ -592,11 +611,20 @@ def lsh_bucketed_topk(
     vec_col: str,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     multi_probe: int = 0,
     n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    ``n_planes=None`` (the default) derives the plane count from a cheap
+    ``corpus.count()`` via :func:`suggest_granularity` at
+    :data:`AUTO_TARGET_BUCKET` — bucket counts then scale with the
+    corpus so candidates per query stay ~constant COUNT instead of
+    constant FRACTION (the fixed-plane scale bug the sf1 sweep
+    measured: (4, 2, 8) scanned 150% of a 20k corpus per query, while 8
+    planes held recall 0.9 at 9%). Pin an explicit value when an index
+    is built once and probed across sessions.
 
     Three recall knobs, composable (tools/ann_recall.py sweeps them):
 
@@ -627,6 +655,8 @@ def lsh_bucketed_topk(
     import pandas as pd
     from pyspark.sql import Window
 
+    if n_planes is None:
+        n_planes = suggest_granularity(corpus.count(), AUTO_TARGET_BUCKET)
     planes = np.array(
         [_plane_weights(dim, n_planes, t) for t in range(n_tables)],
         dtype=np.float64,
@@ -1211,7 +1241,15 @@ def embedding_signature_table(
     new batches only sign themselves. Signatures run in the Arrow/BLAS
     tier (one matmul + bit-pack per batch, same as the L-table index
     pass); at 100 TB this table is what you checkpoint between ingest
-    batches."""
+    batches.
+
+    ``n_planes`` is deliberately NOT auto-derived here: every batch
+    signed into one store must use the SAME plane family or the bucket
+    join is meaningless. Derive it ONCE at store creation
+    (``suggest_granularity(expected_corpus_size, AUTO_TARGET_BUCKET)``)
+    and pin that value for every subsequent batch; re-deriving when the
+    store grows a decade means a re-sign, which is the documented
+    compaction path (:func:`..dedup.prune_signature_store`)."""
     import numpy as np
     import pandas as pd
 

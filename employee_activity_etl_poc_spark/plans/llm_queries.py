@@ -1434,36 +1434,38 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH corpus AS ({_NEAR_CORPUS_SQL}),
     base AS (
-      SELECT doc_id, lang, length(text) // 64 AS lb,
+      SELECT doc_id, lang, length(text) // 8 AS lb,
              right(text, 60) AS t, length(right(text, 60)) AS tl
       FROM corpus
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.t, b.t) AS dist
     FROM base a JOIN base b
-      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.lb - b.lb) <= 1
      AND abs(a.tl - b.tl) <= 5
     WHERE levenshtein(a.t, b.t) <= 5
     """,
     doc="Character-level fuzzy near-dup pairs (dedup."
     "blocked_levenshtein_pairs): Levenshtein ≤ 5 on the 60-char document "
-    "suffix within (language × 64-char length-bucket) blocks — catches "
-    "the small in-place edits whose shingle sets barely move. "
-    "Cheapest-test-first plan: blocking equi-join (the length bucket "
-    "cuts candidate pairs ~10× vs language alone; boundary-straddling "
-    "pairs are missed — the standard blocking-baseline trade, same "
-    "contract as dedup_ngram_blocked's 200-char buckets), then the "
-    "codegen'd |length diff| ≤ d necessary-condition prune, then "
-    "Spark's THRESHOLD-BOUNDED levenshtein (banded DP, O(d·len) per "
-    "pair with early bail at -1) — the unbounded O(len²) form is what "
-    "the oracle replays.",
+    "suffix within (language × width-8 length-bucket ±1 probe) blocks — "
+    "catches the small in-place edits whose shingle sets barely move. "
+    "Cheapest-test-first plan: the probed blocking equi-join (one side "
+    "explodes its bucket ±1 — with width 8 > max_dist 5, EVERY pair "
+    "inside the |length diff| <= 5 prefilter lands in the same or an "
+    "adjacent bucket, so fine buckets prune ~3x more candidate pairs "
+    "than the old unprobed width-64 blocks WITHOUT the "
+    "boundary-straddle miss class), then the codegen'd |length diff| ≤ "
+    "d necessary-condition prune, then Spark's THRESHOLD-BOUNDED "
+    "levenshtein (banded DP, O(d·len) per pair with early bail at -1) — "
+    "the unbounded O(len²) form is what the oracle replays.",
     tags=("llm", "dedup"),
 )
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_near_copies(load(spark, sf_dir, "documents")).select(
         "doc_id",
         "lang",
-        F.floor(F.length("text") / 64).alias("lb"),
+        F.floor(F.length("text") / 8).alias("lb"),
         F.expr("right(text, 60)").alias("suffix"),
     )
     return D.blocked_levenshtein_pairs(
@@ -1472,6 +1474,7 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         block_cols=[F.col("lang"), F.col("lb")],
         max_dist=5,
+        probe_adjacent=True,
     )
 
 
@@ -1695,7 +1698,9 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(hyperplane candidate buckets + exact cosine verify — equi-join "
     "shaped, scale-safe); the brute-force theta-join lives on as the "
     "test-only twin and the SQL oracle. Exact copies share every bucket, "
-    "so recall vs the brute-force oracle is total here.",
+    "so recall vs the brute-force oracle is total here. n_planes is "
+    "AUTO-derived from the corpus count (suggest_granularity), keeping "
+    "within-bucket candidate pairs bounded as the corpus grows.",
     tags=("llm", "dedup", "similarity", "scale"),
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1740,16 +1745,27 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     copies = emb.where(F.col("vec_id") < 20).withColumn(
         "vec_id", F.col("vec_id") + 100000
     )
+    # Granularity is derived ONCE from the base-corpus count and pinned
+    # for every batch — signature stores require one plane family across
+    # the ingest history (auto-per-batch would make batch buckets
+    # incompatible with the store). 2 planes at sf0.01's 500 vectors, 8
+    # at sf1's 20k: candidate volume stays ~bucket-bounded as the corpus
+    # grows (the sf1 sweep's 1.92x-linear near-miss at fixed 8 planes).
+    g = SIM.suggest_granularity(emb.count(), SIM.AUTO_TARGET_BUCKET)
     # persist: the store is referenced by both batch outputs (3 plan
     # references total) — without it the signing matmul re-runs per
     # reference, defeating the sign-once contract (mirrors the persisted
     # minhash signature table)
     sig1 = SIM.embedding_signature_table(
-        emb, "vec_id", "embedding", dim=64
+        emb, "vec_id", "embedding", dim=64, n_planes=g
     ).persist()
-    sig2 = SIM.embedding_signature_table(copies, "vec_id", "embedding", dim=64)
-    out1 = SIM.embedding_incremental_pairs(sig1.limit(0), sig1, threshold=0.99)
-    out2 = SIM.embedding_incremental_pairs(sig1, sig2, threshold=0.99)
+    sig2 = SIM.embedding_signature_table(
+        copies, "vec_id", "embedding", dim=64, n_planes=g
+    )
+    out1 = SIM.embedding_incremental_pairs(
+        sig1.limit(0), sig1, threshold=0.99, n_planes=g
+    )
+    out2 = SIM.embedding_incremental_pairs(sig1, sig2, threshold=0.99, n_planes=g)
     return out1.unionByName(out2)
 
 
@@ -1811,9 +1827,11 @@ def embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the DuckDB brute-force oracle) plus a boolean asserting the "
     "LSH path's corpus recall ≥ 0.6, so an LSH regression flips the flag "
     "and fails the value hash even though hyperplane buckets are not "
-    "SQL-expressible. Config is the swept high-recall point from "
-    "tools/ann_recall.py (n_planes=4, multi_probe=2, n_tables=8 — "
-    "measured 0.68-0.90 across sf0.001/0.01/0.1).",
+    "SQL-expressible. n_planes is AUTO-derived from the corpus count "
+    "(suggest_granularity at AUTO_TARGET_BUCKET=128 — reproduces the "
+    "swept points: 4 planes at 2k vectors, 8 at 20k where SCALE.md "
+    "measured recall 0.9 at 9% scanned); multi_probe=2/n_tables=8 are "
+    "the swept amplification knobs from tools/ann_recall.py.",
     tags=("llm", "similarity", "scale"),
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1824,7 +1842,12 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ann = SIM.lsh_bucketed_topk(
         emb, q, "vec_id", "embedding", dim=64, k=5,
-        n_planes=4, multi_probe=2, n_tables=8,
+        # n_planes auto-derived from the corpus count (suggest_granularity
+        # at AUTO_TARGET_BUCKET=128): 2 planes at the 500-vector sf0.01
+        # corpus, 4 at sf0.1's 2k (the previously-pinned sweep point), 8
+        # at sf1's 20k (SCALE.md: recall 0.9 at 9% scanned) — constant
+        # candidate COUNT per query instead of constant fraction.
+        multi_probe=2, n_tables=8,
     )
     return SIM.recall_gate(exact, ann, floor=0.6)
 
@@ -1908,7 +1931,10 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "candidate volume (near neighbors concentrate in the query's top "
     "cells): 32 cells/probe 20 = 62.5% of the corpus scored for recall@5 "
     "0.90-0.98, where the old 4/3 config scored 75% for 0.84 "
-    "(tools/ann_recall.py sweep).",
+    "(tools/ann_recall.py sweep). n_centroids is AUTO-derived ~sqrt(n) "
+    "(suggest_ivf_cells — 32 at the 500-vector gate corpus, 256 at sf1's "
+    "20k), so fixed n_probe=20 scans a SHRINKING fraction as the corpus "
+    "grows.",
     tags=("llm", "similarity", "scale"),
 )
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1923,7 +1949,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=5,
-        n_centroids=32,
+        # n_centroids auto-derived ~sqrt(corpus) (suggest_ivf_cells): 32
+        # cells at the 500-vector sf0.01 corpus (the previously-pinned
+        # sweep point), 64 at sf0.1's 2k, 256 at sf1's 20k — at fixed
+        # n_probe the scanned fraction shrinks as the corpus grows.
         n_probe=20,
         init="kcenter",  # measured +0.08-0.12 recall over the md5 pick
     )

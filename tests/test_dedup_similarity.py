@@ -183,7 +183,11 @@ def test_ivf_topk_recall_floor(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
-    approx = ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_probe=2)
+    # pinned coarse config: this case tests the n_probe knob trade at a
+    # KNOWN 2/8 cell fraction (auto-derivation is covered separately)
+    approx = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, n_centroids=8, n_probe=2
+    )
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     # approximate: every hit is ranked correctly WITHIN probed cells, and a
@@ -202,8 +206,72 @@ def test_ivf_topk_recall_floor(spark, sf_dir):
     assert gated_recall >= 0.85, f"gated IVF recall regressed: {gated_recall}"
     # determinism: same call twice yields identical rows
     again = {(r["query_id"], r["neighbor_id"]) for r in
-             ivf_topk(emb, queries, "vec_id", "embedding", k=5, n_probe=2).collect()}
+             ivf_topk(emb, queries, "vec_id", "embedding", k=5,
+                      n_centroids=8, n_probe=2).collect()}
     assert again == approx_pairs
+
+
+def test_granularity_autoscaling():
+    """The decade-proofing arithmetic: plane/cell counts derived from the
+    corpus count reproduce the swept gated configs at their tuning
+    corpora and keep growing with the data (fixed granularity scans a
+    constant FRACTION of ever-larger corpora — the sf1 sweep bug)."""
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        AUTO_TARGET_BUCKET,
+        suggest_granularity,
+        suggest_ivf_cells,
+    )
+
+    # LSH planes at AUTO_TARGET_BUCKET=128: the swept points
+    assert suggest_granularity(500, AUTO_TARGET_BUCKET) == 2
+    assert suggest_granularity(2_000, AUTO_TARGET_BUCKET) == 4  # sf0.1 sweep
+    assert suggest_granularity(20_000, AUTO_TARGET_BUCKET) == 8  # sf1 sweep
+    assert suggest_granularity(2_000_000, AUTO_TARGET_BUCKET) == 14
+    # IVF cells ~ sqrt(n), power of two
+    assert suggest_ivf_cells(500) == 32  # the gated sweep point
+    assert suggest_ivf_cells(2_000) == 64
+    assert suggest_ivf_cells(20_000) == 256
+    assert suggest_ivf_cells(2) == 2
+    # monotone non-decreasing in n (no decade where granularity regresses)
+    lsh = [suggest_granularity(n, AUTO_TARGET_BUCKET)
+           for n in (10, 100, 1_000, 10_000, 100_000, 1_000_000)]
+    ivf = [suggest_ivf_cells(n)
+           for n in (10, 100, 1_000, 10_000, 100_000, 1_000_000)]
+    assert lsh == sorted(lsh) and ivf == sorted(ivf)
+
+
+def test_auto_granularity_wired_into_operators(spark, sf_dir):
+    """n_planes/n_centroids=None derive from the corpus count inside the
+    operator (the gated defaults) and still clear the recall floors."""
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    }
+    lsh_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_bucketed_topk(
+            emb, queries, "vec_id", "embedding", dim=64, k=5,
+            multi_probe=2, n_tables=8,
+        ).collect()
+    }
+    assert len(exact_pairs & lsh_pairs) / len(exact_pairs) >= 0.6
+    ivf_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, queries, "vec_id", "embedding", k=5, n_probe=20, init="kcenter"
+        ).collect()
+    }
+    assert len(exact_pairs & ivf_pairs) / len(exact_pairs) >= 0.8
 
 
 def test_vectorized_topk_matches_fold_variant(spark, sf_dir):
@@ -803,6 +871,47 @@ def test_blocked_levenshtein_block_cap(spark):
     assert (100, 101) in uncapped and (100, 101) in capped
     assert any(a < 100 and b < 100 for a, b in uncapped)
     assert capped == {(100, 101)}  # the flooded block dropped whole
+
+
+def test_blocked_levenshtein_probe_adjacent_no_boundary_miss(spark):
+    """probe_adjacent removes the blocking miss class: with bucket width
+    w > max_dist, a pair straddling a bucket boundary (lengths 23 vs 25
+    around the width-8 boundary at 24) is caught via the ±1 probe —
+    unprobed blocking silently drops it. Also exactly-once emission and
+    agreement with unblocked ground truth."""
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "g", "twenty-three chars herex"),    # len 24 -> bucket 3
+        (2, "g", "twenty-three chars her"),      # len 22 -> bucket 2, dist 2
+        (3, "g", "twenty-three chars herexyzw"), # len 27 -> bucket 3, far from 2
+        (4, "g", "unrelated totally different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    blocks = [F.col("lang"), F.floor(F.length("text") / 8)]
+    unprobed = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in blocked_levenshtein_pairs(
+            df, "text", "doc_id", blocks, max_dist=3
+        ).collect()
+    }
+    probed = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in blocked_levenshtein_pairs(
+            df, "text", "doc_id", blocks, max_dist=3, probe_adjacent=True
+        ).collect()
+    }
+    # ground truth: language-only blocking (no length buckets at all)
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in blocked_levenshtein_pairs(
+            df, "text", "doc_id", [F.col("lang")], max_dist=3
+        ).collect()
+    }
+    assert (1, 2) in truth and (1, 2) not in unprobed  # the miss class
+    assert probed == truth  # probe recovers it; nothing double-emitted
 
 
 def test_pack_sequences_placement_invariants(spark):

@@ -71,11 +71,17 @@ def main() -> int:
             "vec_id", F.col("vec_id") + 100000
         )
     )
+    # pin the batch side to the SAME plane family the incremental query
+    # derives (from the base-corpus count) — auto-deriving per-frame
+    # could differ by one plane at a power-of-two boundary, and the
+    # identity is only defined within one plane family
+    g = SIM.suggest_granularity(emb.count(), SIM.AUTO_TARGET_BUCKET)
     check(
         "embedding incremental == bucketed batch",
         REGISTRY["embedding_incremental_near_dup"].fn(spark, sf_dir),
         SIM.bucketed_near_duplicate_pairs(
-            vec_corpus, "vec_id", "embedding", dim=64, threshold=0.99
+            vec_corpus, "vec_id", "embedding", dim=64, threshold=0.99,
+            n_planes=g,
         ),
     )
 
