@@ -43,23 +43,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # every plan changed this round — followed by a representative slice of the
 # relational catalog. Everything else keeps registration order after them.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-5 rotation: new/changed this round — the new LSH skew-monitor
-    # gate, the newly-oracled zlib query (no more no_oracle rows), the
-    # three minhash queries whose candidate generation was refactored
-    # into lsh_banded_frame, and the two Delta-backed gates whose log
-    # writer changed (metaData refresh + private checkpoints).
-    "dedup_lsh_bucket_stats",
+    # Round-6 rotation part 1: every gate whose contract/plan changed
+    # this round (span-dedup 60-bit fingerprints, the probed Levenshtein
+    # contract, coalesced zlib gate flags, auto-granularity ANN/near-dup
+    # defaults, the TOCTOU-safe delta writer)
     "dedup_duplicated_spans",
     "dedup_span_removal_stats",
-    "error_in_signup_window_by_user",
+    "dedup_levenshtein_blocked",
     "text_compression_ratio",
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
+    "embedding_near_dup",
+    "embedding_incremental_near_dup",
+    "delta_roundtrip_stats",
+    "streaming_ingest_gate",
+    # Round-6 rotation part 2: the 37 queries whose last external gate
+    # was round 1/2 (per the prefix policy, the external signal rotates
+    # to the longest-ungated)
+    "sport_code_mapping",
+    "time_features",
+    "events_interarrival",
+    "newest_events",
+    "table_row_counts",
+    "active_user_intersection",
+    "activity_validation",
+    "cheapest_supplier_per_part",
+    "commute_analytics",
+    "customers_without_events",
+    "dormant_customers",
+    "error_in_signup_window",
+    "event_row_numbers",
+    "event_row_numbers_distributed",
+    "event_type_mode_value",
+    "event_type_stats",
+    "event_value_histogram",
+    "event_value_outliers",
+    "events_after_watermark",
+    "events_pivot_by_type",
+    "events_running_totals",
+    "events_session_1h",
+    "events_sliding_2d_1d",
+    "events_tumbling_6h",
+    "events_user_zscores",
+    "heavy_purchasers_not_heavy_signups",
+    "heavy_user_event_types",
+    "hypertable_daily_rollup",
+    "latest_events_per_user",
+    "lineitem_union_fragments",
+    "lineitem_unpivot_metrics",
+    "nation_revenue_share",
+    "open_order_customers",
+    "purchase_asof_click",
+    "revenue_rollup_region_nation",
+    "shipping_priority",
+    "slack_messages",
+    # Round-6 rotation part 3: oldest round-3 gates fill the 50-prefix
+    "cdc_envelope_roundtrip",
+    "synthetic_activities_sample",
+    "event_value_percentiles",
+    "wellness_kpis",
+    # previous rotations keep their relative order after the gated prefix
+    "dedup_lsh_bucket_stats",
+    "error_in_signup_window_by_user",
     "dedup_minhash_lsh",
     "dedup_minhash_df_pruned",
     "dedup_minhash_incremental",
-    "delta_roundtrip_stats",
-    "streaming_ingest_gate",
-    # the seven revenue rollups converted to decimal accumulation
-    # (scale-stable money sums — see registry.money_sum)
     "pricing_summary",
     "pricing_summary_sql",
     "revenue_by_segment",
@@ -67,53 +115,36 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "regional_supplier_volume",
     "order_revenue_cube",
     "promo_revenue_share",
-    # Round-4 rotation (kept high: still the most recently first-gated)
     "events_json_props_stats",
     "event_type_user_grouping_sets",
     "order_priority_check",
-    "promo_revenue_share",
     "events_trailing_hour_sum",
     "events_hourly_gapfilled",
     "embedding_pq_topk",
-    # new in round 4: sketches (t-digest / Misra-Gries / HLL gates),
-    # recall-gated ANN, and the training-pipeline corpus operators
     "event_value_tdigest",
     "events_heavy_hitter_users",
     "events_distinct_users_hll",
     "documents_domain_cap",
     "events_user_cms_counts",
     "events_bloom_pruned_building",
-    "dedup_levenshtein_blocked",
     "events_theta_distinct_algebra",
     "documents_sequence_packing",
     "events_snapshot_diff",
     "events_robust_outliers",
     "large_order_customers",
-    "embedding_incremental_near_dup",
-    "delta_roundtrip_stats",
-    "streaming_ingest_gate",
     "event_value_kll",
     "events_cms_daily_range",
-    # LLM pipeline: dedup
     "dedup_exact",
     "dedup_exact_normalized",
-    "dedup_minhash_lsh",
-    "dedup_minhash_df_pruned",
-    "dedup_minhash_incremental",
     "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_ngram_blocked",
     "dedup_cluster_summary",
     "dedup_clusters_alternating",
     "dedup_quality_keepers",
-    # LLM pipeline: similarity / embeddings
     "embedding_topk",
     "embedding_quantized_topk",
-    "embedding_near_dup",
-    "embedding_ann_lsh",
     "embedding_topk_vectorized",
-    "embedding_ann_ivf",
-    # LLM pipeline: text analysis
     "text_quality",
     "lang_id_heuristic",
     "token_counts",
@@ -124,46 +155,25 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_scores",
     "text_repetition",
     "benchmark_decontamination",
-    # LLM pipeline: sampling / splits
     "documents_split_counts",
     "documents_stratified_sample",
     "token_budget_mixture",
     "documents_shard_stats",
     "documents_weighted_sample",
-    # LLM pipeline: multimodal plumbing
     "multimodal_metadata",
     "multimodal_frame_features",
     "multimodal_frame_sample",
-    # domain ETL composites
     "commute_enrichment",
     "events_column_profile",
-    "event_value_percentiles",
     "cdc_apply_snapshot",
     "cdc_scd2_history",
     "lang_confusion_matrix",
     "domain_wellness_kpis",
-    "synthetic_activities_sample",
     "synthetic_activities_profile",
-    "cdc_envelope_roundtrip",
     "activity_gold_enrichment",
-    # plans changed this round (re-verify under the gate)
     "event_value_deciles",
     "salted_event_rollup",
     "user_qualification",
-    "wellness_kpis",
-    "slack_messages",
-    "events_after_watermark",
-    "events_user_zscores",
-    "event_value_histogram",
-    # representative relational catalog
-    "pricing_summary",
-    "event_type_stats",
-    "revenue_by_segment",
-    "latest_events_per_user",
-    "purchase_asof_click",
-    "error_in_signup_window",
-    "events_session_1h",
-    "hypertable_daily_rollup",
 )
 
 
