@@ -50,6 +50,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_duplicated_spans",
     "dedup_span_removal_stats",
     "dedup_levenshtein_blocked",
+    "dedup_levenshtein_passjoin",
     "text_compression_ratio",
     "embedding_ann_lsh",
     "embedding_ann_ivf",

@@ -88,6 +88,8 @@ HEADLINE = [
     "text_compression_ratio",
     "error_in_signup_window_by_user",
     "dedup_duplicated_spans",
+    # round 6: blocking-free exact edit-distance join (PassJoin)
+    "dedup_levenshtein_passjoin",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

@@ -1077,3 +1077,70 @@ def test_remove_duplicated_spans_keeps_one_canonical_copy(spark):
     assert out[1] == (rows[0][1], 18, 0, 0)  # keeper: untouched
     assert out[2] == ("v1 v2 w1 w2 w3 w4", 18, 12, 1)
     assert out[3] == (rows[2][1], 10, 0, 0)
+
+
+def test_passjoin_pairs_complete_recall(spark):
+    """PassJoin (partition-signature) finds EVERY pair within max_dist —
+    no blocking miss class at all — and agrees exactly with the
+    unblocked ground truth, including boundary-straddling lengths,
+    cross-partition isolation, and exactly-once emission."""
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+        passjoin_pairs,
+    )
+
+    rows = [
+        (1, "g", "the quick brown fox jumps over it"),
+        (2, "g", "the quick brown fax jumps over it"),     # 1 sub
+        (3, "g", "the quick brown foxx jumps over itso"),  # +4 len
+        (4, "g", "a totally different sentence here ok"),
+        (5, "h", "the quick brown fox jumps over it"),     # other lang
+        (6, "g", "the quick brown fox jumps over i"),      # 1 del
+        (7, "g", "tiny"),                                  # short path
+        (8, "g", "tinys"),                                 # short+1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in passjoin_pairs(
+            df, "text", "doc_id", max_dist=5, partition_cols=[F.col("lang")]
+        ).collect()
+    }
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["dist"]
+        for r in blocked_levenshtein_pairs(
+            df, "text", "doc_id", [F.col("lang")], max_dist=5
+        ).collect()
+    }
+    assert got == truth
+    assert (1, 2) in got and (1, 6) in got and (7, 8) in got
+    assert not any(5 in p for p in got)  # partition isolation
+
+
+def test_passjoin_matches_blocked_on_corpus(spark, sf_dir):
+    """Corpus-level equivalence: PassJoin == language-only blocking (the
+    exact relation: same lang, |len diff| <= 5, suffix dist <= 5) on the
+    near-copy documents corpus."""
+    from employee_activity_etl_poc_spark.operators.dedup import (
+        blocked_levenshtein_pairs,
+        passjoin_pairs,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr("right(text, 60)").alias("suffix")
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in passjoin_pairs(
+            docs, "suffix", "doc_id", max_dist=5,
+            partition_cols=[F.col("lang")],
+        ).collect()
+    }
+    truth = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in blocked_levenshtein_pairs(
+            docs, "suffix", "doc_id", [F.col("lang")], max_dist=5
+        ).collect()
+    }
+    assert got == truth

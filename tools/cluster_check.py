@@ -41,6 +41,7 @@ QUERIES = [
     "events_theta_distinct_algebra",  # bottom-k heaps + semi-join algebra
     "events_cms_daily_range",    # per-segment sketches + range rollup
     "dedup_levenshtein_blocked", # block join + bounded DP verify
+    "dedup_levenshtein_passjoin",# partition-signature equi-join (PassJoin)
     "delta_roundtrip_stats",     # distributed writes through the pylog
     "streaming_ingest_gate",     # readStream -> foreachBatch -> txn sink
     "text_compression_ratio",    # zlib mapInPandas + corpus-flag gate

@@ -50,6 +50,7 @@ HEAVY_ORACLE_QUERIES = [
     "dedup_clusters_alternating",
     "dedup_quality_keepers",
     "dedup_levenshtein_blocked",
+    "dedup_levenshtein_passjoin",
     "embedding_near_dup",
     "embedding_incremental_near_dup",
 ]
