@@ -1070,7 +1070,11 @@ def passjoin_pairs(
         F.expr("substring(t, p + 1, sl)").alias("seg"),
     )
     # distinct layouts present in the corpus: one row per (length, segment)
-    # — bounded by (#distinct lengths × nseg), broadcast-sized
+    # — bounded by (#distinct lengths × nseg). Broadcast-sized for any
+    # bounded-length text column (the gated 60-char suffix: ≤ 360 rows);
+    # a corpus with unbounded raw lengths should cap/normalize the text
+    # first (as every fuzzy-join column here already does), or the
+    # layout table itself grows with max length.
     layouts = with_seg.select(
         F.col("tl").alias("L"), "i", "p", "sl"
     ).distinct()
