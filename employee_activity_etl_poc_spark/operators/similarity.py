@@ -79,12 +79,23 @@ def suggest_granularity(n_rows: int, target_bucket: int = 64) -> int:
     return max(1, math.ceil(math.log2(n_rows / target_bucket)))
 
 
-# Expected bucket population the AUTO (n_planes=None) LSH paths aim for.
-# 128 reproduces the swept gated configs at their tuning corpora (4 planes
-# at the 2k-vector sf0.1 corpus, 8 planes at the 20k sf1 corpus — the
-# point SCALE.md measured at recall 0.9 / 9% scan) and rounds DOWN the
-# plane count at smaller corpora, where bigger buckets only raise recall.
+# Expected bucket population the AUTO (n_planes=None) LSH TOP-K path aims
+# for. 128 reproduces the swept gated configs at their tuning corpora (4
+# planes at the 2k-vector sf0.1 corpus, 8 planes at the 20k sf1 corpus —
+# the point SCALE.md measured at recall 0.9 / 9% scan) and rounds DOWN
+# the plane count at smaller corpora, where bigger buckets only raise
+# recall. Top-k tolerates big buckets: each QUERY scans its bucket, so
+# cost is |queries| × bucket.
 AUTO_TARGET_BUCKET = 128
+
+# The PAIR-enumeration paths (near-dup detection) aim far smaller:
+# within-bucket candidate PAIRS are quadratic in bucket size and every
+# corpus row pays them, so a recall-tuned 128-row bucket costs ~128× the
+# verify work of an 8-row bucket per row. 8 reproduces the previously
+# pinned 8-plane config at the 2k sf0.1 corpus and deepens with scale
+# (12 planes at 20k). Exact copies collide at ANY plane count; only the
+# near-1.0 recall knob trades against multi_probe (docstring).
+AUTO_TARGET_BUCKET_PAIRS = 8
 
 
 def suggest_ivf_cells(n_rows: int) -> int:
@@ -209,14 +220,16 @@ def bucketed_near_duplicate_pairs(
 
     ``n_planes=None`` (the default) derives the plane count from a cheap
     ``df.count()`` via :func:`suggest_granularity` at
-    :data:`AUTO_TARGET_BUCKET`, so candidate volume per bucket stays
-    bounded as the corpus grows (within-bucket pairs are quadratic in
-    bucket size — the fixed-plane config turns linear corpus growth into
-    quadratic candidate growth). Exact copies are caught at ANY plane
-    count (identical signatures); only the near-1.0 recall knob moves.
+    :data:`AUTO_TARGET_BUCKET_PAIRS` (8 — much finer than the top-k
+    path's 128: every corpus row pays its bucket's PAIR count, which is
+    quadratic in bucket size), so candidate volume per bucket stays
+    bounded as the corpus grows (the fixed-plane config turns linear
+    corpus growth into quadratic candidate growth). Exact copies are
+    caught at ANY plane count (identical signatures); only the near-1.0
+    recall knob moves.
     """
     if n_planes is None:
-        n_planes = suggest_granularity(df.count(), AUTO_TARGET_BUCKET)
+        n_planes = suggest_granularity(df.count(), AUTO_TARGET_BUCKET_PAIRS)
     base = _with_norm(df, vec_col, id_col, "id", "v", "n").withColumn(
         "_sig", hyperplane_signature(F.col("v"), dim, n_planes)
     )

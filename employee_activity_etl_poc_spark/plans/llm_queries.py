@@ -1789,10 +1789,12 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     # Granularity is derived ONCE from the base-corpus count and pinned
     # for every batch — signature stores require one plane family across
     # the ingest history (auto-per-batch would make batch buckets
-    # incompatible with the store). 2 planes at sf0.01's 500 vectors, 8
-    # at sf1's 20k: candidate volume stays ~bucket-bounded as the corpus
-    # grows (the sf1 sweep's 1.92x-linear near-miss at fixed 8 planes).
-    g = SIM.suggest_granularity(emb.count(), SIM.AUTO_TARGET_BUCKET)
+    # incompatible with the store). The PAIRS target (8-row buckets):
+    # 6 planes at sf0.01's 500 vectors, 8 at sf0.1's 2k (the previously
+    # pinned config), 12 at sf1's 20k — per-row candidate PAIRS stay
+    # bounded as the corpus grows (the sf1 sweep's 1.92x-linear
+    # near-miss at fixed 8 planes).
+    g = SIM.suggest_granularity(emb.count(), SIM.AUTO_TARGET_BUCKET_PAIRS)
     # persist: the store is referenced by both batch outputs (3 plan
     # references total) — without it the signing matmul re-runs per
     # reference, defeating the sign-once contract (mirrors the persisted

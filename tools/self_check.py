@@ -75,7 +75,7 @@ def main() -> int:
     # derives (from the base-corpus count) — auto-deriving per-frame
     # could differ by one plane at a power-of-two boundary, and the
     # identity is only defined within one plane family
-    g = SIM.suggest_granularity(emb.count(), SIM.AUTO_TARGET_BUCKET)
+    g = SIM.suggest_granularity(emb.count(), SIM.AUTO_TARGET_BUCKET_PAIRS)
     check(
         "embedding incremental == bucketed batch",
         REGISTRY["embedding_incremental_near_dup"].fn(spark, sf_dir),
