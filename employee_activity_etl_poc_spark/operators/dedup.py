@@ -1127,17 +1127,28 @@ def passjoin_pairs(
         )
         .distinct()
     )
-    short_docs = base.where(F.col("tl") < nseg)
+    # Short-string closure: strings below d+1 chars have no d+1-way
+    # partition; any pair involving one has BOTH sides <= 2d chars. Pair
+    # them through a width-(d+1) length-bucket equi-join with the same
+    # ±1 probe as blocked_levenshtein_pairs (|len diff| <= d < d+1 ⟹
+    # same-or-adjacent bucket) so the plan stays a hash join even with
+    # no partition columns — a bare `doc != doc` condition would be a
+    # cartesian, and "short" is bounded by VALUE, not by count.
+    sbkt = (F.col("tl") / nseg).cast("int")
+    short_a = (
+        base.where(F.col("tl") < nseg)
+        .withColumn("_sb", F.explode(F.array(sbkt - 1, sbkt, sbkt + 1)))
+    )
+    short_b = base.where(F.col("tl") <= 2 * max_dist).withColumn("_sb", sbkt)
     short_pairs = (
-        short_docs.alias("a")
+        short_a.alias("a")
         .join(
-            base.where(F.col("tl") <= 2 * max_dist).alias("b"),
+            short_b.alias("b"),
             [
                 *[F.col(f"a.{c}") == F.col(f"b.{c}") for c in pc],
+                F.col("a._sb") == F.col("b._sb"),
                 F.col("a.doc") != F.col("b.doc"),
-            ]
-            if pc
-            else [F.col("a.doc") != F.col("b.doc")],
+            ],
         )
         .select(
             F.least(F.col("a.doc"), F.col("b.doc")).alias("da"),

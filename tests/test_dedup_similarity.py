@@ -1144,3 +1144,21 @@ def test_passjoin_matches_blocked_on_corpus(spark, sf_dir):
         ).collect()
     }
     assert got == truth
+
+
+def test_passjoin_no_partition_cols_plans_no_cartesian(spark):
+    """Without partition columns the short-string closure must still be
+    an equi-join (length-bucket ±1 probe) — a corpus of short strings
+    would otherwise plan a cartesian — and results stay exact."""
+    from employee_activity_etl_poc_spark.operators.dedup import passjoin_pairs
+
+    rows = [
+        (1, "abc"), (2, "abcd"), (3, "zzzzz"),       # short path
+        (4, "a much longer sentence here"), (5, "a much longer sentence hers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = passjoin_pairs(df, "text", "doc_id", max_dist=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in out.collect()}
+    assert got == {(1, 2): 1, (4, 5): 1}
