@@ -51,6 +51,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_span_removal_stats",
     "dedup_levenshtein_blocked",
     "dedup_levenshtein_passjoin",
+    "dedup_spans_incremental",
     "text_compression_ratio",
     "embedding_ann_lsh",
     "embedding_ann_ivf",

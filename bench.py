@@ -88,8 +88,10 @@ HEADLINE = [
     "text_compression_ratio",
     "error_in_signup_window_by_user",
     "dedup_duplicated_spans",
-    # round 6: blocking-free exact edit-distance join (PassJoin)
+    # round 6: blocking-free exact edit-distance join (PassJoin),
+    # incremental span dedup via the gram-frequency store
     "dedup_levenshtein_passjoin",
+    "dedup_spans_incremental",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

@@ -81,6 +81,66 @@ def _hash_long60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _positioned_grams(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc, pos, g): every positioned k-gram of every document — the
+    shared front end of batch AND incremental span detection. NO
+    array_distinct (positions matter here, unlike the minhash shingle
+    set); shorter-than-k docs yield no rows by construction (the guarded
+    sequence); 60-bit fingerprints (:func:`_hash_long60`)."""
+    ws = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
+    make = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
+    return (
+        df.where(F.size(tokens(F.col(text_col))) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.transform(idx, make)).alias("pos", "gram"),
+        )
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            _hash_long60(F.col("gram")).alias("g"),
+        )
+    )
+
+
+def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
+    """Per-document run-merge of duplicated gram positions into maximal
+    spans: positions whose gap <= k-1 produce overlapping gram windows
+    and fuse (one lag + one running-sum window, partitioned by document
+    — bounded partitions at any corpus size)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    runs = hits.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "_grp",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy("doc", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(
+            F.col("doc").alias("doc_id"),
+            "span_start",
+            "span_end",
+            "span_tokens",
+            "n_dup_grams",
+        )
+    )
+
+
 # Linear-permutation minhash parameters: h_i(x) = (a_i*x + b_i) mod P.
 # P is the standard >2^32 prime; a_i is capped at 2^28 bits so a*x stays
 # well under 2^63 (ANSI mode would error on long overflow). Parameters are
@@ -1217,21 +1277,7 @@ def duplicated_token_spans(
     (:func:`_hash_long60`) — corpus-wide frequency counting in a 32-bit
     space would birthday-collide around ~65k distinct grams and report
     unique text as duplicated."""
-    from pyspark.sql import Window
-
-    ws = tokens(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.size(ws) - (k - 1))
-    # positioned grams: NO array_distinct (positions matter here, unlike
-    # the minhash shingle set)
-    make = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
-    grams = (
-        df.where(F.size(tokens(F.col(text_col))) >= k)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(F.transform(idx, make)).alias("pos", "gram"),
-        )
-        .select("doc", F.col("pos").cast("long").alias("pos"), _hash_long60(F.col("gram")).alias("g"))
-    )
+    grams = _positioned_grams(df, text_col, id_col, k)
     dup = (
         grams.groupBy("g")
         .agg(F.count("*").alias("_n"))
@@ -1239,32 +1285,74 @@ def duplicated_token_spans(
         .select("g")
     )
     hits = grams.join(dup, "g", "left_semi").select("doc", "pos")
-    w = Window.partitionBy("doc").orderBy("pos")
-    runs = hits.withColumn(
-        "_brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    ).withColumn(
-        "_grp",
-        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    return _spans_from_hits(hits, k)
+
+
+def gram_count_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """(g, n): the persistable corpus-wide k-gram frequency STORE for
+    INCREMENTAL span-level dedup — the span analog of
+    :func:`minhash_signature_table` / the embedding signature store.
+    Count each batch's grams once, ever; merging stores is one
+    groupBy-sum (:func:`merge_gram_counts`), i.e. the store is a
+    mergeable aggregate that checkpoints between ingest batches. Same
+    60-bit fingerprint space as the batch detector."""
     return (
-        runs.groupBy("doc", "_grp")
-        .agg(
-            F.min("pos").alias("span_start"),
-            (F.max("pos") + (k - 1)).alias("span_end"),
-            (F.max("pos") - F.min("pos") + k).alias("span_tokens"),
-            F.count("*").alias("n_dup_grams"),
-        )
-        .select(
-            F.col("doc").alias("doc_id"),
-            "span_start",
-            "span_end",
-            "span_tokens",
-            "n_dup_grams",
-        )
+        _positioned_grams(df, text_col, id_col, k)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def merge_gram_counts(*tables: DataFrame) -> DataFrame:
+    """Merge gram-frequency stores: counts ADD (one groupBy-sum). The
+    merge is associative and commutative, so any ingest order — batch by
+    batch, tree-merged across sites, replayed from checkpoints — yields
+    the identical store (tested as the associativity identity)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("g").agg(F.sum("n").cast("long").alias("n"))
+
+
+def duplicated_token_spans_incremental(
+    store: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Span-level dedup at INGEST time: the duplicated spans of a NEW
+    batch, measured against everything ever ingested (gram store ∪ the
+    batch itself) — how a crawl pipeline actually runs Lee et al. 2022:
+    new content is checked against the accumulated index the moment it
+    arrives; re-scanning the corpus per batch is never affordable.
+
+    ``store`` is a (g, n) table from :func:`gram_count_table` /
+    :func:`merge_gram_counts`; merge the batch's own counts in
+    AFTERWARDS to advance it. Per-batch cost: O(|batch|) gram
+    extraction + one semi-join against the qualifying grams — the
+    store is never re-tokenized.
+
+    Contract: output == :func:`duplicated_token_spans` on (store-corpus
+    ∪ batch) RESTRICTED to the batch's docs — exact and SQL-replayable,
+    the property the gated query hash-pins. Spans of PREVIOUSLY
+    ingested docs that newly qualify (an old passage whose gram count
+    crosses ``min_occurrences`` because the new batch repeats it)
+    surface when those docs are re-scanned — the standard lazy trade of
+    every incremental dedup index (the minhash store has the same
+    shape: old-old pairs were emitted by the batch that completed
+    them)."""
+    grams_b = _positioned_grams(batch, text_col, id_col, k)
+    counts_b = grams_b.groupBy("g").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    total = merge_gram_counts(store.select("g", "n"), counts_b)
+    dup = total.where(F.col("n") >= min_occurrences).select("g")
+    hits = grams_b.join(dup, "g", "left_semi").select("doc", "pos")
+    return _spans_from_hits(hits, k)
 
 
 def remove_duplicated_spans(

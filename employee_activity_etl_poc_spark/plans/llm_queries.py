@@ -969,6 +969,69 @@ def dedup_span_removal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_spans_incremental",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i - 1,
+                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT))
+                     for i in generate_series(1, len(ws) - 7)],
+                    recursive := true)
+      FROM w WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+    hits AS (
+      SELECT doc_id, pos FROM sh
+      WHERE g IN (SELECT g FROM dup) AND doc_id >= 100000
+    ),
+    runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS grp_id
+      FROM runs
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS span_tokens,
+           count(*) AS n_dup_grams
+    FROM grp GROUP BY doc_id, grp_id
+    """,
+    doc="Span-level dedup at INGEST time (dedup."
+    "duplicated_token_spans_incremental + gram_count_table / "
+    "merge_gram_counts — the span analog of the minhash and embedding "
+    "signature stores): batch 1 is the base corpus, whose grams live in "
+    "a mergeable (g, n) frequency store; batch 2 (the planted "
+    "near-copies) detects its duplicated spans against store ∪ batch "
+    "WITHOUT re-tokenizing the corpus. The oracle replays the full "
+    "Lee-et-al pipeline over the union and restricts to the batch's "
+    "docs — hash-equality pins the incremental contract: output == "
+    "batch detector on everything-ingested, restricted to the new "
+    "batch. Per-batch cost at 100 TB: O(|batch|) gram extraction + one "
+    "semi-join; the store advances by one groupBy-sum (associative, "
+    "checkpointable — tested as the merge-associativity identity).",
+    tags=("llm", "dedup", "text", "scale", "incremental"),
+)
+def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = _with_near_copies(docs)
+    batch = corpus.where(F.col("doc_id") >= 100000)
+    base = corpus.where(F.col("doc_id") < 100000)
+    store = D.gram_count_table(base, "text", "doc_id", k=8)
+    return D.duplicated_token_spans_incremental(
+        store, batch, "text", "doc_id", k=8
+    )
+
+
+@register(
     "dedup_exact",
     f"""
     WITH corpus AS ({_EXACT_CORPUS_SQL})

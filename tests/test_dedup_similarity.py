@@ -1162,3 +1162,59 @@ def test_passjoin_no_partition_cols_plans_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     got = {(r["doc_a"], r["doc_b"]): r["dist"] for r in out.collect()}
     assert got == {(1, 2): 1, (4, 5): 1}
+
+
+def test_spans_incremental_equals_batch_restriction(spark, sf_dir):
+    """Incremental span detection (gram-count store) == the batch
+    detector on the full corpus restricted to the batch's docs — the
+    exactly-the-index contract; plus store-merge associativity."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    copies = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    batch_docs = {r["doc_id"] for r in copies.select("doc_id").collect()}
+
+    store = D.gram_count_table(docs, "text", "doc_id", k=8)
+    inc = {
+        tuple(r)
+        for r in D.duplicated_token_spans_incremental(
+            store, copies, "text", "doc_id", k=8
+        ).collect()
+    }
+    batch_restricted = {
+        tuple(r)
+        for r in D.duplicated_token_spans(corpus, "text", "doc_id", k=8)
+        .where(F.col("doc_id").isin(batch_docs))
+        .collect()
+    }
+    assert inc == batch_restricted
+    assert inc, "planted near-copies must surface spans in the new batch"
+
+    # merge associativity: any ingest order builds the identical store
+    third = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    a = D.gram_count_table(docs, "text", "doc_id", k=8)
+    b = D.gram_count_table(copies, "text", "doc_id", k=8)
+    c = D.gram_count_table(third, "text", "doc_id", k=8)
+    left = {
+        tuple(r)
+        for r in D.merge_gram_counts(D.merge_gram_counts(a, b), c).collect()
+    }
+    right = {
+        tuple(r) for r in D.merge_gram_counts(a, D.merge_gram_counts(b, c)).collect()
+    }
+    direct = {
+        tuple(r)
+        for r in D.gram_count_table(
+            docs.unionByName(copies).unionByName(third), "text", "doc_id", k=8
+        ).collect()
+    }
+    assert left == right == direct

@@ -51,6 +51,7 @@ HEAVY_ORACLE_QUERIES = [
     "dedup_quality_keepers",
     "dedup_levenshtein_blocked",
     "dedup_levenshtein_passjoin",
+    "dedup_spans_incremental",
     "embedding_near_dup",
     "embedding_incremental_near_dup",
 ]
