@@ -52,6 +52,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_levenshtein_blocked",
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
+    "dedup_spans_incremental_removal",
     "text_compression_ratio",
     "embedding_ann_lsh",
     "embedding_ann_ivf",

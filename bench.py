@@ -92,6 +92,7 @@ HEADLINE = [
     # incremental span dedup via the gram-frequency store
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
+    "dedup_spans_incremental_removal",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

@@ -1408,6 +1408,109 @@ def remove_duplicated_spans(
         .where(F.col("_rk") > 1)  # rank 1 = the canonical keeper, stays
         .select("doc_id", "span_start", "span_end")
     )
+    return _apply_span_removals(df, text_col, id_col, base, removals, persist)
+
+
+def remove_duplicated_spans_incremental(
+    store: DataFrame,
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    min_occurrences: int = 2,
+    persist: bool = True,
+) -> DataFrame:
+    """The APPLY step at INGEST time (ROADMAP #16): rewrite a NEW batch
+    against the accumulated gram-frequency ``store``, never re-tokenizing
+    or re-writing previously ingested documents.
+
+    Two removal classes, each with a crisp keeper rule:
+
+    - **seen-before spans** — batch positions whose grams occurred in
+      ANY earlier batch (store count >= 1) and are duplicated overall:
+      cut ALL of them. The canonical occurrence lives in the store
+      corpus by definition (it was ingested first), so no within-batch
+      keeper election is needed or correct.
+    - **batch-internal spans** — positions duplicated only WITHIN the
+      batch (store count = 0, batch count >= ``min_occurrences``):
+      exactly the batch operator's situation, so exactly its rule —
+      content-hash the spans, keep the (min doc, min offset)
+      occurrence, cut the rest.
+
+    When ``store`` is empty this degrades to
+    :func:`remove_duplicated_spans` on the batch (tested identity).
+    Output schema matches the batch remover, restricted to batch rows.
+    Per-batch cost: O(|batch|) gram extraction + two bounded joins; the
+    rewrite back end is shared (:func:`_apply_span_removals`). The lazy
+    trade is the same as the detector's: old docs whose passages only
+    now became duplicated are rewritten when re-scanned, not
+    retroactively."""
+    from pyspark.sql import Window
+
+    grams_b = _positioned_grams(batch, text_col, id_col, k)
+    # batch-side gram frequency as a window (one shuffle by g, no
+    # broadcast — the distinct-gram set is ~|batch tokens|, never
+    # broadcast-sized); the store join then reuses the g-partitioning
+    w_g = Window.partitionBy("g")
+    with_counts = (
+        grams_b.withColumn("_nb", F.count("*").over(w_g))
+        .join(store.select("g", F.col("n").alias("_ns")), "g", "left")
+        .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(0)))
+        .where(F.col("_ns") + F.col("_nb") >= min_occurrences)
+    )
+    seen_hits = with_counts.where(F.col("_ns") >= 1).select("doc", "pos")
+    fresh_hits = with_counts.where(F.col("_ns") == 0).select("doc", "pos")
+    # seen-before: every occurrence in the batch goes — the store holds
+    # the canonical copy
+    seen_removals = _spans_from_hits(seen_hits, k).select(
+        "doc_id", "span_start", "span_end"
+    )
+    # batch-internal: the batch operator's keeper election over content
+    base = batch.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("ws")
+    )
+    fresh_spans = _spans_from_hits(fresh_hits, k)
+    located = fresh_spans.join(base, fresh_spans.doc_id == base.doc).select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.col("ws"), F.col("span_start") + 1,
+                    (F.col("span_end") - F.col("span_start") + 1).cast("int"),
+                ),
+                " ",
+            )
+        ).alias("content"),
+    )
+    w_keep = Window.partitionBy("content").orderBy("doc_id", "span_start")
+    fresh_removals = (
+        located.withColumn("_rk", F.row_number().over(w_keep))
+        .where(F.col("_rk") > 1)
+        .select("doc_id", "span_start", "span_end")
+    )
+    removals = seen_removals.unionByName(fresh_removals)
+    return _apply_span_removals(batch, text_col, id_col, base, removals, persist)
+
+
+def _apply_span_removals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    base: DataFrame,
+    removals: DataFrame,
+    persist: bool,
+) -> DataFrame:
+    """Shared rewrite back end of batch AND incremental span removal:
+    given ``base`` = (doc, ws) and ``removals`` = (doc_id, span_start,
+    span_end), cut every covered token and return (id, text_clean,
+    n_tokens_before, n_tokens_removed, n_spans_removed) for EVERY row
+    of ``df``. The rewrite explodes tokens ONLY for docs that actually
+    lose a span (semi-join first), marks covered tokens via a per-doc
+    range-filtered join, and reassembles with one
+    sort_array+collect_list per doc — partitions bounded by document
+    length."""
     # removals is referenced four times (coverage join, span counts, the
     # affected-doc semi-join, the untouched anti-join) and each reference
     # would otherwise re-run the whole detect pipeline; the frame is tiny

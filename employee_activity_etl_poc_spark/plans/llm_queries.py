@@ -1032,6 +1032,136 @@ def dedup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_spans_incremental_removal",
+    f"""
+    WITH corpus AS ({_NEAR_CORPUS_SQL}),
+    batch AS (
+      SELECT doc_id, text FROM corpus WHERE doc_id >= 100000
+      UNION ALL
+      SELECT doc_id + 300000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM corpus WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 400000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM corpus WHERE doc_id < 5
+    ),
+    stored AS (SELECT doc_id, text FROM corpus WHERE doc_id < 100000),
+    sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM stored),
+    store_g AS (
+      SELECT g, count(*) AS ns FROM (
+        SELECT unnest([CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT)
+                       for i in generate_series(1, len(ws) - 7)]) AS g
+        FROM sw WHERE len(ws) >= 8
+      ) GROUP BY g
+    ),
+    bw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM batch),
+    bg AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i - 1,
+                                 g := CAST('0x' || substr(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT))
+                     for i in generate_series(1, len(ws) - 7)],
+                    recursive := true)
+      FROM bw WHERE len(ws) >= 8
+    ),
+    counted AS (
+      SELECT bg.doc_id, bg.pos, coalesce(store_g.ns, 0) AS ns,
+             count(*) OVER (PARTITION BY bg.g) AS nb
+      FROM bg LEFT JOIN store_g ON bg.g = store_g.g
+    ),
+    hits AS (SELECT doc_id, pos, ns FROM counted WHERE ns + nb >= 2),
+    seen_runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits WHERE ns >= 1
+    ),
+    seen_spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp_id
+            FROM seen_runs)
+      GROUP BY doc_id, grp_id
+    ),
+    fresh_runs AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 7
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits WHERE ns = 0
+    ),
+    fresh_spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp_id
+            FROM fresh_runs)
+      GROUP BY doc_id, grp_id
+    ),
+    fresh_loc AS (
+      SELECT f.doc_id, s, e,
+             md5(array_to_string(bw.ws[s + 1 : e + 1], ' ')) AS content
+      FROM fresh_spans f JOIN bw ON f.doc_id = bw.doc_id
+    ),
+    fresh_rem AS (
+      SELECT doc_id, s, e FROM (
+        SELECT *, row_number() OVER (PARTITION BY content ORDER BY doc_id, s) AS rk
+        FROM fresh_loc
+      ) WHERE rk > 1
+    ),
+    rem AS (
+      SELECT doc_id, s, e FROM seen_spans
+      UNION ALL
+      SELECT doc_id, s, e FROM fresh_rem
+    ),
+    removed AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM rem),
+    rstat AS (SELECT doc_id, count(DISTINCT p) AS n_tok FROM removed GROUP BY doc_id),
+    sstat AS (SELECT doc_id, count(*) AS n_sp FROM rem GROUP BY doc_id)
+    SELECT bw.doc_id,
+           CAST(len(bw.ws) AS BIGINT) AS n_tokens_before,
+           CAST(coalesce(rstat.n_tok, 0) AS BIGINT) AS n_tokens_removed,
+           CAST(coalesce(sstat.n_sp, 0) AS BIGINT) AS n_spans_removed
+    FROM bw LEFT JOIN rstat ON bw.doc_id = rstat.doc_id
+            LEFT JOIN sstat ON bw.doc_id = sstat.doc_id
+    """,
+    doc="The APPLY step of span-level dedup at INGEST time "
+    "(dedup.remove_duplicated_spans_incremental — ROADMAP #16): a new "
+    "batch (the planted near-copies PLUS two reversed-token twins per "
+    "low doc, which duplicate only within the batch) is rewritten "
+    "against the accumulated gram store without touching prior data. "
+    "Two keeper rules, both replayed by the oracle: seen-before "
+    "passages (store count >= 1) are cut from EVERY batch occurrence — "
+    "the canonical copy was ingested earlier; batch-internal passages "
+    "(store count 0, batch count >= 2) elect the (min doc, min offset) "
+    "canonical within the batch, exactly the batch operator's rule "
+    "(empty-store degradation to remove_duplicated_spans is a tested "
+    "identity). Gated on the per-doc rewrite accounting for every "
+    "batch row; the rewritten text is pinned by the unit tests.",
+    tags=("llm", "dedup", "text", "scale", "incremental"),
+)
+def dedup_spans_incremental_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = _with_near_copies(docs)
+    base = corpus.where(F.col("doc_id") < 100000)
+    rev_text = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    twins = docs.where(F.col("doc_id") < 5)
+    batch = (
+        corpus.where(F.col("doc_id") >= 100000)
+        .select("doc_id", "text")
+        .unionByName(
+            twins.select((F.col("doc_id") + 300000).alias("doc_id"), rev_text.alias("text"))
+        )
+        .unionByName(
+            twins.select((F.col("doc_id") + 400000).alias("doc_id"), rev_text.alias("text"))
+        )
+    )
+    store = D.gram_count_table(base, "text", "doc_id", k=8)
+    return D.remove_duplicated_spans_incremental(
+        store, batch, "text", "doc_id", k=8
+    ).select("doc_id", "n_tokens_before", "n_tokens_removed", "n_spans_removed")
+
+
+@register(
     "dedup_exact",
     f"""
     WITH corpus AS ({_EXACT_CORPUS_SQL})

@@ -1218,3 +1218,68 @@ def test_spans_incremental_equals_batch_restriction(spark, sf_dir):
         ).collect()
     }
     assert left == right == direct
+
+
+def test_remove_spans_incremental_empty_store_equals_batch(spark, sf_dir):
+    """With an empty store the incremental remover degrades to the batch
+    operator exactly (same keeper elections, same rewrites)."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    copies = docs.where(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+    )
+    corpus = docs.unionByName(copies)
+    empty = D.gram_count_table(corpus.limit(0), "text", "doc_id", k=8)
+    inc = {
+        tuple(r)
+        for r in D.remove_duplicated_spans_incremental(
+            empty, corpus, "text", "doc_id", k=8
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in D.remove_duplicated_spans(corpus, "text", "doc_id", k=8).collect()
+    }
+    assert inc == batch
+
+
+def test_remove_spans_incremental_store_holds_canonical(spark):
+    """Seen-before passages are cut from ALL batch occurrences (the
+    canonical copy lives in the store corpus); batch-internal passages
+    keep exactly one canonical copy within the batch."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    fresh = "one two three four five six seven eight"
+    old = [(1, f"intro words here now {passage} closing words here now")]
+    new = [
+        (10, f"start padding tokens {passage} trailing padding tokens"),
+        (11, f"other padding tokens {passage} different ending tokens"),
+        (20, f"first unique prefix {fresh} first unique suffix"),
+        (21, f"second unique prefix {fresh} second unique suffix"),
+        (30, "completely untouched document with no duplication at all ok"),
+    ]
+    store_df = spark.createDataFrame(old, "doc_id long, text string")
+    batch_df = spark.createDataFrame(new, "doc_id long, text string")
+    store = D.gram_count_table(store_df, "text", "doc_id", k=8)
+    out = {
+        r["doc_id"]: r
+        for r in D.remove_duplicated_spans_incremental(
+            store, batch_df, "text", "doc_id", k=8
+        ).collect()
+    }
+    # the seen passage is cut from BOTH 10 and 11 — no batch keeper
+    assert passage not in out[10]["text_clean"]
+    assert passage not in out[11]["text_clean"]
+    assert out[10]["n_spans_removed"] >= 1 and out[11]["n_spans_removed"] >= 1
+    # the batch-internal passage keeps one canonical copy (min doc = 20)
+    assert fresh in out[20]["text_clean"]
+    assert fresh not in out[21]["text_clean"]
+    # untouched doc passes through verbatim with zero accounting
+    assert out[30]["text_clean"] == new[-1][1]
+    assert out[30]["n_tokens_removed"] == 0 and out[30]["n_spans_removed"] == 0
+    # only batch rows come back
+    assert set(out) == {10, 11, 20, 21, 30}

@@ -52,6 +52,7 @@ HEAVY_ORACLE_QUERIES = [
     "dedup_levenshtein_blocked",
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
+    "dedup_spans_incremental_removal",
     "embedding_near_dup",
     "embedding_incremental_near_dup",
 ]
