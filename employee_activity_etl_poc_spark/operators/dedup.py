@@ -1154,9 +1154,30 @@ def passjoin_pairs(
         )
         .where(F.col("L") >= nseg)
         .join(F.broadcast(layouts), "L")
-        .withColumn("lo", F.greatest(F.lit(0), F.col("p") - max_dist))
+        # Multi-match-aware shift window (the PassJoin paper's probe
+        # thinning): if segment i of the length-L layout matches r at
+        # start p+δ, the prefix alignment needs ≥ |δ| edits and the
+        # suffix ≥ |Δ−δ| (Δ = len(r) − L, the net length change), so
+        # only δ with |δ| + |Δ−δ| ≤ d can belong to a ≤ d-edit pair:
+        # δ ∈ [⌈(Δ−d)/2⌉, ⌊(Δ+d)/2⌋] — width d+1 instead of the loose
+        # ±d window's 2d+1, i.e. ~2× fewer probe emissions, recall
+        # untouched (completeness asserted against unblocked truth).
+        .withColumn("_delta", F.col("tl") - F.col("L"))
         .withColumn(
-            "hi", F.least(F.col("tl") - F.col("sl"), F.col("p") + max_dist)
+            "lo",
+            F.greatest(
+                F.lit(0),
+                F.col("p")
+                + F.ceil((F.col("_delta") - max_dist) / 2.0).cast("int"),
+            ),
+        )
+        .withColumn(
+            "hi",
+            F.least(
+                F.col("tl") - F.col("sl"),
+                F.col("p")
+                + F.floor((F.col("_delta") + max_dist) / 2.0).cast("int"),
+            ),
         )
         # sequence(lo, hi) DESCENDS when hi < lo — an empty window must
         # emit nothing, not reversed starts
