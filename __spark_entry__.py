@@ -100,7 +100,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_rollup_region_nation",
     "shipping_priority",
     "slack_messages",
-    # Round-6 rotation part 3: oldest round-3 gates fill the 50-prefix
+    # --- 50-query gate boundary: parts 1+2 above fill it exactly ---
+    # (oldest round-3 gates lead the ungated tail)
     "cdc_envelope_roundtrip",
     "synthetic_activities_sample",
     "event_value_percentiles",
