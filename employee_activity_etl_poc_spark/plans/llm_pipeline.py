@@ -20,10 +20,16 @@ Batch lifecycle (run per arrival, e.g. inside ``foreachBatch``):
    regardless of arrival batching or id order; when ids are monotone
    across batches (the common ingest case) the surviving doc SET is
    additionally batch-invariant, because the store member IS the min id,
-3. quality + language gate (pure column exprs),
-4. chunk survivors and export to key-hashed training shards (stable
+3. OPTIONAL span-level cleaning (``span_dedup=True``): cut duplicated
+   PASSAGES inside surviving pages against the persisted gram-frequency
+   store (``remove_duplicated_spans_incremental`` — document dedup
+   keeps one copy of a page; this kills the boilerplate/quote
+   memorization signal), then advance the gram store with the exported
+   text's counts,
+4. quality + language gate (pure column exprs),
+5. chunk survivors and export to key-hashed training shards (stable
    across re-runs: a doc re-exported lands in the same shard),
-5. append the batch's signatures (including losers' — future dups of a
+6. append the batch's signatures (including losers' — future dups of a
    dropped doc must still collide with SOMETHING) to the store.
 
 Idempotency: ``foreachBatch`` is AT-LEAST-ONCE — a crash after the sink
@@ -55,6 +61,7 @@ class IngestBatchResult:
     n_after_exact: int
     n_near_dup_losers: int
     n_after_quality: int
+    n_span_tokens_removed: int = 0
 
 
 def _recover_sigstore(store_path: str) -> None:
@@ -86,6 +93,8 @@ def ingest_document_batch(
     n_shards: int = 4,
     jaccard_threshold: float = 0.5,
     batch_id: int | None = None,
+    span_dedup: bool = False,
+    span_k: int = 8,
 ) -> IngestBatchResult:
     """Run one arrival batch (columns: doc_id, text) through the pipeline.
 
@@ -146,6 +155,35 @@ def ingest_document_batch(
     # dropped from THIS batch (store-side pair members are never counted)
     n_losers = losers.count()
 
+    # Optional span-level cleaning (Lee et al. 2022, incremental form):
+    # document-level dedup keeps one copy of a PAGE; this cuts the
+    # duplicated PASSAGES inside surviving pages against everything ever
+    # exported — the memorization signal. The gram store mirrors the
+    # signature store's lifecycle: batch-keyed partitions, replay
+    # exclusion, counts of the EXPORTED (cleaned, quality-passed) text so
+    # the store is exactly the retained corpus.
+    n_span_tokens_removed = 0
+    gram_path = os.path.join(workdir, "gramstore")
+    if span_dedup:
+        if os.path.isdir(gram_path):
+            gstore = spark.read.parquet(gram_path)
+            if batch_id is not None and "batch" in gstore.columns:
+                gstore = gstore.where(F.col("batch") != F.lit(batch_id))
+            gstore = gstore.groupBy("g").agg(
+                F.sum("n").cast("long").alias("n")
+            )
+        else:
+            gstore = spark.createDataFrame([], "g long, n long")
+        cleaned = D.remove_duplicated_spans_incremental(
+            gstore, survivors, "text", "doc_id", k=span_k
+        )
+        n_span_tokens_removed = int(
+            cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+        )
+        survivors = cleaned.select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+
     gated = (
         survivors.withColumn("quality", quality_score(F.col("text")))
         .withColumn("lang", lang_id(F.col("text")))
@@ -165,6 +203,10 @@ def ingest_document_batch(
         # append ALL batch signatures (survivors AND losers): later copies
         # of a dropped doc must still find a collision partner in the store
         sigs.write.mode("append").parquet(store_path)
+        if span_dedup:
+            D.gram_count_table(gated, "text", "doc_id", k=span_k).write.mode(
+                "append"
+            ).parquet(gram_path)
     else:
         write_training_shards(
             chunks,
@@ -176,8 +218,15 @@ def ingest_document_batch(
         sigs.write.mode("overwrite").parquet(
             os.path.join(store_path, f"batch={batch_id}")
         )
+        if span_dedup:
+            D.gram_count_table(gated, "text", "doc_id", k=span_k).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(gram_path, f"batch={batch_id}"))
     sigs.unpersist()
-    return IngestBatchResult(n_arrived, n_after_exact, n_losers, n_after_quality)
+    return IngestBatchResult(
+        n_arrived, n_after_exact, n_losers, n_after_quality,
+        n_span_tokens_removed,
+    )
 
 
 def prune_signature_store(

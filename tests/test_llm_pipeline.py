@@ -207,3 +207,51 @@ def test_prune_signature_store_retention_semantics(spark, sf_dir, tmp_path):
     exported = {r["doc_id"] for r in shards.select("doc_id").distinct().collect()}
     assert 300005 in exported  # pruned partner -> re-admitted
     assert 300050 not in exported  # retained partner -> deduped
+
+
+def test_span_dedup_stage_cleans_cross_batch_passages(spark, tmp_path):
+    """span_dedup=True: a passage exported in batch 1 is cut from batch-2
+    pages that quote it (the gram store carries it across batches), the
+    quoting pages themselves still export, and the gram store mirrors
+    the signature store's batch-keyed replay idempotency."""
+    passage = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    f1a = "the quick brown fox jumps over the lazy dog near the bridge"
+    f1b = "evening rain settles gently across the quiet valley rooftops tonight"
+    f2a = "many unrelated tokens fill this page with ordinary prose now"
+    f2b = "morning light crosses the harbor while fishing boats drift slowly out"
+    f2c = "granite cliffs hold ancient pines above the winding river gorge"
+    b1 = spark.createDataFrame(
+        [(1, f"{f1a} {passage} {f1b}")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, f"{f2a} {passage} {f2b}"),
+            (11, f"{f2c} completely fresh continuation tokens appear here today"),
+        ],
+        "doc_id long, text string",
+    )
+    wd = str(tmp_path / "ingest_span")
+    r1 = ingest_document_batch(
+        spark, b1, wd, min_quality=0.0, span_dedup=True, batch_id=1
+    )
+    assert r1.n_span_tokens_removed == 0  # nothing ingested before batch 1
+    r2 = ingest_document_batch(
+        spark, b2, wd, min_quality=0.0, span_dedup=True, batch_id=2
+    )
+    assert r2.n_span_tokens_removed >= len(passage.split())
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    texts = " ".join(
+        r["chunk_text"] for r in shards.where(F.col("doc_id") == 10).collect()
+    )
+    assert passage not in texts  # the quoted passage was cut
+    assert shards.where(F.col("doc_id") == 11).count() > 0  # fresh page kept
+    # replay idempotency: re-running batch 2 overwrites its own partitions
+    r2b = ingest_document_batch(
+        spark, b2, wd, min_quality=0.0, span_dedup=True, batch_id=2
+    )
+    assert r2b.n_span_tokens_removed == r2.n_span_tokens_removed
+    gstore = spark.read.parquet(os.path.join(wd, "gramstore"))
+    assert gstore.groupBy("batch").count().count() == 2  # one per batch
