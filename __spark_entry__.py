@@ -53,6 +53,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
     "dedup_spans_incremental_removal",
+    "embedding_ivf_cell_stats",
     "text_compression_ratio",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
@@ -99,9 +100,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "purchase_asof_click",
     "revenue_rollup_region_nation",
     "shipping_priority",
-    "slack_messages",
     # --- 50-query gate boundary: parts 1+2 above fill it exactly ---
     # (oldest round-3 gates lead the ungated tail)
+    "slack_messages",
     "cdc_envelope_roundtrip",
     "synthetic_activities_sample",
     "event_value_percentiles",

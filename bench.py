@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
     "dedup_spans_incremental_removal",
+    "embedding_ivf_cell_stats",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

@@ -942,6 +942,55 @@ def pq_encode_residual(
     ).select(F.col("i").alias(id_col), "cell", "codes")
 
 
+def ivf_cell_stats(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None = None,
+    init: str = "kcenter",
+    imbalance_bound: float = 8.0,
+) -> DataFrame:
+    """IVF cell-balance monitor — the index twin of
+    ``dedup.lsh_bucket_stats`` and the trigger for ROADMAP #18's
+    re-train cadence: auto-granularity re-derives cell COUNTS from the
+    corpus size, but centroids trained on an old distribution drift —
+    the symptom is cell-population skew, and the time to re-train is
+    when this monitor's imbalance climbs, NOT when the count changes.
+
+    One row: n_vectors, n_cells (the configured/derived count),
+    n_cells_used, max_cell, imbalance (= max_cell / (n/n_cells)), plus
+    two self-check booleans — populations sum back to the corpus
+    (assignment lost nothing) and imbalance within ``imbalance_bound``.
+    Cost: the assignment matmul + one tiny aggregate — the pre-flight
+    is O(corpus), the quadratic join it protects is not paid."""
+    n = corpus.count()
+    if n_centroids is None:
+        n_centroids = suggest_ivf_cells(n)
+    if init == "kcenter":
+        cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
+    else:
+        cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    pops = (
+        _assign_cells_vectorized(corpus, id_col, vec_col, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("pop"))
+    )
+    avg = float(n) / n_centroids if n_centroids else 0.0
+    return pops.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.lit(n_centroids).cast("long").alias("n_cells"),
+        F.count("*").cast("long").alias("n_cells_used"),
+        F.max("pop").cast("long").alias("max_cell"),
+        F.round(F.max("pop") / F.lit(avg), 4).alias("imbalance"),
+        F.coalesce(
+            F.sum("pop") == F.lit(n), F.lit(n == 0)
+        ).alias("populations_sum_ok"),
+        F.coalesce(
+            (F.max("pop") / F.lit(avg)) <= imbalance_bound, F.lit(True)
+        ).alias("imbalance_ok"),
+    )
+
+
 def _assign_cells_vectorized(
     corpus: DataFrame, id_col: str, vec_col: str, cents: list[list[float]]
 ) -> DataFrame:

@@ -2006,6 +2006,39 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "embedding_ivf_cell_stats",
+    """
+    WITH c AS (SELECT count(*) AS n FROM embeddings)
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(pow(2, greatest(1, ceil(log2(sqrt(n))))) AS BIGINT) AS n_cells,
+           TRUE AS populations_sum_ok,
+           TRUE AS imbalance_ok
+    FROM c
+    """,
+    doc="IVF cell-balance monitor (similarity.ivf_cell_stats — the index "
+    "twin of dedup_lsh_bucket_stats, and ROADMAP #18's re-train "
+    "trigger): auto-granularity re-derives cell COUNTS from corpus "
+    "size, but k-center centroids trained on an old distribution drift "
+    "— the symptom is cell-population skew, so re-train when imbalance "
+    "climbs, not when the count changes. Gated on the SQL-replayable "
+    "subset: the exact corpus count, the derived cell count (the oracle "
+    "replays suggest_ivf_cells' 2^ceil(log2(sqrt(n))) arithmetic), and "
+    "two booleans the oracle pins TRUE — cell populations sum back to "
+    "the corpus (the BLAS assignment lost nothing) and max-cell/avg "
+    "imbalance ≤ 8 (measured 1.3-3.5 across sf0.001 through sf1 on "
+    "k-center cells). The assignment itself is numpy, not SQL — a "
+    "centroid/assignment regression still flips a boolean and fails "
+    "the hash.",
+    tags=("llm", "similarity", "scale"),
+)
+def embedding_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.ivf_cell_stats(emb, "vec_id", "embedding", init="kcenter").select(
+        "n_vectors", "n_cells", "populations_sum_ok", "imbalance_ok"
+    )
+
+
+@register(
     "embedding_quantized_topk",
     """
     WITH base AS (

@@ -1283,3 +1283,22 @@ def test_remove_spans_incremental_store_holds_canonical(spark):
     assert out[30]["n_tokens_removed"] == 0 and out[30]["n_spans_removed"] == 0
     # only batch rows come back
     assert set(out) == {10, 11, 20, 21, 30}
+
+
+def test_ivf_cell_stats_monitor(spark, sf_dir):
+    """The IVF drift monitor: populations sum back to the corpus, the
+    derived cell count matches suggest_ivf_cells, and imbalance on the
+    k-center cells stays within the gated bound."""
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        ivf_cell_stats,
+        suggest_ivf_cells,
+    )
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = ivf_cell_stats(emb, "vec_id", "embedding", init="kcenter").collect()[0]
+    assert r["n_vectors"] == emb.count()
+    assert r["n_cells"] == suggest_ivf_cells(r["n_vectors"])
+    assert r["populations_sum_ok"] and r["imbalance_ok"]
+    assert 0 < r["n_cells_used"] <= r["n_cells"]
+    assert r["max_cell"] >= r["n_vectors"] / r["n_cells"]  # max >= avg

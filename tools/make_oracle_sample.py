@@ -55,6 +55,7 @@ HEAVY_ORACLE_QUERIES = [
     "dedup_spans_incremental_removal",
     "embedding_near_dup",
     "embedding_incremental_near_dup",
+    "embedding_ivf_cell_stats",
 ]
 
 
