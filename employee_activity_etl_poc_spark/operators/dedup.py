@@ -980,16 +980,25 @@ def blocked_levenshtein_pairs(
     ``probe_adjacent``: the LAST entry of ``block_cols`` must be an
     integer bucket (e.g. ``length // 8``); one join side additionally
     probes buckets ±1 (a 3-way explode feeding the same equi-join — the
-    bit-flip multi-probe idea, applied to an ordered key). With bucket
-    width w > ``max_dist``, any pair within the length prefilter
-    ``|len diff| <= max_dist`` sits in the same or an adjacent bucket,
-    so NOTHING the distance bound could accept is blocked away —
-    fine buckets prune candidates without the boundary-miss caveat of
-    coarse unprobed blocking (width-8 + probe ~3x fewer candidate pairs
-    than unprobed width-64 at uniform lengths, with strictly better
-    recall). Each qualifying pair is emitted exactly once: the three
-    probed values are distinct, so at most one equals the other side's
-    home bucket, and the ``doc_a < doc_b`` filter kills the mirror.
+    bit-flip multi-probe idea, applied to an ordered key). The no-miss
+    guarantee is CONDITIONAL on what the bucket is computed from: when
+    it is ``F.length(text_col) // w`` — the length of the COMPARED
+    column — with width w > ``max_dist``, any pair within the length
+    prefilter ``|len diff| <= max_dist`` sits in the same or an
+    adjacent bucket, so nothing the distance bound could accept is
+    blocked away (width-8 + probe ~3x fewer candidate pairs than
+    unprobed width-64 at uniform lengths, with strictly better
+    recall). When the bucket is computed from a CORRELATE of the
+    compared column (e.g. full-document length while ``text_col`` is a
+    fixed-width suffix), the probe only tolerates a ±w correlate
+    divergence: pairs whose correlate differs by more than 2w−1 are
+    missed even if the compared texts are identical — a residual miss
+    class the CALLER owns and must document (see
+    ``dedup_levenshtein_blocked``; ``passjoin_pairs`` is the
+    blocking-free exact path). Each qualifying pair is emitted exactly
+    once: the three probed values are distinct, so at most one equals
+    the other side's home bucket, and the ``doc_a < doc_b`` filter
+    kills the mirror.
 
     ``max_block_size``: blocks are FIXED IN NUMBER (lang × length
     bucket), so per-block population — and the within-block pair count —

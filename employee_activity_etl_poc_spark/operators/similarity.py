@@ -115,6 +115,31 @@ def suggest_ivf_cells(n_rows: int) -> int:
     return 2 ** max(1, math.ceil(math.log2(math.sqrt(n_rows))))
 
 
+def suggest_pq_codes(n_train: int) -> int:
+    """Data-adaptive PQ codebook size: codewords per subspace sized so
+    each keeps ≥ ~64 training points on average —
+    ``2^ceil(log2(n_train/64))`` clamped to [16, 256] (4-bit codes at
+    the small end, the classic 8-bit PQ byte at the large end).
+
+    The fixed ``k_codes=16`` the r6 audit flagged is the same
+    quiet scale bug auto-granularity removed from the LSH/IVF paths:
+    quantization error per subspace is fixed by the codebook size, so a
+    16-codeword book tuned at 500 vectors spends the SAME resolution on
+    a 100× corpus whose neighbors are 100× denser — ranks blur exactly
+    when they matter more. Growing codewords with the training sample
+    (and capping at 256 so a code stays one byte and the LUT stays
+    tiny) buys resolution where the corpus density demands it while the
+    k-means stays well-conditioned (≥ 64 points per codeword ≫ the
+    ~39-point rule of thumb). Reproduces the swept gated config at its
+    tuning corpus: 500 vectors → 16 codes; 2k → 32; ≥ 16k (the
+    ``sample_cap`` ceiling) → 256."""
+    import math
+
+    if n_train <= 1024:
+        return 16
+    return min(256, 2 ** math.ceil(math.log2(n_train / 64)))
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -550,6 +575,8 @@ def ivf_topk(
     n_centroids: int | None = None,
     n_probe: int = 2,
     init: str = "md5",
+    n: int | None = None,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus rows live in the cell of their
     nearest centroid; each query probes its ``n_probe`` nearest cells.
@@ -567,7 +594,13 @@ def ivf_topk(
     sqrt(n), so at fixed ``n_probe`` the scanned fraction SHRINKS as the
     corpus grows instead of staying constant (the fixed-cell scale bug
     the sf1 sweep measured). Pin an explicit value when the index is
-    built once and probed across sessions.
+    built once and probed across sessions. ``n`` short-circuits that
+    count when the caller already holds it (one count job shared with
+    training / :func:`ivf_cell_stats`). ``cents`` pins a PERSISTED
+    index's centroids (``index_store.load_ann_index``) — training is
+    skipped entirely and probe results are reproducible across
+    sessions; :func:`ivf_cell_stats` with the same ``cents`` is the
+    drift monitor that says when to re-train.
 
     Corpus cell assignment runs in the Arrow/BLAS tier (one matmul per
     batch — with fine-cell configs, n_centroids interpreted fold-dots per
@@ -578,12 +611,13 @@ def ivf_topk(
     import numpy as np
     from pyspark.sql import Window
 
-    if n_centroids is None:
-        n_centroids = suggest_ivf_cells(corpus.count())
-    if init == "kcenter":
-        cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
-    else:
-        cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    if cents is None:
+        if n_centroids is None:
+            n_centroids = suggest_ivf_cells(corpus.count() if n is None else n)
+        if init == "kcenter":
+            cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
+        else:
+            cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
     c = _assign_cells_vectorized(corpus, id_col, vec_col, cents).select(
         F.col("i").alias("neighbor_id"),
         F.col("v").alias("cv"),
@@ -745,23 +779,35 @@ def train_pq_codebooks(
     id_col: str,
     vec_col: str,
     m: int = 16,
-    k_codes: int = 16,
+    k_codes: int | None = None,
     iterations: int = 8,
-    sample_cap: int = 10_000,
+    sample_cap: int = 16_384,
 ) -> list[list[list[float]]]:
     """Per-subspace PQ codebooks over L2-NORMALIZED vectors: split the
     dimension into ``m`` contiguous subvectors and k-means each subspace
     independently. Returns ``codebooks[m][k_codes] = subvector centroid``.
 
+    ``k_codes=None`` (the default) derives the codebook size from the
+    TRAINING SAMPLE via :func:`suggest_pq_codes` — the cost-shape
+    principle applied to quantization resolution: a fixed 16-codeword
+    book tuned at one corpus spends the same resolution on every larger
+    corpus whose neighbors are denser (the r6 audit's last
+    fixed-granularity surface). ``sample_cap`` is sized so the 256-code
+    top end still trains on ≥64 points per codeword. Pin an explicit
+    value when the index is built once and probed across sessions (the
+    same pinning contract as ``embedding_signature_table``).
+
     Training runs DRIVER-SIDE with numpy over a deterministic md5-ordered
     sample (≤ ``sample_cap`` vectors) — the FAISS pattern: PQ codebooks
     need a representative sample, not the corpus, and a driver-local
-    k-means over ≤10k × dim floats costs milliseconds where a
+    k-means over ≤16k × dim floats costs milliseconds where a
     per-subspace distributed Lloyd costs 2·m Spark jobs. ENCODING (the
     O(corpus) part) stays fully distributed in :func:`pq_encode`.
     Deterministic: md5 sample order, farthest-point-style init from the
     sample's own rows, fixed iteration count, no RNG."""
     mat = _normalized_sample(corpus, id_col, vec_col, sample_cap)
+    if k_codes is None:
+        k_codes = suggest_pq_codes(len(mat))
     return _kmeans_subspaces(mat, m, k_codes, iterations)
 
 
@@ -819,11 +865,11 @@ def train_residual_pq(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     m: int = 16,
-    k_codes: int = 16,
+    k_codes: int | None = None,
     iterations: int = 8,
-    sample_cap: int = 10_000,
+    sample_cap: int = 16_384,
     coarse: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], list[list[list[float]]]]:
     """(coarse_centroids, codebooks) for RESIDUAL product quantization —
@@ -834,12 +880,23 @@ def train_residual_pq(
     resolution on the part of the vector the coarse quantizer has NOT
     already explained — the standard reason residual PQ ranks better than
     flat PQ at identical code size. Assignment uses max dot, matching
-    :func:`_nearest_centroids`."""
+    :func:`_nearest_centroids`.
+
+    ``n_centroids=None`` derives the coarse cell count from the corpus
+    via :func:`suggest_ivf_cells` and ``k_codes=None`` the codebook
+    size from the training sample via :func:`suggest_pq_codes` — the
+    fixed 8/16 the r6 audit flagged froze the scanned fraction AND the
+    quantization resolution at their tuning corpus. Pin explicit values
+    for an index built once and probed across sessions."""
     import numpy as np
 
+    if n_centroids is None and coarse is None:
+        n_centroids = suggest_ivf_cells(corpus.count())
     if coarse is None:
         coarse = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
     mat = _normalized_sample(corpus, id_col, vec_col, sample_cap)
+    if k_codes is None:
+        k_codes = suggest_pq_codes(len(mat))
     c_arr = np.array(coarse, dtype=np.float64)
     assign = (mat @ c_arr.T).argmax(1)
     res = mat - c_arr[assign]
@@ -949,6 +1006,8 @@ def ivf_cell_stats(
     n_centroids: int | None = None,
     init: str = "kcenter",
     imbalance_bound: float = 8.0,
+    cents: list[list[float]] | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """IVF cell-balance monitor — the index twin of
     ``dedup.lsh_bucket_stats`` and the trigger for ROADMAP #18's
@@ -957,19 +1016,35 @@ def ivf_cell_stats(
     the symptom is cell-population skew, and the time to re-train is
     when this monitor's imbalance climbs, NOT when the count changes.
 
-    One row: n_vectors, n_cells (the configured/derived count),
+    To monitor drift of a PINNED index, pass its centroids via
+    ``cents`` (the same pinning contract as
+    ``embedding_signature_table``'s plane family): populations of the
+    INDEX's cells are measured on the CURRENT corpus, which is the
+    quantity that drifts. Omitting ``cents`` refits centroids from the
+    current corpus — useful only as the "what a retrain would buy"
+    comparison, since a fresh fit is balanced by construction and
+    cannot observe the drift of an index built on an older
+    distribution. ``n`` short-circuits the corpus count when the
+    caller already holds it (one count job shared across
+    ``suggest_ivf_cells`` / training / monitoring).
+
+    One row: n_vectors, n_cells (the pinned/configured/derived count),
     n_cells_used, max_cell, imbalance (= max_cell / (n/n_cells)), plus
     two self-check booleans — populations sum back to the corpus
     (assignment lost nothing) and imbalance within ``imbalance_bound``.
     Cost: the assignment matmul + one tiny aggregate — the pre-flight
     is O(corpus), the quadratic join it protects is not paid."""
-    n = corpus.count()
-    if n_centroids is None:
-        n_centroids = suggest_ivf_cells(n)
-    if init == "kcenter":
-        cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
+    if n is None:
+        n = corpus.count()
+    if cents is not None:
+        n_centroids = len(cents)
     else:
-        cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        if n_centroids is None:
+            n_centroids = suggest_ivf_cells(n)
+        if init == "kcenter":
+            cents = _ivf_centroids_kcenter(corpus, id_col, vec_col, n_centroids)
+        else:
+            cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
     pops = (
         _assign_cells_vectorized(corpus, id_col, vec_col, cents)
         .groupBy("cell")
@@ -1063,7 +1138,7 @@ def pq_topk(
     vec_col: str,
     k: int = 5,
     m: int = 8,
-    k_codes: int = 16,
+    k_codes: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC): the
@@ -1119,10 +1194,10 @@ def ivf_pq_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_probe: int = 3,
     m: int = 16,
-    k_codes: int = 16,
+    k_codes: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
     residual: bool = False,
 ) -> DataFrame:
@@ -1140,9 +1215,18 @@ def ivf_pq_topk(
     per-(query, cell) constant ``<q, c_cell>`` is computed once on the
     tiny exploded query side. Residuals are smaller and less structured
     than raw vectors, so the same code budget ranks better; coarse
-    centroids come from the k-center+Lloyd init."""
+    centroids come from the k-center+Lloyd init.
+
+    ``n_centroids=None`` / ``k_codes=None`` auto-derive both
+    granularities (:func:`suggest_ivf_cells` / :func:`suggest_pq_codes`
+    — see :func:`train_residual_pq`); remember auto cells shrink the
+    scanned FRACTION as the corpus grows, so ``n_probe`` should be
+    re-swept (``tools/ann_recall.py``) when a pinned config meets a
+    decade-larger corpus."""
     from pyspark.sql import Window
 
+    if n_centroids is None:
+        n_centroids = suggest_ivf_cells(corpus.count())
     if residual:
         cents, codebooks = train_residual_pq(
             corpus, id_col, vec_col, n_centroids, m, k_codes
@@ -1252,7 +1336,8 @@ def pq_rerank_topk(
     k: int = 5,
     shortlist: int = 100,
     m: int = 16,
-    k_codes: int = 16,
+    k_codes: int | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ shortlist + EXACT re-rank — the production ADC pattern: the
     compressed corpus (m 4-bit codes/vector) prunes to ``shortlist``
@@ -1271,7 +1356,8 @@ def pq_rerank_topk(
     from pyspark.sql import Window
 
     cand = pq_topk(
-        corpus, queries, id_col, vec_col, k=shortlist, m=m, k_codes=k_codes
+        corpus, queries, id_col, vec_col, k=shortlist, m=m, k_codes=k_codes,
+        codebooks=codebooks,
     ).select("query_id", "neighbor_id")
     c = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn")
     q = _with_norm(queries, vec_col, id_col, "query_id", "qv", "qn")

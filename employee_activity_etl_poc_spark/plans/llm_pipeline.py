@@ -174,8 +174,13 @@ def ingest_document_batch(
             )
         else:
             gstore = spark.createDataFrame([], "g long, n long")
+        # persist=False: a long-running foreachBatch stream calls this
+        # once per micro-batch, and nobody here owns an unpersist handle
+        # for the remover's internal removals frame — the default would
+        # leak one cached DataFrame per batch. Recompute cost is bounded
+        # (the removals frame is batch-proportional); results identical.
         cleaned = D.remove_duplicated_spans_incremental(
-            gstore, survivors, "text", "doc_id", k=span_k
+            gstore, survivors, "text", "doc_id", k=span_k, persist=False
         )
         n_span_tokens_removed = int(
             cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0

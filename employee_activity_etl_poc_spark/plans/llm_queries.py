@@ -1641,17 +1641,23 @@ def dedup_ngram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Character-level fuzzy near-dup pairs (dedup."
     "blocked_levenshtein_pairs): Levenshtein ≤ 5 on the 60-char document "
-    "suffix within (language × width-8 length-bucket ±1 probe) blocks — "
-    "catches the small in-place edits whose shingle sets barely move. "
-    "Cheapest-test-first plan: the probed blocking equi-join (one side "
-    "explodes its bucket ±1 — with width 8 > max_dist 5, EVERY pair "
-    "inside the |length diff| <= 5 prefilter lands in the same or an "
-    "adjacent bucket, so fine buckets prune ~3x more candidate pairs "
-    "than the old unprobed width-64 blocks WITHOUT the "
-    "boundary-straddle miss class), then the codegen'd |length diff| ≤ "
-    "d necessary-condition prune, then Spark's THRESHOLD-BOUNDED "
-    "levenshtein (banded DP, O(d·len) per pair with early bail at -1) — "
-    "the unbounded O(len²) form is what the oracle replays.",
+    "suffix within (language × FULL-length width-8 bucket ±1 probe) "
+    "blocks — catches the small in-place edits whose shingle sets "
+    "barely move. Cheapest-test-first plan: the probed blocking "
+    "equi-join (one side explodes its bucket ±1), then the codegen'd "
+    "|suffix length diff| ≤ d necessary-condition prune, then Spark's "
+    "THRESHOLD-BOUNDED levenshtein (banded DP, O(d·len) per pair with "
+    "early bail at -1) — the unbounded O(len²) form is what the oracle "
+    "replays. BLOCKING CONTRACT: the bucket is the full-document "
+    "length, the distance runs on the 60-char suffix — a deliberate "
+    "correlate block (suffix-length buckets saturate at 60, collapsing "
+    "to per-language all-pairs). The ±1 probe removes the boundary-"
+    "straddle miss class only up to the correlate's tolerance: "
+    "same-suffix pairs whose FULL lengths differ by more than 15 "
+    "(buckets ±2 apart at width 8) are missed by design; the oracle "
+    "replays the identical block so both engines share the miss class. "
+    "dedup_levenshtein_passjoin is the blocking-free exact contract on "
+    "the same corpus.",
     tags=("llm", "dedup"),
 )
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2162,16 +2168,22 @@ def embedding_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     _EXACT_TOPK_SQL_WITH_FLAG,
     doc="Product-quantization shortlist + exact re-rank "
     "(SIM.pq_rerank_topk — the production ADC pattern): the corpus lives "
-    "as m=16 4-bit codes (8 bytes/vector — the 100x memory step to "
-    "RAM-resident billion-vector indexes), LUT lookup-adds prune to a "
-    "100-candidate shortlist, and only the shortlist pays full-precision "
-    "cosine. Gated under the recall-gate contract: the query emits the "
-    "EXACT top-k (hash-matched vs DuckDB) plus a boolean asserting "
-    "re-ranked recall ≥ 0.85 (measured shortlist containment 0.94-1.0 "
-    "across sf0.001/0.01/0.1) — codebook training is numpy, not SQL, but "
-    "a PQ regression still fails the hash. Planted-copy anchors and the "
-    "flat-PQ recall floor stay pinned in tests; IVF-PQ composes the same "
-    "codes with the cell join.",
+    "as m=16 PQ codes (8 bytes/vector at the 16-code gate corpus — the "
+    "100x memory step to RAM-resident billion-vector indexes), LUT "
+    "lookup-adds prune to a 100-candidate shortlist, and only the "
+    "shortlist pays full-precision cosine. k_codes is AUTO-derived from "
+    "the training sample (suggest_pq_codes — 16 at the 500-vector gate "
+    "corpus, 32 at sf0.1's 2k, 256 at the 16k sample cap), closing the "
+    "last fixed-granularity surface the r6 audit flagged: quantization "
+    "RESOLUTION now grows with neighbor density instead of freezing at "
+    "the tuning corpus. Gated under the recall-gate contract: the query "
+    "emits the EXACT top-k (hash-matched vs DuckDB) plus a boolean "
+    "asserting re-ranked recall ≥ 0.85 (measured shortlist containment "
+    "0.94-1.0 across sf0.001/0.01/0.1) — codebook training is numpy, "
+    "not SQL, but a PQ regression still fails the hash. Planted-copy "
+    "anchors and the flat-PQ recall floor stay pinned in tests; IVF-PQ "
+    "composes the same codes with the cell join (coarse cells now "
+    "suggest_ivf_cells-derived too).",
     tags=("llm", "similarity", "scale"),
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2226,6 +2238,91 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         init="kcenter",  # measured +0.08-0.12 recall over the md5 pick
     )
     return SIM.recall_gate(exact, ann, floor=0.8)
+
+
+@register(
+    "embedding_index_reload_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, sim, rn AS rnk,
+           true AS recall_ok, true AS reload_identical
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+    doc="ANN index artifact lifecycle under the value-hash gate "
+    "(operators/index_store — ROADMAP #19, the r6 'persistable index' "
+    "ask): the IVF index (k-center+Lloyd centroids, auto cell count, "
+    "n_probe) is built ONCE, saved as a parquet artifact, loaded back, "
+    "and the corpus is probed with the PINNED centroids. Two booleans "
+    "ride the exact top-k rows, both pinned TRUE by the oracle: "
+    "reload_identical — probe-after-reload returns the EXACT same "
+    "(query, neighbor, sim, rank) set as the fresh-build probe (the "
+    "union≡batch identity of the index world; floats round-trip "
+    "bit-exactly through parquet doubles), and recall_ok — the "
+    "reloaded index still clears the IVF recall floor (≥0.8) against "
+    "brute force, so a save/load path that 'round-trips' a degenerate "
+    "index cannot pass. This closes the plan-build-time caveat "
+    "SCALE.md carried: derived granularities are now pinned IN the "
+    "artifact (built_n recorded for drift context), and "
+    "embedding_ivf_cell_stats(cents=...) monitors the same persisted "
+    "centroids for re-train timing.",
+    tags=("llm", "similarity", "scale"),
+)
+def embedding_index_reload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.index_store import load_ann_index, save_ann_index
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+    n = emb.count()
+    cents = SIM._ivf_centroids_kcenter(
+        emb, "vec_id", "embedding", SIM.suggest_ivf_cells(n)
+    )
+    fresh = SIM.ivf_topk(
+        emb, q, "vec_id", "embedding", k=5, n_probe=20, cents=cents
+    )
+    # fixed per-sf scratch path, rebuilt each run (the
+    # delta_roundtrip_stats convention: bench loops and oracle sweeps
+    # reuse one directory instead of leaking a mkdtemp per call)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_ann_idx_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    save_ann_index(
+        spark, path, dim=64, built_n=n, n_probe=20, centroids=cents
+    )
+    idx = load_ann_index(spark, path)
+    reloaded = SIM.ivf_topk(
+        emb, q, "vec_id", "embedding",
+        k=5, n_probe=idx["n_probe"], cents=idx["centroids"],
+    )
+    ident = (
+        fresh.select("query_id", "neighbor_id", "sim", "rnk")
+        .exceptAll(reloaded.select("query_id", "neighbor_id", "sim", "rnk"))
+        .unionAll(
+            reloaded.select("query_id", "neighbor_id", "sim", "rnk")
+            .exceptAll(fresh.select("query_id", "neighbor_id", "sim", "rnk"))
+        )
+        .agg((F.count("*") == 0).alias("reload_identical"))
+    )
+    return SIM.recall_gate(exact, reloaded, floor=0.8).crossJoin(
+        F.broadcast(ident)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -239,6 +239,22 @@ def test_granularity_autoscaling():
            for n in (10, 100, 1_000, 10_000, 100_000, 1_000_000)]
     assert lsh == sorted(lsh) and ivf == sorted(ivf)
 
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        suggest_pq_codes,
+    )
+
+    # PQ codewords: 4-bit floor at small samples, one-byte cap, ≥64
+    # training points per codeword in between (the r7 closure of the
+    # last fixed-granularity surface)
+    assert suggest_pq_codes(500) == 16   # the gated sweep point
+    assert suggest_pq_codes(2_000) == 32
+    assert suggest_pq_codes(16_384) == 256  # the sample_cap ceiling
+    assert suggest_pq_codes(10_000_000) == 256  # one byte, always
+    pq = [suggest_pq_codes(n)
+          for n in (10, 100, 1_000, 10_000, 100_000)]
+    assert pq == sorted(pq)
+    assert all(16 <= k <= 256 for k in pq)
+
 
 def test_auto_granularity_wired_into_operators(spark, sf_dir):
     """n_planes/n_centroids=None derive from the corpus count inside the
@@ -272,6 +288,19 @@ def test_auto_granularity_wired_into_operators(spark, sf_dir):
         ).collect()
     }
     assert len(exact_pairs & ivf_pairs) / len(exact_pairs) >= 0.8
+    # PQ shortlist+re-rank with AUTO k_codes (suggest_pq_codes) keeps
+    # the gated recall floor — the r7 fixed-granularity closure
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        pq_rerank_topk,
+    )
+
+    pq_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_rerank_topk(
+            emb, queries, "vec_id", "embedding", k=5, shortlist=100, m=16
+        ).collect()
+    }
+    assert len(exact_pairs & pq_pairs) / len(exact_pairs) >= 0.85
 
 
 def test_vectorized_topk_matches_fold_variant(spark, sf_dir):
@@ -1302,3 +1331,43 @@ def test_ivf_cell_stats_monitor(spark, sf_dir):
     assert r["populations_sum_ok"] and r["imbalance_ok"]
     assert 0 < r["n_cells_used"] <= r["n_cells"]
     assert r["max_cell"] >= r["n_vectors"] / r["n_cells"]  # max >= avg
+
+
+def test_ivf_cell_stats_pinned_centroids_observe_drift(spark):
+    """The monitor's whole point (r6 advice): a PINNED index drifting
+    away from the corpus distribution must SURFACE as imbalance. A
+    refit is balanced by construction and cannot see it — pin the old
+    index's centroids and the skew appears."""
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        _ivf_centroids_kcenter,
+        ivf_cell_stats,
+    )
+
+    # old corpus: 4 clean axis clusters -> a balanced 4-cell index
+    old = spark.createDataFrame(
+        [
+            (i, [float(j == i % 4) + 0.01 * (i // 4) for j in range(4)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = _ivf_centroids_kcenter(old, "vec_id", "embedding", 4)
+    # drifted corpus: everything collapsed onto ONE of the old clusters
+    new = spark.createDataFrame(
+        [(i, [1.0, 0.01 * (i % 7), 0.0, 0.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    pinned = ivf_cell_stats(
+        new, "vec_id", "embedding", cents=cents, n=40
+    ).collect()[0]
+    assert pinned["n_cells"] == 4  # len(cents), not a refit derivation
+    assert pinned["populations_sum_ok"]
+    # all 40 vectors land in the one surviving cell: imbalance = 4.0
+    assert pinned["n_cells_used"] == 1
+    assert pinned["imbalance"] == 4.0
+    # the refit form on the SAME drifted corpus re-balances and reports
+    # a smaller imbalance — the condition the advice flagged
+    refit = ivf_cell_stats(
+        new, "vec_id", "embedding", n_centroids=4, init="kcenter"
+    ).collect()[0]
+    assert refit["imbalance"] < pinned["imbalance"]

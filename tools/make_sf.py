@@ -32,8 +32,15 @@ DuckDB writes ONE parquet file per table (the layout the loader and the
 streaming gate's pathGlobFilter expect); multi-row-group files stay
 splittable for Spark's scan parallelism.
 
-Usage: python tools/make_sf.py [src_dir] [dest_dir] [K]
+Usage: python tools/make_sf.py [src_dir] [dest_dir] [K] [tables]
        python tools/make_sf.py            # sf0.1 -> /tmp/spark_graft_sf1, K=10
+       python tools/make_sf.py /tmp/spark_graft_sf1 /tmp/spark_graft_sf10 \
+           10 documents,embeddings        # sf10, heavy-family tables only
+
+``tables`` (comma-separated) restricts replication to a subset — the
+r7 next-decade sweep manufactures sf10 for documents/embeddings only
+(~500k docs / 200k vectors), since the dedup/ANN/span families read
+nothing else and a full sf10 TPC-H side would waste the sandbox.
 """
 
 from __future__ import annotations
@@ -68,23 +75,27 @@ REPLICATED = [
 ]
 
 
-def make_sf(src: str, dest: str, k: int) -> None:
+def make_sf(src: str, dest: str, k: int, tables: list[str] | None = None) -> None:
     os.makedirs(dest, exist_ok=True)
+    copy_as_is = [t for t in COPY_AS_IS if tables is None or t in tables]
+    replicated = [t for t in REPLICATED if tables is None or t in tables]
     con = duckdb.connect()
     strides: dict[tuple[str, str], int] = {}
     for fam, cols in FAMILIES.items():
         base_table, base_col = cols[0]
+        if base_table not in replicated:
+            continue
         stride = con.execute(
             f"SELECT max({base_col}) + 1 FROM '{src}/{base_table}.parquet'"
         ).fetchone()[0]
         for t, c in cols:
             strides[(t, c)] = stride
-    for t in COPY_AS_IS:
+    for t in copy_as_is:
         con.execute(
             f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
             f"'{dest}/{t}.parquet' (FORMAT PARQUET)"
         )
-    for t in REPLICATED:
+    for t in replicated:
         cols = [
             r[0]
             for r in con.execute(
@@ -135,5 +146,6 @@ if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    make_sf(src, dest, k)
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    make_sf(src, dest, k, tables)
     print(f"wrote {dest} (K={k} from {src})")
