@@ -48,6 +48,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # path, the pinned-centroid cell monitor, the corrected Levenshtein
     # blocking contract)
     "embedding_index_reload_topk",
+    "error_in_signup_window_sliced",
+    "dedup_ngram_prefix",
     "embedding_pq_topk",
     "embedding_ann_ivf",
     "embedding_ivf_cell_stats",
@@ -101,10 +103,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_value_tdigest",
     "events_heavy_hitter_users",
     "pricing_summary",
-    "order_revenue_cube",
-    "documents_sequence_packing",
     # --- 50-query gate boundary ---
     # previous rotations keep their relative order after the gated prefix
+    "order_revenue_cube",
+    "documents_sequence_packing",
     "dedup_duplicated_spans",
     "dedup_span_removal_stats",
     "dedup_levenshtein_passjoin",

@@ -95,9 +95,12 @@ HEADLINE = [
     "dedup_spans_incremental_removal",
     "embedding_ivf_cell_stats",
     # round 7: the persisted-index lifecycle gate (save/load/probe
-    # identity) and the auto-k_codes PQ re-rank path
+    # identity), the auto-k_codes PQ re-rank path, and the hour-sliced
+    # at-scale form of the global range join
     "embedding_index_reload_topk",
     "embedding_pq_topk",
+    "error_in_signup_window_sliced",
+    "dedup_ngram_prefix",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

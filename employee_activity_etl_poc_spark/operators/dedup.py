@@ -889,15 +889,38 @@ def blocked_jaccard_pairs(
     block_cols: list[Column],
     threshold: float,
     shingle_k: int = 3,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """All-pairs shingle Jaccard *within blocks* (e.g. same language ×
-    length bucket): the classic blocking baseline. O(block²) — the LSH
-    variant above is the scale path; this one is exact within its blocks."""
+    length bucket): the classic blocking baseline. O(block²) — block
+    populations grow linearly with the corpus while block COUNT is
+    fixed, so within-block pair counts grow QUADRATICALLY (the r7 sf10
+    sweep measured 109M pairs at 50k docs → 10.9B at 500k, with one
+    76k-doc block owning 2.9B pairs on a single join partition). This
+    is the audit form you run once on a bounded corpus; the scale
+    paths are :func:`minhash_lsh_pairs` (approximate) and
+    :func:`prefix_jaccard_pairs` (exact, candidate generation
+    content-selective instead of block-quadratic).
+
+    ``max_block_size`` is the same LOUD bounded-candidates defense the
+    Levenshtein blocker ships: over-populated blocks are dropped
+    before the join (exactness kept within survivors, candidate count
+    bounded by blocks · C(cap, 2)); None — the gated baseline's
+    contract — keeps full exactness."""
     base = df.select(
         F.col(id_col).alias("doc"),
         *[c.alias(f"blk{i}") for i, c in enumerate(block_cols)],
         shingles(F.col(text_col), shingle_k).alias("sh"),
     ).where(F.size(tokens(F.col(text_col))) >= shingle_k)
+    if max_block_size is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy(*[f"blk{i}" for i in range(len(block_cols))])
+        base = (
+            base.withColumn("_bn", F.count("*").over(wb))
+            .where(F.col("_bn") <= max_block_size)
+            .drop("_bn")
+        )
     blk = [f"blk{i}" for i in range(len(block_cols))]
     a = base.alias("a")
     b = base.alias("b")
@@ -913,6 +936,106 @@ def blocked_jaccard_pairs(
             F.col("b.doc").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
+    )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+    max_shingle_frequency: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs shingle Jaccard ≥ ``threshold`` with NO blocking
+    clause — prefix filtering (AllPairs, Bayardo/Ma/Srikant WWW 2007;
+    the Jaccard analog of what PassJoin is for edit distance): candidate
+    generation is an equi-join on shingle CONTENT, so candidate volume
+    tracks actual overlap instead of block population. The r7 sf10
+    sweep's motivation: the blocked baseline's fixed (lang × length)
+    blocks held 10.9B within-block pairs at 500k docs (one 76k-doc
+    block = 2.9B pairs on one join partition — hours), while true
+    ≥0.4-Jaccard pairs number in the dozens.
+
+    The prefix lemma: order every doc's shingle set by a GLOBAL total
+    order (ascending corpus frequency, ties on the shingle string —
+    rarest first, the order that minimizes candidate buckets). If
+    J(A,B) ≥ t then |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so the
+    globally-smallest common shingle sits within the first
+    ``|d| − ⌈t·|d|⌉ + 1`` shingles of BOTH docs (at least ⌈t·|d|⌉ − 1
+    other intersection elements follow it in each doc's order, so its
+    position is ≤ |d| − ⌈t·|d|⌉ + 1) — equi-joining the prefixes alone
+    is therefore COMPLETE. Verification then pays the
+    full intersection only on candidates, after a codegen'd size
+    necessary-condition prune (``min(|A|,|B|) ≥ t·max(|A|,|B|)``,
+    since U ≥ max and I ≤ min).
+
+    Plan shape, all linear except the candidate join itself:
+
+    1. explode shingles once → global frequency table (one groupBy);
+    2. per-doc frequency-sorted prefix (join + groupBy-collect +
+       array_sort + slice — no window);
+    3. prefix self-equi-join on the shingle → distinct candidate pairs;
+    4. verify: join arrays back by id, exact Jaccard ≥ t.
+
+    At threshold 0.4 the prefix is ~60% of each doc's shingles — the
+    filter's power comes from the JOIN being content-keyed: unique
+    shingles (most of any diverse corpus) generate no pairs at all.
+    ``max_shingle_frequency`` drops prefix keys whose corpus frequency
+    exceeds the cap before the join — the bounded-candidates defense
+    for stop-shingle-heavy corpora. It is a LOUD coverage decision:
+    pairs whose ONLY shared prefix shingles are capped ones are missed;
+    None (the gated default) keeps the exactness contract.
+
+    Reference parity: the reference dedups with pandas
+    ``drop_duplicates`` (bronze/test7.py:31); this whole family is the
+    engine's LLM-pipeline extension."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        shingles(F.col(text_col), shingle_k).alias("sh"),
+    ).where(F.size(tokens(F.col(text_col))) >= shingle_k)
+    base = base.withColumn("sz", F.size("sh"))
+    ex = base.select("doc", "sz", F.explode("sh").alias("g"))
+    freq = ex.groupBy("g").agg(F.count("*").alias("gf"))
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = (
+        ex.join(freq, "g")
+        .groupBy("doc", "sz")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("gf"), F.col("g")))
+            ).alias("o")
+        )
+        .select(
+            "doc",
+            "sz",
+            F.explode(F.slice(F.col("o"), F.lit(1), plen)).alias("s"),
+        )
+        .select("doc", "sz", F.col("s.g").alias("g"), F.col("s.gf").alias("gf"))
+    )
+    if max_shingle_frequency is not None:
+        pref = pref.where(F.col("gf") <= max_shingle_frequency)
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            # size prune: J >= t needs min >= t * max (U >= max, I <= min)
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    return (
+        cand.join(base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
+        .join(base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
 

@@ -1495,6 +1495,78 @@ def error_in_signup_window_by_user(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "error_in_signup_window_sliced",
+    """
+    WITH ev AS (
+      SELECT * FROM events
+      WHERE CAST('0x' || substr(md5('slice|' ||
+                 (epoch_us(ts) // 3600000000)::VARCHAR), 1, 8)
+            AS BIGINT) % 50 = 0
+    ),
+    intervals AS (
+      SELECT event_id AS signup_id, user_id, ts AS start_ts,
+             ts + to_seconds(CAST(floor(value * 50) AS BIGINT)) AS end_ts
+      FROM ev WHERE event_type = 'signup'
+    ),
+    points AS (
+      SELECT event_id AS error_id, ts AS p_ts FROM ev WHERE event_type = 'error'
+    )
+    SELECT i.signup_id, p.error_id,
+           strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS error_ts_str
+    FROM points p JOIN intervals i
+      ON p.p_ts >= i.start_ts AND p.p_ts < i.end_ts
+    """,
+    doc="The global range join on a deterministic TIME-SLICE — the "
+    "at-scale external check error_in_signup_window itself cannot have "
+    "(its full sf1 output is 38M pairs, harness-infeasible to hash; "
+    "VERDICT r6 #7): keep whole HOURS whose md5-keyed bucket hash "
+    "≡ 0 mod 50 (the make_oracle_sample.py idiom applied to time — "
+    "1/50 of hours survive at FULL within-hour event density, so the "
+    "binned-join rewrite faces the true sf1 density while the output "
+    "stays ~38M/50 ≈ 330k hashable pairs). Both engines apply the "
+    "identical slice predicate to each event's own timestamp, so the "
+    "few ≤50s intervals straddling a kept-hour boundary drop "
+    "identically on both sides. Exercises the same "
+    "range_join_points_intervals path (bin-bucketed equi-join, "
+    "bin_seconds=86400) as the unsliced audit form.",
+    tags=("join", "range", "timeseries", "scale"),
+)
+def error_in_signup_window_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import range_join_points_intervals
+
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr("unix_micros(ts) div 3600000000")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("slice|"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 50
+        == 0
+    )
+    ev = ev.where(keep)
+    intervals = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros("ts") + F.floor(F.col("value") * 50).cast("long") * 1_000_000
+        ).alias("end_ts"),
+    )
+    points = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("ts").alias("p_ts")
+    )
+    out = range_join_points_intervals(
+        points, intervals, "p_ts", "start_ts", "end_ts", bin_seconds=86400
+    )
+    return out.select(
+        "signup_id", "error_id", S.format_ts("p_ts").alias("error_ts_str")
+    )
+
+
+@register(
     "events_hourly_gapfilled",
     """
     WITH b AS (

@@ -133,6 +133,50 @@ def test_blocked_jaccard_respects_blocks(spark):
         df, "text", "doc_id", block_cols=[F.col("lang")], threshold=0.3
     ).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    # the loud cap: a block over max_block_size is dropped entirely
+    capped = D.blocked_jaccard_pairs(
+        df, "text", "doc_id", block_cols=[F.col("lang")], threshold=0.3,
+        max_block_size=1,
+    ).collect()
+    assert capped == []
+
+
+def test_prefix_jaccard_matches_brute_force(spark, sf_dir):
+    """The prefix lemma is COMPLETE: candidates from the frequency-
+    ordered prefix equi-join recover exactly the unblocked brute-force
+    pair set (including cross-block pairs the blocked baseline misses)."""
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant a cross-length near-copy: doc 0's text minus its first word
+    # (the _with_near_copies construction, inline)
+    ws = F.split(F.col("text"), " ")
+    variant = docs.where(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+    )
+    corpus = docs.unionByName(variant)
+    brute = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.blocked_jaccard_pairs(
+            corpus, "text", "doc_id", block_cols=[F.lit(1)], threshold=0.4
+        ).collect()
+    }
+    pref = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.prefix_jaccard_pairs(
+            corpus, "text", "doc_id", threshold=0.4
+        ).collect()
+    }
+    assert pref == brute and len(pref) >= 10  # the planted family found
+    # the frequency cap is a subset contract, never new pairs
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in D.prefix_jaccard_pairs(
+            corpus, "text", "doc_id", threshold=0.4, max_shingle_frequency=2
+        ).collect()
+    }
+    assert capped <= pref
 
 
 def _vecs(spark, rows):

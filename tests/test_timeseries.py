@@ -89,6 +89,30 @@ def test_range_join_spanning_and_exclusive_end(spark):
     assert out.count() == out.select("pid", "iid").distinct().count()
 
 
+def test_sliced_range_join_subset_of_global(spark, sf_dir):
+    """The r7 at-scale gate variant: the hour-sliced range join must be
+    a deterministic SUBSET of the global audit join — pairs whose
+    signup AND error both fall in kept hours — never new pairs."""
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+
+    full = {
+        (r["signup_id"], r["error_id"])
+        for r in REGISTRY["error_in_signup_window"].fn(spark, sf_dir).collect()
+    }
+    sliced = [
+        (r["signup_id"], r["error_id"])
+        for r in REGISTRY["error_in_signup_window_sliced"].fn(spark, sf_dir).collect()
+    ]
+    assert set(sliced) <= full
+    assert len(sliced) == len(set(sliced))  # binned rewrite: no dup pairs
+    # determinism: identical re-run (the slice is keyed, not sampled RNG)
+    again = [
+        (r["signup_id"], r["error_id"])
+        for r in REGISTRY["error_in_signup_window_sliced"].fn(spark, sf_dir).collect()
+    ]
+    assert sorted(again) == sorted(sliced)
+
+
 def test_hypertable_cascade_matches_direct(spark, sf_dir):
     from employee_activity_etl_poc_spark.sources.readers import load_table
 

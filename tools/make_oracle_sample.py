@@ -45,6 +45,7 @@ HEAVY_ORACLE_QUERIES = [
     "dedup_minhash_incremental",
     "dedup_lsh_bucket_stats",
     "dedup_ngram_blocked",
+    "dedup_ngram_prefix",
     "dedup_simhash_hamming",
     "dedup_cluster_summary",
     "dedup_clusters_alternating",
@@ -56,6 +57,11 @@ HEAVY_ORACLE_QUERIES = [
     "embedding_near_dup",
     "embedding_incremental_near_dup",
     "embedding_ivf_cell_stats",
+    "embedding_index_reload_topk",
+    # runs against the UNSAMPLED (hardlinked) sf1 events table — the
+    # slice is in the query itself (r7: the at-scale external check the
+    # 38M-pair global form cannot have)
+    "error_in_signup_window_sliced",
 ]
 
 
