@@ -1124,12 +1124,19 @@ def blocked_levenshtein_pairs(
     kills the mirror.
 
     ``max_block_size``: blocks are FIXED IN NUMBER (lang × length
-    bucket), so per-block population — and the within-block pair count —
-    grows quadratically with the corpus (measured at the sf1 self-bench:
-    4.7× the linear extrapolation). The cap drops over-populated blocks
-    before the join, the same bounded-candidates defense the LSH path
-    ships as its bucket cap: exactness within surviving blocks is kept,
-    a dropped block is a LOUD coverage decision the caller sizes, and
+    bucket — the length domain does not grow with the corpus), so
+    per-block population — and the within-block pair count — grows
+    QUADRATICALLY with the corpus. The r6 L1 prefilter bounds what
+    each candidate costs, not how many there are: the r7 sf10 sweep
+    measured the gated config at 4.5× its linear extrapolation (330 s
+    at 500k docs) from pair ENUMERATION alone, while
+    :func:`passjoin_pairs` — whose candidates are keyed on segment
+    CONTENT — ran the same corpus at 0.25× linear (34 s). Length
+    blocking is therefore the bounded-corpus audit form; PassJoin is
+    the scale path. The cap drops over-populated blocks before the
+    join, the same bounded-candidates defense the LSH path ships as
+    its bucket cap: exactness within surviving blocks is kept, a
+    dropped block is a LOUD coverage decision the caller sizes, and
     the candidate count is bounded by blocks · C(cap, 2). None (the
     default, and the gated baseline's contract) keeps full exactness.
 

@@ -1695,8 +1695,13 @@ def dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same-suffix pairs whose FULL lengths differ by more than 15 "
     "(buckets ±2 apart at width 8) are missed by design; the oracle "
     "replays the identical block so both engines share the miss class. "
+    "SCALE STATUS (r7 sf10 sweep): the audit form for bounded corpora — "
+    "block count is fixed by the length domain, so pair enumeration is "
+    "quadratic in corpus size (4.5x linear / 330 s at 500k docs) even "
+    "with the L1 prefilter bounding per-candidate cost. "
     "dedup_levenshtein_passjoin is the blocking-free exact contract on "
-    "the same corpus.",
+    "the same corpus AND the family's scale path (0.25x linear / 34 s "
+    "at sf10, candidates keyed on segment content).",
     tags=("llm", "dedup"),
 )
 def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:

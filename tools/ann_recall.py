@@ -39,9 +39,11 @@ def recall(approx, exact: dict[int, frozenset[int]]) -> float:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    args = [a for a in sys.argv[1:] if a != "--auto-only"]
+    auto_only = "--auto-only" in sys.argv
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    k = int(args[1]) if len(args) > 1 else 5
+    n_queries = int(args[2]) if len(args) > 2 else 25
 
     spark = get_spark("ann_recall")
     emb = load_table(spark, sf_dir, "embeddings").cache()
@@ -53,6 +55,42 @@ def main() -> None:
         SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=k)
     )
     print(f"corpus={n_corpus} dim={dim} k={k} queries={len(exact)}")
+
+    if auto_only:
+        # the GATED defaults only (auto-derived granularities) — the
+        # sf10 decade check: recall floors must hold as the derived
+        # plane/cell/code counts step up with the corpus
+        planes = SIM.suggest_granularity(n_corpus, SIM.AUTO_TARGET_BUCKET)
+        cells = SIM.suggest_ivf_cells(n_corpus)
+        r = recall(
+            SIM.lsh_bucketed_topk(
+                emb, queries, "vec_id", "embedding", dim=dim, k=k,
+                multi_probe=2, n_tables=8,
+            ),
+            exact,
+        )
+        print(f"auto lsh  n_planes={planes} (derived) recall@{k}={r:.3f} "
+              f"floor=0.6 ok={r >= 0.6}")
+        r = recall(
+            SIM.ivf_topk(
+                emb, queries, "vec_id", "embedding", k=k,
+                n_probe=20, init="kcenter",
+            ),
+            exact,
+        )
+        print(f"auto ivf  n_cells={cells} (derived) n_probe=20 "
+              f"recall@{k}={r:.3f} floor=0.8 ok={r >= 0.8}")
+        r = recall(
+            SIM.pq_rerank_topk(
+                emb, queries, "vec_id", "embedding", k=k,
+                shortlist=100, m=16,
+            ),
+            exact,
+        )
+        print(f"auto pq   k_codes=auto shortlist=100 recall@{k}={r:.3f} "
+              f"floor=0.85 ok={r >= 0.85}")
+        spark.stop()
+        return
 
     for n_planes in (4, 6, 8):
         for probe in (0, 2):

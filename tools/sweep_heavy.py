@@ -51,7 +51,12 @@ QUERIES = [
     # the audit form, like error_in_signup_window). Its scale twins
     # sweep instead: minhash LSH above and the exact prefix join below.
     "dedup_ngram_prefix",
-    "dedup_levenshtein_blocked",
+    # dedup_levenshtein_blocked is likewise quadratic BY CONTRACT at
+    # the decade step (its width-8 FULL-LENGTH buckets are fixed in
+    # number, so pair ENUMERATION grows ~n² even though the r6 L1
+    # prefilter keeps DP calls tiny — measured 4.5x linear / 330 s at
+    # sf10 vs PassJoin's 0.25x / 34 s). The audit form on a bounded
+    # corpus; PassJoin is the family's sweep representative.
     "dedup_levenshtein_passjoin",
     "dedup_cluster_summary",
     "dedup_clusters_alternating",
