@@ -48,6 +48,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # path, the pinned-centroid cell monitor, the corrected Levenshtein
     # blocking contract)
     "embedding_index_reload_topk",
+    "embedding_ivfpq_topk",
     "error_in_signup_window_sliced",
     "dedup_ngram_prefix",
     "embedding_pq_topk",
@@ -102,9 +103,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming",
     "event_value_tdigest",
     "events_heavy_hitter_users",
-    "pricing_summary",
     # --- 50-query gate boundary ---
     # previous rotations keep their relative order after the gated prefix
+    "pricing_summary",
     "order_revenue_cube",
     "documents_sequence_packing",
     "dedup_duplicated_spans",

@@ -101,6 +101,7 @@ HEADLINE = [
     "embedding_pq_topk",
     "error_in_signup_window_sliced",
     "dedup_ngram_prefix",
+    "embedding_ivfpq_topk",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

@@ -2078,14 +2078,24 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
     "imbalance ≤ 8 (measured 1.3-3.5 across sf0.001 through sf1 on "
     "k-center cells). The assignment itself is numpy, not SQL — a "
     "centroid/assignment regression still flips a boolean and fails "
-    "the hash.",
+    "the hash. r7 (advice fix): the query now exercises the PINNED-"
+    "centroid monitor path — centroids are trained once and passed via "
+    "cents= (with the shared count via n=), the cross-session contract "
+    "where drift is observable; on a freshly-built index the measured "
+    "populations are identical to the old refit form, so the gate "
+    "hashes are unchanged while the gated code path is the one "
+    "production would run against a persisted index_store artifact.",
     tags=("llm", "similarity", "scale"),
 )
 def embedding_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    return SIM.ivf_cell_stats(emb, "vec_id", "embedding", init="kcenter").select(
-        "n_vectors", "n_cells", "populations_sum_ok", "imbalance_ok"
+    n = emb.count()
+    cents = SIM._ivf_centroids_kcenter(
+        emb, "vec_id", "embedding", SIM.suggest_ivf_cells(n)
     )
+    return SIM.ivf_cell_stats(
+        emb, "vec_id", "embedding", cents=cents, n=n
+    ).select("n_vectors", "n_cells", "populations_sum_ok", "imbalance_ok")
 
 
 @register(
@@ -2274,14 +2284,45 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         k=5,
-        # n_centroids auto-derived ~sqrt(corpus) (suggest_ivf_cells): 32
-        # cells at the 500-vector sf0.01 corpus (the previously-pinned
-        # sweep point), 64 at sf0.1's 2k, 256 at sf1's 20k — at fixed
-        # n_probe the scanned fraction shrinks as the corpus grows.
-        n_probe=20,
+        # n_centroids AND n_probe auto-derived (suggest_ivf_cells ~
+        # sqrt(n); suggest_ivf_probe keeps ~1536 scored candidates per
+        # query): 32 cells/probe-all at the 510-vector gate corpus,
+        # 64/50 at sf0.1's 2k (recall 0.984 — the constant probe 20
+        # dipped to 0.744 there, the r7 audit's find), 256/20 at sf1's
+        # 20k (0.904), 512/4 at sf10's 200k (0.928) — candidate COUNT
+        # constant, scanned fraction still shrinking.
         init="kcenter",  # measured +0.08-0.12 recall over the md5 pick
     )
     return SIM.recall_gate(exact, ann, floor=0.8)
+
+
+@register(
+    "embedding_ivfpq_topk",
+    _EXACT_TOPK_SQL_WITH_FLAG,
+    doc="IVF-PQ shortlist + exact re-rank (SIM.ivf_pq_rerank_topk — the "
+    "full FAISS IVFx,PQy+refine layout, r7): residual-PQ codes scored "
+    "by LUT lookup-adds INSIDE the probed IVF cells only, then the "
+    "200-candidate ADC shortlist pays full-precision cosine. Every "
+    "granularity auto-derives — cells ~ sqrt(n) (suggest_ivf_cells), "
+    "probe ~ constant 1536-candidate budget (suggest_ivf_probe), "
+    "codebook size from the training sample (suggest_pq_codes) — so "
+    "the per-query scan stays ~constant while the scanned fraction "
+    "shrinks with the corpus; vs embedding_pq_topk (flat codes) the "
+    "cell join is what removes the O(corpus) code scan. Gated under "
+    "the recall-gate contract: exact top-k rows hash-matched vs DuckDB "
+    "plus a boolean asserting re-ranked recall ≥ 0.85 (measured "
+    "1.0/1.0/0.98 at sf0.001/0.01/0.1 with the all-auto config; the "
+    "re-rank stage is load-bearing — raw ADC recall@5 is 0.26-0.46).",
+    tags=("llm", "similarity", "scale"),
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, q, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id", "sim", "rnk"
+    )
+    ann = SIM.ivf_pq_rerank_topk(emb, q, "vec_id", "embedding", k=5)
+    return SIM.recall_gate(exact, ann, floor=0.85)
 
 
 @register(
@@ -2336,8 +2377,11 @@ def embedding_index_reload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = SIM._ivf_centroids_kcenter(
         emb, "vec_id", "embedding", SIM.suggest_ivf_cells(n)
     )
+    # every granularity the index derives is PINNED into the artifact:
+    # the probe count too (suggest_ivf_probe at build-time n)
+    n_probe = SIM.suggest_ivf_probe(n, len(cents))
     fresh = SIM.ivf_topk(
-        emb, q, "vec_id", "embedding", k=5, n_probe=20, cents=cents
+        emb, q, "vec_id", "embedding", k=5, n_probe=n_probe, cents=cents
     )
     # fixed per-sf scratch path, rebuilt each run (the
     # delta_roundtrip_stats convention: bench loops and oracle sweeps
@@ -2348,7 +2392,7 @@ def embedding_index_reload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(path, ignore_errors=True)
     save_ann_index(
-        spark, path, dim=64, built_n=n, n_probe=20, centroids=cents
+        spark, path, dim=64, built_n=n, n_probe=n_probe, centroids=cents
     )
     idx = load_ann_index(spark, path)
     reloaded = SIM.ivf_topk(

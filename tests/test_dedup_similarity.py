@@ -299,6 +299,23 @@ def test_granularity_autoscaling():
     assert pq == sorted(pq)
     assert all(16 <= k <= 256 for k in pq)
 
+    from employee_activity_etl_poc_spark.operators.similarity import (
+        suggest_ivf_probe,
+    )
+
+    # IVF probe: constant expected candidate count (~1536), clamped to
+    # probing every cell on small corpora — the r7 closure of the last
+    # constant knob (probe 20 dipped to recall 0.744 at 64 cells/2k)
+    assert suggest_ivf_probe(510, 32) == 32    # gate corpus: probe all
+    assert suggest_ivf_probe(2_000, 64) == 50  # recall 0.984 measured
+    assert suggest_ivf_probe(20_000, 256) == 20   # 0.904 measured
+    assert suggest_ivf_probe(200_000, 512) == 4   # 0.928 measured
+    assert suggest_ivf_probe(20_000_000, 4096) == 4  # floor holds
+    # scanned fraction monotonically non-increasing across the decades
+    fr = [suggest_ivf_probe(n, suggest_ivf_cells(n)) / suggest_ivf_cells(n)
+          for n in (500, 2_000, 20_000, 200_000, 2_000_000)]
+    assert all(a >= b for a, b in zip(fr, fr[1:]))
+
 
 def test_auto_granularity_wired_into_operators(spark, sf_dir):
     """n_planes/n_centroids=None derive from the corpus count inside the
@@ -328,7 +345,7 @@ def test_auto_granularity_wired_into_operators(spark, sf_dir):
     ivf_pairs = {
         (r["query_id"], r["neighbor_id"])
         for r in ivf_topk(
-            emb, queries, "vec_id", "embedding", k=5, n_probe=20, init="kcenter"
+            emb, queries, "vec_id", "embedding", k=5, init="kcenter"
         ).collect()
     }
     assert len(exact_pairs & ivf_pairs) / len(exact_pairs) >= 0.8
@@ -888,6 +905,41 @@ def test_residual_ivf_pq_planted_copy_and_recall(spark, sf_dir):
         )
     )
     assert again == p
+
+
+def test_ivf_pq_rerank_recall_and_planted_copy(spark, sf_dir):
+    """The full IVFx,PQy+refine layout with every granularity derived:
+    the planted exact copy survives cells+codes+shortlist and ranks
+    first with sim 1.0 (exact re-rank), and all-auto recall holds the
+    gated 0.85 floor."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.where(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("long").alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copy)
+    top = SIM.ivf_pq_rerank_topk(
+        corpus, corpus.where(F.col("vec_id") == 0), "vec_id", "embedding", k=1
+    ).collect()
+    assert top and top[0]["neighbor_id"] == 900000 and top[0]["rnk"] == 1
+    assert abs(top[0]["sim"] - 1.0) < 1e-6  # exact re-rank, not ADC
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+    approx = SIM.ivf_pq_rerank_topk(emb, queries, "vec_id", "embedding", k=5)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    e, p = sets(exact), sets(approx)
+    recall = sum(len(e[q] & p.get(q, set())) / len(e[q]) for q in e) / len(e)
+    assert recall >= 0.85, f"all-auto IVF-PQ re-rank recall {recall}"
 
 
 def test_blocked_levenshtein_pairs(spark):

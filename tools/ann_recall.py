@@ -62,6 +62,7 @@ def main() -> None:
         # plane/cell/code counts step up with the corpus
         planes = SIM.suggest_granularity(n_corpus, SIM.AUTO_TARGET_BUCKET)
         cells = SIM.suggest_ivf_cells(n_corpus)
+        probe = SIM.suggest_ivf_probe(n_corpus, cells)
         r = recall(
             SIM.lsh_bucketed_topk(
                 emb, queries, "vec_id", "embedding", dim=dim, k=k,
@@ -74,11 +75,11 @@ def main() -> None:
         r = recall(
             SIM.ivf_topk(
                 emb, queries, "vec_id", "embedding", k=k,
-                n_probe=20, init="kcenter",
+                init="kcenter",
             ),
             exact,
         )
-        print(f"auto ivf  n_cells={cells} (derived) n_probe=20 "
+        print(f"auto ivf  n_cells={cells} n_probe={probe} (derived) "
               f"recall@{k}={r:.3f} floor=0.8 ok={r >= 0.8}")
         r = recall(
             SIM.pq_rerank_topk(

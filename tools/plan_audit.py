@@ -37,6 +37,7 @@ NESTED_LOOP_OK = {
     "embedding_ann_lsh": "exact baseline cross join + 1-row recall flag",
     "embedding_ann_ivf": "exact baseline cross join + 1-row recall flag",
     "embedding_pq_topk": "exact baseline + LUT join + 1-row recall flag",
+    "embedding_ivfpq_topk": "exact baseline + LUT join + 1-row recall flag",
     "embedding_index_reload_topk": (
         "exact baseline cross join + 1-row recall flag + 1-row "
         "reload-identity flag (fresh-vs-reloaded exceptAll aggregate)"

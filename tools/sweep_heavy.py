@@ -75,6 +75,7 @@ QUERIES = [
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "embedding_ivf_cell_stats",
     "embedding_index_reload_topk",
 ]
