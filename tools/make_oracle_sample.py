@@ -58,6 +58,7 @@ HEAVY_ORACLE_QUERIES = [
     "embedding_incremental_near_dup",
     "embedding_ivf_cell_stats",
     "embedding_index_reload_topk",
+    "embedding_ivfpq_topk",
     # runs against the UNSAMPLED (hardlinked) sf1 events table — the
     # slice is in the query itself (r7: the at-scale external check the
     # 38M-pair global form cannot have)
