@@ -42,6 +42,11 @@ QUERIES = [
     "events_cms_daily_range",    # per-segment sketches + range rollup
     "dedup_levenshtein_blocked", # block join + bounded DP verify
     "dedup_levenshtein_passjoin",# partition-signature equi-join (PassJoin)
+    "dedup_ngram_prefix",        # frequency-ordered prefix join (AllPairs)
+    "embedding_ivfpq_topk",      # residual ADC shortlist + exact re-rank
+    "embedding_index_reload_topk",  # parquet index artifact across JVMs
+    "embedding_ivf_cell_stats",  # pinned-centroid drift monitor
+    "error_in_signup_window_sliced",  # hour-sliced range join
     "delta_roundtrip_stats",     # distributed writes through the pylog
     "streaming_ingest_gate",     # readStream -> foreachBatch -> txn sink
     "text_compression_ratio",    # zlib mapInPandas + corpus-flag gate

@@ -15,6 +15,9 @@ at any scale without an external oracle, in Spark itself:
    probing makes one-sided probing symmetric).
 3. min-label CC ≡ large/small-star CC: two independent algorithms, one
    clustering contract — they must produce identical components.
+4. span incremental (empty store) ≡ batch remover: the shared-kernel
+   claim of the gram-store family — with nothing seen before, the
+   incremental rewrite degrades to the batch operator exactly.
 
 Usage: python tools/self_check.py [sf_dir]   (exit 0 = all identities hold)
 """
@@ -89,6 +92,27 @@ def main() -> int:
         "min-label CC == alternating-star CC",
         REGISTRY["dedup_cluster_summary"].fn(spark, sf_dir),
         REGISTRY["dedup_clusters_alternating"].fn(spark, sf_dir),
+    )
+
+    # 4. span-family store degradation (r7): with an EMPTY gram store the
+    # incremental remover must equal the batch remover exactly — same
+    # keeper elections, same rewrites. The sf0.01 oracle hash certifies
+    # both operators separately; this re-proves the shared-kernel claim
+    # at the target scale where the replay oracle is infeasible.
+    ws = F.split(F.col("text"), " ")
+    span_corpus = corpus.select("doc_id", "text").unionByName(
+        corpus.where(F.col("doc_id") < 15).select(
+            (F.col("doc_id") + 900000).alias("doc_id"),
+            F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+        )
+    )
+    empty = D.gram_count_table(span_corpus.limit(0), "text", "doc_id", k=8)
+    check(
+        "span incremental (empty store) == batch remover",
+        D.remove_duplicated_spans_incremental(
+            empty, span_corpus, "text", "doc_id", k=8
+        ),
+        D.remove_duplicated_spans(span_corpus, "text", "doc_id", k=8),
     )
 
     print("ALL OK" if not failures else f"{failures} FAILURES")
