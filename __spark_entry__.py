@@ -49,6 +49,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # blocking contract)
     "embedding_index_reload_topk",
     "embedding_ivfpq_topk",
+    "fuzzy_decontamination",
     "error_in_signup_window_sliced",
     "dedup_ngram_prefix",
     "embedding_pq_topk",
@@ -102,9 +103,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_lsh_bucket_stats",
     "dedup_simhash_hamming",
     "event_value_tdigest",
-    "events_heavy_hitter_users",
     # --- 50-query gate boundary ---
     # previous rotations keep their relative order after the gated prefix
+    "events_heavy_hitter_users",
     "pricing_summary",
     "order_revenue_cube",
     "documents_sequence_packing",

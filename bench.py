@@ -102,6 +102,7 @@ HEADLINE = [
     "error_in_signup_window_sliced",
     "dedup_ngram_prefix",
     "embedding_ivfpq_topk",
+    "fuzzy_decontamination",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries): reported separately as

@@ -490,6 +490,68 @@ def minhash_incremental_pairs(
     )
 
 
+def minhash_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    persist: bool = True,
+) -> DataFrame:
+    """STRICTLY BIPARTITE near-dup pairs: left × right only — no
+    left×left or right×right candidates are ever generated, unlike
+    unioning the frames into :func:`minhash_near_duplicates` (which
+    would pay for, and emit, both within-set pair families).
+
+    The fuzzy-decontamination shape: ``left`` = training corpus,
+    ``right`` = benchmark/eval suite; a band-key equi-join surfaces
+    train docs whose verified shingle-Jaccard against ANY benchmark doc
+    clears ``threshold`` — paraphrased or lightly-edited contamination
+    that per-gram hit counting scores low and a human scores high.
+    At 100 TB the asymmetry is the plan: the benchmark side is
+    millions× smaller, so its banded frame (and its hashed-shingle
+    arrays for the verify join) broadcast, and the training corpus is
+    scanned once with zero shuffle. Candidate volume is monitorable
+    pre-join exactly like the self-join form (``lsh_bucket_stats``
+    composes — the bucket arithmetic is per-frame).
+
+    Output: (left_id, right_id, jaccard) with jaccard >= threshold.
+    """
+    hashed_l, banded_l = lsh_banded_frame(
+        left, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, persist=persist,
+    )
+    hashed_r, banded_r = lsh_banded_frame(
+        right, text_col, id_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, persist=persist,
+    )
+    pairs = (
+        banded_l.alias("a")
+        .join(
+            banded_r.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(F.col("a.doc").alias("left_id"), F.col("b.doc").alias("right_id"))
+        .distinct()
+    )
+    hs_l = hashed_l.select(F.col("doc").alias("left_id"), F.col("hs").alias("hs_l"))
+    hs_r = hashed_r.select(F.col("doc").alias("right_id"), F.col("hs").alias("hs_r"))
+    return (
+        pairs.join(hs_l, "left_id")
+        .join(hs_r, "right_id")
+        .select(
+            "left_id", "right_id",
+            jaccard(F.col("hs_l"), F.col("hs_r")).alias("j"),
+        )
+        .where(F.col("j") >= threshold)
+        .select("left_id", "right_id", F.round("j", 4).alias("jaccard"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -228,6 +228,109 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_decontaminate(docs, bench, "text", "doc_id", n=8)
 
 
+def _cross_minhash_oracle_sql() -> str:
+    """Oracle for the bipartite (train × benchmark) MinHash join:
+    identical hash family, permutation constants, and band keys as
+    :func:`_minhash_oracle_sql`, over ONE tagged corpus so the
+    signature chain is written once — the pair join then requires the
+    sides to differ, which is exactly the operator's candidate
+    contract (no train×train, no bench×bench)."""
+    from ..operators.dedup import MINHASH_PRIME, _perm_params
+
+    perms = ", ".join(
+        f"list_min([({a} * h + {b}) % {MINHASH_PRIME} for h in hs])"
+        for a, b in _perm_params(16)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, 't' AS side, text FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 300000, 't',
+             array_to_string((string_split(text, ' '))[2:], ' ')
+      FROM documents WHERE doc_id % 10 = 3 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id, 'b', text FROM documents WHERE doc_id % 10 = 3
+    ),
+    w AS (SELECT doc_id, side, string_split(text, ' ') AS ws FROM corpus),
+    sh AS (
+      SELECT doc_id, side,
+             list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            for i in generate_series(1, len(ws) - 2)]) AS s
+      FROM w WHERE len(ws) >= 3
+    ),
+    hh AS (
+      SELECT doc_id, side,
+             list_distinct([CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) for x in s]) AS hs
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, side, hs, [{perms}] AS mh FROM hh),
+    bands AS (
+      SELECT doc_id, side, b,
+             mh[4*b+1]::VARCHAR || ',' || mh[4*b+2]::VARCHAR || ',' ||
+             mh[4*b+3]::VARCHAR || ',' || mh[4*b+4]::VARCHAR AS key
+      FROM sig, generate_series(0, 3) t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.key = b.key AND a.side = 't' AND b.side = 'b'
+    )
+    SELECT train_id, bench_id,
+           round(1.0 * len(list_intersect(x.hs, y.hs))
+                 / len(list_distinct(list_concat(x.hs, y.hs))), 4) AS jaccard
+    FROM pairs
+    JOIN hh x ON x.doc_id = train_id AND x.side = 't'
+    JOIN hh y ON y.doc_id = bench_id AND y.side = 'b'
+    WHERE 1.0 * len(list_intersect(x.hs, y.hs))
+          / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.5
+    """
+
+
+@register(
+    "fuzzy_decontamination",
+    _cross_minhash_oracle_sql(),
+    doc="FUZZY benchmark decontamination: MinHash(16)+LSH(4 bands) as a "
+    "strictly bipartite train × benchmark join "
+    "(`dedup.minhash_cross_pairs`) — catches paraphrased/lightly-edited "
+    "eval contamination that exact 8-gram hit counting under-scores "
+    "(planted here: first-word-dropped copies of bench docs < 100, "
+    "re-id'd +300000, recovered at Jaccard >= 0.5 up to the textbook "
+    "banding miss rate on the shortest docs — the oracle replays the "
+    "identical bands, so both engines agree exactly either way). No "
+    "train×train or bench×bench candidates are ever generated; the "
+    "benchmark side is the small one by construction, so at 100 TB its "
+    "banded frame and verify arrays broadcast and the training corpus "
+    "is scanned once, shuffle-free. Complements (not replaces) the "
+    "exact-gram pass: grams catch verbatim spans, this catches "
+    "whole-document paraphrase overlap.",
+    tags=("llm", "text", "quality", "dedup", "scale"),
+)
+def fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 10 == 3).select("doc_id", "text")
+    ws = F.split(F.col("text"), " ")
+    planted = (
+        docs.where((F.col("doc_id") % 10 == 3) & (F.col("doc_id") < 100))
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.array_join(F.slice(ws, 2, F.size(ws) - 1), " ").alias("text"),
+        )
+    )
+    train = (
+        docs.where(F.col("doc_id") % 10 != 3)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    return D.minhash_cross_pairs(
+        train, bench, "text", "doc_id",
+        num_perm=16, bands=4, shingle_k=3, threshold=0.5,
+    ).select(
+        F.col("left_id").alias("train_id"),
+        F.col("right_id").alias("bench_id"),
+        "jaccard",
+    )
+
+
 @register(
     "text_redaction",
     """

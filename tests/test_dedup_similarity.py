@@ -1467,3 +1467,41 @@ def test_ivf_cell_stats_pinned_centroids_observe_drift(spark):
         new, "vec_id", "embedding", n_centroids=4, init="kcenter"
     ).collect()[0]
     assert refit["imbalance"] < pinned["imbalance"]
+
+
+def test_minhash_cross_pairs_bipartite_only(spark):
+    """The cross join finds left×right near-dups and NEVER emits
+    within-set pairs, even when both sides contain internal dups."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = " ".join(base.split()[1:])  # drop first word
+    other = "completely different words that share nothing with the others one two"
+    # left has an INTERNAL dup pair (1,2) — must not be reported
+    left = _docs(spark, [(1, base), (2, base), (3, other)])
+    right = _docs(spark, [(10, near), (11, other)])
+    pairs = sorted(
+        (p["left_id"], p["right_id"])
+        for p in D.minhash_cross_pairs(
+            left, right, "text", "doc_id", threshold=0.5
+        ).collect()
+    )
+    # 1×10 and 2×10 (base vs first-word-dropped), 3×11 (identical)
+    assert pairs == [(1, 10), (2, 10), (3, 11)]
+
+
+def test_fuzzy_decontamination_recovers_planted(spark, sf_dir):
+    """The gated query recovers the planted paraphrases (bench docs with
+    first word dropped, re-id'd +300000) and the output is strictly
+    bipartite. Recovery is probabilistic per pair — MinHash banding has
+    the textbook miss rate on the shortest docs (an 11-word doc's
+    J≈0.89 pair misses all 4 bands with ~2% probability; the oracle
+    replays the identical banding so the gate still hash-matches) —
+    so the floor is 8/10, not 10/10."""
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["fuzzy_decontamination"].fn(spark, sf_dir).collect()
+    got = {(r["train_id"], r["bench_id"]): r["jaccard"] for r in rows}
+    planted = {(b + 300000, b) for b in range(3, 100, 10)}
+    assert len(planted & set(got)) >= 8
+    assert all(t >= 300000 or t % 10 != 3 for t, _ in got)
+    assert all(b % 10 == 3 for _, b in got)
+    assert all(j >= 0.5 for j in got.values())

@@ -41,6 +41,7 @@ SAMPLED_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
 # (kept in one place so the gate invocation can't drift from the tool).
 HEAVY_ORACLE_QUERIES = [
     "dedup_minhash_lsh",
+    "fuzzy_decontamination",
     "dedup_minhash_df_pruned",
     "dedup_minhash_incremental",
     "dedup_lsh_bucket_stats",

@@ -40,6 +40,7 @@ QUERIES = [
     "dedup_exact",
     "dedup_exact_normalized",
     "dedup_minhash_lsh",
+    "fuzzy_decontamination",
     "dedup_minhash_df_pruned",
     "dedup_minhash_incremental",
     "dedup_lsh_bucket_stats",
