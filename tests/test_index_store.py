@@ -108,3 +108,48 @@ def test_lsh_params_roundtrip_and_drift_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="drifted"):
         load_ann_index(spark, bad_path)
     assert "drifted" in PLANE_DRIFT_MSG
+
+
+def test_refresh_ivf_index_lifecycle(spark, tmp_path):
+    """build -> kept (same corpus) -> refreshed (collapsed corpus
+    breaches the bound) -> kept again (idempotent after retrain)."""
+    from employee_activity_etl_poc_spark.plans.index_lifecycle import (
+        refresh_ivf_index_if_drifted,
+    )
+
+    path = os.path.join(tmp_path, "ivf_lifecycle")
+    # spread corpus: 4 clean cosine-clusters on axes 0-3 of an 8-d space
+    spread = spark.createDataFrame(
+        [(i, [1.0 if j == i % 4 else 0.01 * ((i + j) % 3) for j in range(8)])
+         for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    r1 = refresh_ivf_index_if_drifted(
+        spark, spread, "vec_id", "embedding", path, imbalance_bound=3.0
+    )
+    assert r1["action"] == "built" and os.path.isdir(path)
+    r2 = refresh_ivf_index_if_drifted(
+        spark, spread, "vec_id", "embedding", path, imbalance_bound=3.0
+    )
+    assert r2["action"] == "kept" and r2["imbalance"] <= 3.0
+    assert r2["built_n"] == 64 and r2["n_probe"] == r1["n_probe"]
+    # drifted corpus: every vector cosine-close to the OLD axis-0
+    # cluster (the pinned index funnels all of it into that cell), with
+    # sub-structure only in secondary components (axes 4-7) that a
+    # retrain can split on
+    collapsed = spark.createDataFrame(
+        [(i, [1.0 if j == 0 else (0.45 if j == 4 + i % 4 else 0.0)
+              for j in range(8)])
+         for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    r3 = refresh_ivf_index_if_drifted(
+        spark, collapsed, "vec_id", "embedding", path, imbalance_bound=3.0
+    )
+    assert r3["action"] == "refreshed"
+    assert r3["imbalance"] > 3.0 > r3["imbalance_after"]
+    assert r3["built_n"] == 64
+    r4 = refresh_ivf_index_if_drifted(
+        spark, collapsed, "vec_id", "embedding", path, imbalance_bound=3.0
+    )
+    assert r4["action"] == "kept"
