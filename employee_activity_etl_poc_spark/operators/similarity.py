@@ -361,42 +361,46 @@ def quantized_topk(
     well-separated neighbors are preserved, and the arithmetic is exactly
     reproducible across engines."""
     from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
+
+    # The integer dot makes the Arrow/BLAS tier BIT-IDENTICAL to the
+    # expression-fold form it replaces (r7 — that fold interpreted a
+    # 64-step lambda per (corpus, query) pair, the dominant cost at
+    # scale): products are ≤ 16129·dim ≪ 2^53 so the int64 matmul is
+    # exact in any order, norms are sqrt of exact integers (correctly
+    # rounded IEEE in numpy and the JVM alike), and the one
+    # dialect-sensitive step — HALF_UP rounding — stays in the JVM
+    # (F.round) on the raw IEEE quotient.
+    q_rows = quantize_embeddings(queries, id_col, vec_col).select(
+        F.col(id_col).alias("qid"), "qv"
+    ).collect()
+    q_ids = np.array([r["qid"] for r in q_rows])
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.int64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+
+    def score(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            dots = (c_mat @ q_mat.T).astype(np.float64)  # exact
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+            raw = dots / (c_norm[:, None] * q_norm[None, :])
+            n_ids = pdf["nid"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], len(n_ids), 0).ravel(),
+                    "neighbor_id": np.repeat(n_ids, len(q_ids)),
+                    "raw": raw.ravel(),
+                }
+            )
 
     cq = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("qv").alias("cv"),
-        F.sqrt(
-            F.aggregate(
-                F.col("qv"), F.lit(0.0), lambda a, x: a + (x * x).cast("double")
-            )
-        ).alias("cn"),
-    )
-    qq = quantize_embeddings(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("qv").alias("qv2"),
-        F.sqrt(
-            F.aggregate(
-                F.col("qv"), F.lit(0.0), lambda a, x: a + (x * x).cast("double")
-            )
-        ).alias("qn"),
+        F.col(id_col).alias("nid"), "qv"
     )
     sims = (
-        cq.join(F.broadcast(qq), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("cv"), F.col("qv2"), lambda a, b: (a * b).cast("double")
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("cn") * F.col("qn")),
-                6,
-            ).alias("sim"),
-        )
+        cq.mapInPandas(score, schema="query_id long, neighbor_id long, raw double")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(F.col("raw"), 6).alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
