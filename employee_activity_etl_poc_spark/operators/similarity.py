@@ -381,7 +381,15 @@ def quantized_topk(
 
     def score(batches):
         for pdf in batches:
-            c_mat = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            # corpus quantization fused into the Arrow stage — the same
+            # IEEE double ops as quantize_embeddings' column form
+            # (abs-max, /127, x/scale, +0.5, floor), so the ints are
+            # identical; the expression form interpreted dim ops per
+            # element and dominated the scan at scale
+            amax = np.abs(x).max(axis=1)
+            scale = np.where(amax == 0.0, 1.0, amax / 127.0)
+            c_mat = np.floor(x / scale[:, None] + 0.5).astype(np.int64)
             dots = (c_mat @ q_mat.T).astype(np.float64)  # exact
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
             raw = dots / (c_norm[:, None] * q_norm[None, :])
@@ -394,9 +402,7 @@ def quantized_topk(
                 }
             )
 
-    cq = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("nid"), "qv"
-    )
+    cq = _as_double(corpus, vec_col).select(F.col(id_col).alias("nid"), "v")
     sims = (
         cq.mapInPandas(score, schema="query_id long, neighbor_id long, raw double")
         .where(F.col("neighbor_id") != F.col("query_id"))

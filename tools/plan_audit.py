@@ -43,7 +43,6 @@ NESTED_LOOP_OK = {
         "reload-identity flag (fresh-vs-reloaded exceptAll aggregate)"
     ),
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
-    "embedding_quantized_topk": "exact baseline over int8 codes",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
     "dedup_lsh_bucket_stats": "1-row bucket aggregates assembled (2 modes)",
 }
