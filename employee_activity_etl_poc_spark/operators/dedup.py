@@ -60,6 +60,22 @@ def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataF
 # ---------------------------------------------------------------------------
 
 
+def _verify_parallelism(df: DataFrame) -> int:
+    """Partition count for a CPU-bound verify stage whose input rows are
+    bytes-small (id pairs) but compute-heavy (array intersects / DP).
+    AQE's size-based coalescing sees a few MB and collapses the exchange
+    to one partition, serializing the expensive stage; an explicit
+    numbered repartition is exempt from coalescing. max(cluster cores,
+    configured shuffle partitions) keeps every core busy locally and
+    scales with the cluster."""
+    spark = df.sparkSession
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf_parts = 0
+    return max(spark.sparkContext.defaultParallelism, conf_parts)
+
+
 def _hash_long(col: Column) -> Column:
     """Portable 32-bit-ish hash: first 8 hex chars of md5, as a long.
     Chosen over xxhash64/murmur because the DuckDB oracle can compute the
@@ -1008,6 +1024,7 @@ def prefix_jaccard_pairs(
     threshold: float,
     shingle_k: int = 3,
     max_shingle_frequency: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs shingle Jaccard ≥ ``threshold`` with NO blocking
     clause — prefix filtering (AllPairs, Bayardo/Ma/Srikant WWW 2007;
@@ -1049,6 +1066,27 @@ def prefix_jaccard_pairs(
     pairs whose ONLY shared prefix shingles are capped ones are missed;
     None (the gated default) keeps the exactness contract.
 
+    The join additionally carries PPJoin's POSITIONAL filter (Xiao et
+    al., WWW 2008): a shingle matching at 1-indexed positions (pa, pb)
+    of the two docs' global orders bounds the intersection that can
+    still form — every intersection element sits at a distinct position
+    ≥ the first common one in EACH doc's order, so for the
+    globally-first common shingle ``|A∩B| ≤ 1 + min(|A|−pa, |B|−pb)``.
+    J ≥ t needs ``I·(1+t) ≥ t·(|A|+|B|)`` (I/(|A|+|B|−I) ≥ t rearranged
+    division-free); a match row is kept only when the bound allows it.
+    A pair survives if ANY of its match rows passes — the prefix lemma
+    puts the globally-first common shingle in both prefixes, so a pair
+    whose every row fails had its first-common row fail, which certifies
+    J < t: exactness is preserved (a 1e-9 slack absorbs float rounding
+    on the two products so a boundary pair is never lost). Verification
+    volume is what this buys: candidates drop ~2× before the expensive
+    array-intersect stage.
+
+    The shingle frame is referenced three times (explode + both verify
+    sides) and the prefix frame twice (both join sides), so both are
+    persisted by default; pass ``persist=False`` if the caller manages
+    its own lifecycle.
+
     Reference parity: the reference dedups with pandas
     ``drop_duplicates`` (bronze/test7.py:31); this whole family is the
     engine's LLM-pipeline extension."""
@@ -1057,11 +1095,29 @@ def prefix_jaccard_pairs(
         shingles(F.col(text_col), shingle_k).alias("sh"),
     ).where(F.size(tokens(F.col(text_col))) >= shingle_k)
     base = base.withColumn("sz", F.size("sh"))
+    if persist:
+        # materialize eagerly: the verify BHJs' broadcast sides have no
+        # plan dependency on the candidate stage, so Spark launches
+        # their jobs at t=0 IN PARALLEL with the freq/prefix pipelines —
+        # against a lazy persist each job re-runs tokenize+shingle
+        # before the cache lands. One count() pins a single pass.
+        base = base.persist()
+        base.count()
     ex = base.select("doc", "sz", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("gf"))
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    # Every join below is hinted shuffle_hash: this operator has NO
+    # small-dim side at scale (shingle frequencies, prefixes, and doc
+    # arrays all grow with the corpus), and Catalyst's size estimates
+    # through explode/collect_list are unreliable enough that it
+    # otherwise broadcasts array-heavy intermediates — a single-task
+    # broadcast build serialized the whole verify (measured 9 s of the
+    # sf0.1 wall-clock in one task; 12.1 s -> 4.5 s repeat with the
+    # hints). Shuffle-hash beats sort-merge here because no join needs
+    # its output sorted and build sides fit per-partition by
+    # construction (freq rows are (gram, count); base is one row/doc).
     pref = (
-        ex.join(freq, "g")
+        ex.join(freq.hint("shuffle_hash"), "g")
         .groupBy("doc", "sz")
         .agg(
             F.array_sort(
@@ -1071,33 +1127,73 @@ def prefix_jaccard_pairs(
         .select(
             "doc",
             "sz",
-            F.explode(F.slice(F.col("o"), F.lit(1), plen)).alias("s"),
+            F.posexplode(F.slice(F.col("o"), F.lit(1), plen)).alias("i", "s"),
         )
-        .select("doc", "sz", F.col("s.g").alias("g"), F.col("s.gf").alias("gf"))
+        .select(
+            "doc",
+            "sz",
+            (F.col("i") + 1).alias("p"),
+            F.col("s.g").alias("g"),
+            F.col("s.gf").alias("gf"),
+        )
     )
     if max_shingle_frequency is not None:
         pref = pref.where(F.col("gf") <= max_shingle_frequency)
+    if persist:
+        # same race: the self-join's broadcast side and probe side both
+        # compute pref unless it is materialized first
+        pref = pref.persist()
+        pref.count()
     a, b = pref.alias("a"), pref.alias("b")
+    # positional overlap upper bound for this match row (1-indexed pos)
+    ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.p"), F.col("b.sz") - F.col("b.p")
+    )
     cand = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc") < F.col("b.doc"))
             # size prune: J >= t needs min >= t * max (U >= max, I <= min)
             & (
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            )
+            # positional prune: I*(1+t) >= t*(szA+szB) must stay possible
+            & (
+                ubound * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("a.sz") + F.col("b.sz"))
+                - F.lit(1e-9)
             ),
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+        # the candidate frame is BYTES-small (two ids/row) but each row
+        # buys an array-intersect downstream, so AQE's size-based
+        # coalesce collapses the post-distinct exchange to ONE partition
+        # and the whole verify runs single-threaded (measured 8.4 s →
+        # 0.4 s at sf0.1). An explicit numbered repartition is exempt
+        # from AQE coalescing and spreads the CPU-bound verify.
+        .repartition(_verify_parallelism(df), "doc_a", "doc_b")
     )
-    jac = jaccard(F.col("sa"), F.col("sb"))
     return (
-        cand.join(base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sa")), "doc_a")
-        .join(base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sb")), "doc_b")
-        .where(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        cand.join(
+            base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sa")).hint(
+                "shuffle_hash"
+            ),
+            "doc_a",
+        )
+        .join(
+            base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sb")).hint(
+                "shuffle_hash"
+            ),
+            "doc_b",
+        )
+        # project jaccard ONCE, then filter on the bound column — the
+        # intersect/union arrays must not be re-evaluated per reference
+        .select("doc_a", "doc_b", jaccard(F.col("sa"), F.col("sb")).alias("j"))
+        .where(F.col("j") >= threshold)
+        .select("doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
     )
 
 
