@@ -51,6 +51,7 @@ COUNTERS = {
     "exchanges": re.compile(r"Exchange (hash|range|SinglePartition)"),
     "bhj": re.compile(r"BroadcastHashJoin"),
     "smj": re.compile(r"SortMergeJoin"),
+    "shj": re.compile(r"ShuffledHashJoin"),
     "bnlj_cartesian": re.compile(r"BroadcastNestedLoopJoin|CartesianProduct"),
     "python": re.compile(r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"),
     "scans": re.compile(r"FileScan parquet|Scan ExistingRDD"),
@@ -125,8 +126,8 @@ def main() -> int:
         "the documented allowlist in `tools/plan_audit.py` (tiny flag/"
         "estimate sides, exact baselines, bounded-block all-pairs).",
         "",
-        "| query | xchg | bhj | smj | bnlj | py | scans | wsc |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | xchg | bhj | smj | shj | bnlj | py | scans | wsc |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     tot = dict.fromkeys(COUNTERS, 0)
     for name, c in sorted(rows):
@@ -135,8 +136,8 @@ def main() -> int:
         note = " ⚠" if c["bnlj_cartesian"] and name not in NESTED_LOOP_OK else ""
         lines.append(
             f"| {name}{note} | {c['exchanges']} | {c['bhj']} | {c['smj']} | "
-            f"{c['bnlj_cartesian']} | {c['python']} | {c['scans']} | "
-            f"{c['codegen_spans']} |"
+            f"{c['shj']} | {c['bnlj_cartesian']} | {c['python']} | "
+            f"{c['scans']} | {c['codegen_spans']} |"
         )
     nl_note = (
         "all allowlisted" if not violations
@@ -145,7 +146,8 @@ def main() -> int:
     lines += [
         "",
         f"**Totals over {len(rows)} queries**: {tot['exchanges']} shuffles, "
-        f"{tot['bhj']} broadcast-hash vs {tot['smj']} sort-merge joins, "
+        f"{tot['bhj']} broadcast-hash vs {tot['smj']} sort-merge vs "
+        f"{tot['shj']} shuffled-hash joins, "
         f"{tot['bnlj_cartesian']} nested-loop/cartesian ({nl_note}), "
         f"{tot['python']} Python boundaries, {tot['scans']} scans, "
         f"{tot['codegen_spans']} codegen spans.",
