@@ -21,6 +21,7 @@ correctness oracle computes the identical signatures in SQL).
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1084,8 +1085,14 @@ def prefix_jaccard_pairs(
 
     The shingle frame is referenced three times (explode + both verify
     sides) and the prefix frame twice (both join sides), so both are
-    persisted by default; pass ``persist=False`` if the caller manages
-    its own lifecycle.
+    persisted by default — at ``DISK_ONLY``: these are the plan's two
+    bulkiest frames (per-doc k-gram arrays; the prefix fan-out), and
+    keeping them on-heap alongside the join stages' sort buffers is a
+    memory multiplier that OOM'd a 500k-doc fixture on an 8 GiB heap,
+    while columnar batches re-read from local disk (page-cache-warm)
+    cost ~nothing next to the join work (measured 500k docs: heap
+    cache OOM, no cache 140 s, DISK_ONLY 57 s cold / 6 s warm). Pass
+    ``persist=False`` if the caller manages its own lifecycle.
 
     Reference parity: the reference dedups with pandas
     ``drop_duplicates`` (bronze/test7.py:31); this whole family is the
@@ -1096,26 +1103,38 @@ def prefix_jaccard_pairs(
     ).where(F.size(tokens(F.col(text_col))) >= shingle_k)
     base = base.withColumn("sz", F.size("sh"))
     if persist:
-        # materialize eagerly: the verify BHJs' broadcast sides have no
+        # materialize eagerly: the verify joins' base sides have no
         # plan dependency on the candidate stage, so Spark launches
-        # their jobs at t=0 IN PARALLEL with the freq/prefix pipelines —
+        # their jobs IN PARALLEL with the freq/prefix pipelines —
         # against a lazy persist each job re-runs tokenize+shingle
         # before the cache lands. One count() pins a single pass.
-        base = base.persist()
+        # DISK_ONLY, not the on-heap default: the shingle arrays are
+        # the operator's bulkiest payload (|docs| × k-gram strings),
+        # and holding them on-heap next to 32 concurrent sort-buffer
+        # tasks OOM'd the sf10 fixture (500k docs / 8g heap), while
+        # local disk reads of columnar batches land in page cache —
+        # measured sf10: heap-cache OOM, no cache 140 s, DISK_ONLY
+        # 57 s cold / 6 s warm.
+        base = base.persist(StorageLevel.DISK_ONLY)
         base.count()
     ex = base.select("doc", "sz", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("gf"))
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    # Every join below is hinted shuffle_hash: this operator has NO
+    # Every join below carries an explicit hint: this operator has NO
     # small-dim side at scale (shingle frequencies, prefixes, and doc
     # arrays all grow with the corpus), and Catalyst's size estimates
     # through explode/collect_list are unreliable enough that it
     # otherwise broadcasts array-heavy intermediates — a single-task
     # broadcast build serialized the whole verify (measured 9 s of the
-    # sf0.1 wall-clock in one task; 12.1 s -> 4.5 s repeat with the
-    # hints). Shuffle-hash beats sort-merge here because no join needs
-    # its output sorted and build sides fit per-partition by
-    # construction (freq rows are (gram, count); base is one row/doc).
+    # sf0.1 wall-clock in one task; 12.1 s -> 4.5 s repeat with hints).
+    # WHICH hint is a memory decision: shuffle_hash only where the
+    # per-partition build is narrow rows ((gram, count) here — compact
+    # even when the gram domain is large); merge (sort-merge) wherever
+    # a side carries the shingle ARRAYS or the wide prefix fan-out,
+    # because SHJ pins every concurrent build map on-heap at once
+    # (corpus/parts × arrays × n_cores — measured OOM at 500k docs on
+    # the sf10 fixture) while SMJ streams both sides through spillable
+    # sorters, the posture a 1000-executor cluster needs anyway.
     pref = (
         ex.join(freq.hint("shuffle_hash"), "g")
         .groupBy("doc", "sz")
@@ -1140,9 +1159,10 @@ def prefix_jaccard_pairs(
     if max_shingle_frequency is not None:
         pref = pref.where(F.col("gf") <= max_shingle_frequency)
     if persist:
-        # same race: the self-join's broadcast side and probe side both
-        # compute pref unless it is materialized first
-        pref = pref.persist()
+        # same race on the self-join's two sides; DISK_ONLY for the
+        # same heap reason — pref is the widest frame of the plan
+        # (~0.6·|sh| rows per doc).
+        pref = pref.persist(StorageLevel.DISK_ONLY)
         pref.count()
     a, b = pref.alias("a"), pref.alias("b")
     # positional overlap upper bound for this match row (1-indexed pos)
@@ -1151,7 +1171,7 @@ def prefix_jaccard_pairs(
     )
     cand = (
         a.join(
-            b.hint("shuffle_hash"),
+            b.hint("merge"),
             (F.col("a.g") == F.col("b.g"))
             & (F.col("a.doc") < F.col("b.doc"))
             # size prune: J >= t needs min >= t * max (U >= max, I <= min)
@@ -1179,13 +1199,13 @@ def prefix_jaccard_pairs(
     return (
         cand.join(
             base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sa")).hint(
-                "shuffle_hash"
+                "merge"
             ),
             "doc_a",
         )
         .join(
             base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sb")).hint(
-                "shuffle_hash"
+                "merge"
             ),
             "doc_b",
         )
