@@ -1554,7 +1554,16 @@ def passjoin_pairs(
         )
         .distinct()
     )
-    pairs = cand.unionByName(short_pairs).distinct()
+    # candidate rows are two ids — bytes-small but each buys a banded-DP
+    # verify downstream, so AQE's size-based coalesce would shrink the
+    # post-distinct exchange and serialize the CPU-bound verify; an
+    # explicit numbered repartition is exempt (same defense as
+    # prefix_jaccard_pairs' verify).
+    pairs = (
+        cand.unionByName(short_pairs)
+        .distinct()
+        .repartition(_verify_parallelism(df), "da", "db")
+    )
     av = base.select(
         F.col("doc").alias("da"),
         F.col("t").alias("ta"),
