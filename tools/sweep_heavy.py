@@ -89,7 +89,17 @@ def _run(spark, name: str, sf_dir: str) -> tuple[float, float]:
     cold = time.time() - t0
     t1 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return round(cold, 3), round(time.time() - t1, 3)
+    warm = time.time() - t1
+    # cache hygiene BETWEEN measurements (after warm, so warm still
+    # reuses the cold run's persists, which is what "warm" means): a
+    # query's persisted frames must not sit on the heap while the NEXT
+    # query's sort/columnar stages allocate — nine queries of
+    # accumulated caches starved dedup_ngram_prefix's eager persist
+    # into a GCLocker OOM that the query, alone in the session, never
+    # hits. Per-query sessions (the 1000-executor reality) have no such
+    # neighbor; the sweep must not invent one.
+    spark.catalog.clearCache()
+    return round(cold, 3), round(warm, 3)
 
 
 def main() -> None:
