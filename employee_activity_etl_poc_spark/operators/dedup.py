@@ -385,6 +385,7 @@ def lsh_bucket_stats(
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
     max_doc_frequency: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Skew monitor for the LSH candidate space: one row —
     (n_docs, n_buckets, max_bucket, candidate_pairs) — where
@@ -395,18 +396,35 @@ def lsh_bucket_stats(
     cheap aggregate (bucket sizes, |buckets| rows) BEFORE anyone pays
     the quadratic join — and the same knobs (``max_doc_frequency``,
     ``max_bucket_size``) can be evaluated against the real corpus by
-    re-running the monitor, not the join."""
-    _hashed, banded = lsh_banded_frame(
+    re-running the monitor, not the join.
+
+    The banded frame is materialized ONCE (DISK_ONLY — narrow
+    (doc, band, key) rows) and both aggregates read the cache; the
+    signature pipeline's own caches are released before returning.
+    Without this the monitor's two aggregate branches each re-derived
+    shingles → md5 → minhash (and the DF-pruned form re-derived them
+    again inside the prune's frequency pass): ~8 full signature passes
+    for the two-mode gated query, 130 s at 50k docs for what the cached
+    form does in a fraction — a "cheap pre-flight" has to actually be
+    cheap. Pass ``persist=False`` to keep the plan fully lazy (plan
+    inspection; caller-managed lifecycles)."""
+    hashed, banded = lsh_banded_frame(
         df,
         text_col,
         id_col,
         num_perm=num_perm,
         bands=bands,
         shingle_k=shingle_k,
-        persist=False,
+        persist=persist,
         max_bucket_size=max_bucket_size,
         max_doc_frequency=max_doc_frequency,
     )
+    if persist:
+        banded = banded.persist(StorageLevel.DISK_ONLY)
+        banded.count()
+        # the monitor never reads the signature frame again; its cache
+        # only had to live long enough to feed banded's one evaluation
+        hashed.unpersist()
     buckets = banded.groupBy("band", "key").agg(F.count("*").alias("n_b"))
     return buckets.agg(
         F.count("*").alias("n_buckets"),
