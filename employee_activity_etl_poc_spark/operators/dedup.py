@@ -1615,6 +1615,7 @@ def duplicated_token_spans(
     id_col: str,
     k: int = 8,
     min_occurrences: int = 2,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact substring-duplication detection — the span-level dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1643,6 +1644,16 @@ def duplicated_token_spans(
     space would birthday-collide around ~65k distinct grams and report
     unique text as duplicated."""
     grams = _positioned_grams(df, text_col, id_col, k)
+    if persist:
+        # the gram frame feeds BOTH the frequency aggregate and the
+        # semi-join probe; without a cache each side re-pays the
+        # operator's real CPU cost — materializing every k-gram string
+        # and md5-fingerprinting ~|tokens| grams per doc. DISK_ONLY:
+        # narrow (doc, pos, g) rows, and the span family's frames must
+        # not occupy heap next to the window stages (same posture as
+        # prefix_jaccard_pairs). Pass persist=False for caller-managed
+        # lifecycles (the streaming pipeline's per-batch calls).
+        grams = grams.persist(StorageLevel.DISK_ONLY)
     dup = (
         grams.groupBy("g")
         .agg(F.count("*").alias("_n"))
