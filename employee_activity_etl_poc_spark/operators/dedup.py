@@ -1721,6 +1721,13 @@ def duplicated_token_spans_incremental(
     every incremental dedup index (the minhash store has the same
     shape: old-old pairs were emitted by the batch that completed
     them)."""
+    # NOTE deliberately NOT persisted (unlike the batch detector): here
+    # the count aggregate and the semi-join probe both SHUFFLE grams_b
+    # on g, so Spark's exchange reuse already materializes the gram
+    # extraction once; a cache would replace that free reuse with a
+    # disk round-trip (measured +25% cold at sf1). The batch detector
+    # caches because its probe side skips the g-shuffle (broadcast
+    # semi-join), leaving no exchange to reuse.
     grams_b = _positioned_grams(batch, text_col, id_col, k)
     counts_b = grams_b.groupBy("g").agg(
         F.count("*").cast("long").alias("n")
@@ -1834,6 +1841,10 @@ def remove_duplicated_spans_incremental(
         .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(0)))
         .where(F.col("_ns") + F.col("_nb") >= min_occurrences)
     )
+    # NOT persisted: the two removal-class filters sit on an identical
+    # g-shuffled subtree (window + store join), which exchange reuse
+    # already computes once — a cache here measured 75% slower cold at
+    # the sf10 fixture (see the detect variant's note).
     seen_hits = with_counts.where(F.col("_ns") >= 1).select("doc", "pos")
     fresh_hits = with_counts.where(F.col("_ns") == 0).select("doc", "pos")
     # seen-before: every occurrence in the batch goes — the store holds
