@@ -179,6 +179,31 @@ def test_prefix_jaccard_matches_brute_force(spark, sf_dir):
     assert capped <= pref
 
 
+def test_prefix_jaccard_plan_memory_posture(spark):
+    """Regression pin for the sf10 OOM: the operator's scale posture is
+    (a) sort-merge on every array-carrying join (a shuffled-hash build
+    map of shingle arrays × concurrent tasks blew the heap at 500k
+    docs; an unhinted plan BROADCASTS array intermediates through bad
+    size estimates), (b) shuffled-hash only on the narrow gram-
+    frequency join, (c) DISK_ONLY for both reused caches. Asserted on
+    the compiled plan so a hint/StorageLevel regression fails loudly
+    here instead of OOMing a production-scale corpus."""
+    rows = [(i, f"alpha beta gamma delta epsilon zeta {i} eta theta") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.prefix_jaccard_pairs(df, "text", "doc_id", threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # verify joins (2) + candidate self-join (1) are sort-merge
+    assert plan.count("SortMergeJoin") >= 3, plan
+    # the gram-frequency join stays shuffled-hash (narrow build rows)
+    assert "ShuffledHashJoin" in plan, plan
+    # no broadcast anywhere in this operator: no side is small at scale
+    assert "BroadcastHashJoin" not in plan, plan
+    # both caches are DISK_ONLY — on-heap shingle arrays next to the
+    # join stages' sort buffers are exactly what OOM'd
+    assert "StorageLevel(disk, 1 replicas)" in plan, plan
+    assert "StorageLevel(memory" not in plan, plan
+
+
 def _vecs(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
