@@ -95,25 +95,30 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_scores",
     "token_counts",
     "vocabulary_top_terms",
-    # Round-7 rotation part 4: oldest r5 gates (minhash/sketch/PQ
-    # families) fill the 50-query gate boundary exactly
-    "dedup_minhash_lsh",
-    "dedup_minhash_df_pruned",
-    "dedup_minhash_incremental",
+    # Round-7 rotation part 4 (late-r7 revision): everything the
+    # late-r7 perf pass touched outranks stale-but-unchanged gates —
+    # the reworked LSH skew monitor, the gram-cached span family, and
+    # the repartitioned PassJoin join the changed set; the unchanged
+    # minhash/simhash/tdigest entries they displace were independently
+    # re-swept by the judge in r6 and move just past the boundary.
+    # Fills the 50-query gate boundary exactly.
     "dedup_lsh_bucket_stats",
-    "dedup_simhash_hamming",
-    "event_value_tdigest",
-    # --- 50-query gate boundary ---
-    # previous rotations keep their relative order after the gated prefix
-    "events_heavy_hitter_users",
-    "pricing_summary",
-    "order_revenue_cube",
-    "documents_sequence_packing",
     "dedup_duplicated_spans",
     "dedup_span_removal_stats",
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
     "dedup_spans_incremental_removal",
+    # --- 50-query gate boundary ---
+    # previous rotations keep their relative order after the gated prefix
+    "dedup_minhash_lsh",
+    "dedup_minhash_df_pruned",
+    "dedup_minhash_incremental",
+    "dedup_simhash_hamming",
+    "event_value_tdigest",
+    "events_heavy_hitter_users",
+    "pricing_summary",
+    "order_revenue_cube",
+    "documents_sequence_packing",
     "text_compression_ratio",
     "embedding_ann_lsh",
     "embedding_near_dup",
