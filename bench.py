@@ -144,6 +144,20 @@ def main() -> None:
             warm[name] = round(time.time() - t1, 3)
         except Exception as exc:  # one bad query must not zero the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # Cache hygiene between queries (late r7, matching
+            # tools/sweep_heavy.py): operators that persist internal
+            # frames would otherwise donate plan-identical cache
+            # fragments to later queries' "cold" runs (e.g. the span
+            # detector's gram frame serving span_removal_stats) and
+            # pile heap pressure onto neighbors. The warm run above
+            # still reuses the cold run's own caches — that is what
+            # warm means; what it must not reuse is another QUERY's.
+            # Cross-round note: r1-r6 benches ran without this, so
+            # per-query comparisons against those rounds carry the
+            # (small) subsidy asymmetry — SCALE.md's drift note covers
+            # the protocol change.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     payload = {

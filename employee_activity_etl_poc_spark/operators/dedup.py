@@ -61,22 +61,6 @@ def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataF
 # ---------------------------------------------------------------------------
 
 
-def _verify_parallelism(df: DataFrame) -> int:
-    """Partition count for a CPU-bound verify stage whose input rows are
-    bytes-small (id pairs) but compute-heavy (array intersects / DP).
-    AQE's size-based coalescing sees a few MB and collapses the exchange
-    to one partition, serializing the expensive stage; an explicit
-    numbered repartition is exempt from coalescing. max(cluster cores,
-    configured shuffle partitions) keeps every core busy locally and
-    scales with the cluster."""
-    spark = df.sparkSession
-    try:
-        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        conf_parts = 0
-    return max(spark.sparkContext.defaultParallelism, conf_parts)
-
-
 def _hash_long(col: Column) -> Column:
     """Portable 32-bit-ish hash: first 8 hex chars of md5, as a long.
     Chosen over xxhash64/murmur because the DuckDB oracle can compute the
@@ -398,16 +382,23 @@ def lsh_bucket_stats(
     ``max_bucket_size``) can be evaluated against the real corpus by
     re-running the monitor, not the join.
 
-    The banded frame is materialized ONCE (DISK_ONLY — narrow
-    (doc, band, key) rows) and both aggregates read the cache; the
-    signature pipeline's own caches are released before returning.
-    Without this the monitor's two aggregate branches each re-derived
-    shingles → md5 → minhash (and the DF-pruned form re-derived them
-    again inside the prune's frequency pass): ~8 full signature passes
-    for the two-mode gated query, 130 s at 50k docs for what the cached
-    form does in a fraction — a "cheap pre-flight" has to actually be
-    cheap. Pass ``persist=False`` to keep the plan fully lazy (plan
-    inspection; caller-managed lifecycles)."""
+    With the default ``persist=True`` the monitor runs EAGERLY: the
+    banded frame is materialized once (DISK_ONLY — narrow (doc, band,
+    key) rows), both aggregates read the cache, the single result row
+    is collected, and EVERY internal cache is unpersisted before
+    returning a local-relation DataFrame. Eager-and-released is the
+    right contract for a pre-flight run once per ingest epoch: the
+    lazy form either re-derived shingles → md5 → minhash per aggregate
+    branch (~8 signature passes for the two-mode gated query, 130 s at
+    50k docs) or — persisted without an ownership handle — leaked one
+    cache registration per monitor run into long-lived sessions.
+    ``persist=False`` keeps the plan fully lazy and cache-free (plan
+    inspection; callers composing their own lifecycle)."""
+    # the un-pruned mode reads the signature frame exactly once (banded
+    # derives from it linearly), so no internal persist is requested —
+    # a cache there would be write-only. The DF-pruned mode reads it
+    # twice inside the prune (frequency aggregate + anti-join probe),
+    # and lsh_banded_frame manages that lifecycle itself.
     hashed, banded = lsh_banded_frame(
         df,
         text_col,
@@ -415,18 +406,14 @@ def lsh_bucket_stats(
         num_perm=num_perm,
         bands=bands,
         shingle_k=shingle_k,
-        persist=persist,
+        persist=persist and max_doc_frequency is not None,
         max_bucket_size=max_bucket_size,
         max_doc_frequency=max_doc_frequency,
     )
     if persist:
         banded = banded.persist(StorageLevel.DISK_ONLY)
-        banded.count()
-        # the monitor never reads the signature frame again; its cache
-        # only had to live long enough to feed banded's one evaluation
-        hashed.unpersist()
     buckets = banded.groupBy("band", "key").agg(F.count("*").alias("n_b"))
-    return buckets.agg(
+    out = buckets.agg(
         F.count("*").alias("n_buckets"),
         F.max("n_b").alias("max_bucket"),
         F.sum(F.col("n_b") * (F.col("n_b") - 1) / 2)
@@ -435,6 +422,12 @@ def lsh_bucket_stats(
     ).crossJoin(
         F.broadcast(banded.agg(F.count_distinct("doc").alias("n_docs")))
     ).select("n_docs", "n_buckets", "max_bucket", "candidate_pairs")
+    if not persist:
+        return out
+    rows = out.collect()
+    banded.unpersist()
+    hashed.unpersist()  # no-op in the un-pruned mode (never persisted)
+    return df.sparkSession.createDataFrame(rows, out.schema)
 
 
 def minhash_signature_table(
@@ -1121,20 +1114,19 @@ def prefix_jaccard_pairs(
     ).where(F.size(tokens(F.col(text_col))) >= shingle_k)
     base = base.withColumn("sz", F.size("sh"))
     if persist:
-        # materialize eagerly: the verify joins' base sides have no
-        # plan dependency on the candidate stage, so Spark launches
-        # their jobs IN PARALLEL with the freq/prefix pipelines —
-        # against a lazy persist each job re-runs tokenize+shingle
-        # before the cache lands. One count() pins a single pass.
         # DISK_ONLY, not the on-heap default: the shingle arrays are
         # the operator's bulkiest payload (|docs| × k-gram strings),
         # and holding them on-heap next to 32 concurrent sort-buffer
         # tasks OOM'd the sf10 fixture (500k docs / 8g heap), while
         # local disk reads of columnar batches land in page cache —
         # measured sf10: heap-cache OOM, no cache 140 s, DISK_ONLY
-        # 57 s cold / 6 s warm.
+        # 57 s cold / 6 s warm. The persist stays LAZY: with every
+        # join merge/shuffle_hash-hinted there are no broadcast-build
+        # jobs racing the cache at t=0, and block-level get-or-compute
+        # locking makes the one action materialize each partition
+        # exactly once — no count() job at plan-BUILD time, so plan
+        # inspection (tools/plan_audit.py) stays compile-only.
         base = base.persist(StorageLevel.DISK_ONLY)
-        base.count()
     ex = base.select("doc", "sz", F.explode("sh").alias("g"))
     freq = ex.groupBy("g").agg(F.count("*").alias("gf"))
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
@@ -1177,11 +1169,10 @@ def prefix_jaccard_pairs(
     if max_shingle_frequency is not None:
         pref = pref.where(F.col("gf") <= max_shingle_frequency)
     if persist:
-        # same race on the self-join's two sides; DISK_ONLY for the
+        # the self-join's two sides both read pref; DISK_ONLY for the
         # same heap reason — pref is the widest frame of the plan
-        # (~0.6·|sh| rows per doc).
+        # (~0.6·|sh| rows per doc). Lazy, like base.
         pref = pref.persist(StorageLevel.DISK_ONLY)
-        pref.count()
     a, b = pref.alias("a"), pref.alias("b")
     # positional overlap upper bound for this match row (1-indexed pos)
     ubound = F.lit(1) + F.least(
@@ -1206,13 +1197,15 @@ def prefix_jaccard_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
-        # the candidate frame is BYTES-small (two ids/row) but each row
-        # buys an array-intersect downstream, so AQE's size-based
-        # coalesce collapses the post-distinct exchange to ONE partition
-        # and the whole verify runs single-threaded (measured 8.4 s →
-        # 0.4 s at sf0.1). An explicit numbered repartition is exempt
-        # from AQE coalescing and spreads the CPU-bound verify.
-        .repartition(_verify_parallelism(df), "doc_a", "doc_b")
+        # No explicit repartition here: an earlier revision added one
+        # against AQE coalescing the bytes-small candidate frame, but
+        # plan inspection showed EnsureRequirements elides it (it
+        # matches the distinct's hashpartitioning), and the merge-
+        # hinted verify joins re-shuffle on doc_a/doc_b anyway. Verify
+        # parallelism is protected by the ARRAY side of those SMJs:
+        # AQE coalesces a join stage on the combined per-partition
+        # bytes, and base's shingle arrays keep the stage wide at any
+        # corpus where the verify is expensive.
     )
     return (
         cand.join(
@@ -1572,16 +1565,13 @@ def passjoin_pairs(
         )
         .distinct()
     )
-    # candidate rows are two ids — bytes-small but each buys a banded-DP
-    # verify downstream, so AQE's size-based coalesce would shrink the
-    # post-distinct exchange and serialize the CPU-bound verify; an
-    # explicit numbered repartition is exempt (same defense as
-    # prefix_jaccard_pairs' verify).
-    pairs = (
-        cand.unionByName(short_pairs)
-        .distinct()
-        .repartition(_verify_parallelism(df), "da", "db")
-    )
+    # No explicit repartition on the bytes-small pair frame: plan
+    # inspection showed EnsureRequirements elides one that matches the
+    # distinct's partitioning, and the verify joins below re-shuffle on
+    # da/db regardless; their stages stay wide through AQE's combined-
+    # size coalescing because the base sides carry the doc texts and
+    # count vectors (see prefix_jaccard_pairs' candidate note).
+    pairs = cand.unionByName(short_pairs).distinct()
     av = base.select(
         F.col("doc").alias("da"),
         F.col("t").alias("ta"),
@@ -1766,7 +1756,8 @@ def remove_duplicated_spans(
     from pyspark.sql import Window
 
     spans = duplicated_token_spans(
-        df, text_col, id_col, k=k, min_occurrences=min_occurrences
+        df, text_col, id_col, k=k, min_occurrences=min_occurrences,
+        persist=persist,
     )
     base = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("ws")
