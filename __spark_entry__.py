@@ -43,22 +43,77 @@ def entry(spark: SparkSession) -> DataFrame:
 # every plan changed this round — followed by a representative slice of the
 # relational catalog. Everything else keeps registration order after them.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 rotation part 1: everything round 7 touched (the new
-    # index-artifact gate, auto-granularity PQ, the shared-count IVF
-    # path, the pinned-centroid cell monitor, the corrected Levenshtein
-    # blocking contract)
-    "embedding_index_reload_topk",
+    # Round-8 rotation part 1: this round's new/changed plans — the two
+    # new gates (sampled LSH pre-flight, PQ artifact reload), the
+    # pinned-state signature change on the IVF-PQ path, the try/finally
+    # rework in the eager monitor, the cross-pairs cache-ownership doc
+    # site, and the quantized-topk id-type rewrite
+    "dedup_lsh_bucket_stats_sampled",
+    "embedding_pq_index_reload_topk",
     "embedding_ivfpq_topk",
+    "dedup_lsh_bucket_stats",
     "fuzzy_decontamination",
+    "embedding_quantized_topk",
+    # Round-8 rotation part 2: ALL 39 queries whose last driver gate was
+    # round 5 (the judge's ask #2 list and then some — three rounds
+    # stale by r8 close otherwise); embedding_quantized_topk above is
+    # the 39th
+    "brand_volume",
+    "dedup_cluster_summary",
+    "dedup_clusters_alternating",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash_df_pruned",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_blocked",
+    "dedup_quality_keepers",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "documents_domain_cap",
+    "documents_sequence_packing",
+    "embedding_topk",
+    "error_in_signup_window_by_user",
+    "event_type_user_grouping_sets",
+    "event_value_kll",
+    "event_value_tdigest",
+    "events_bloom_pruned_building",
+    "events_cms_daily_range",
+    "events_distinct_users_hll",
+    "events_heavy_hitter_users",
+    "events_hourly_gapfilled",
+    "events_json_props_stats",
+    "events_robust_outliers",
+    "events_snapshot_diff",
+    "events_theta_distinct_algebra",
+    "events_trailing_hour_sum",
+    "events_user_cms_counts",
+    "large_order_customers",
+    "order_priority_check",
+    "order_revenue_cube",
+    "pricing_summary",
+    "pricing_summary_sql",
+    "promo_revenue_share",
+    "regional_supplier_volume",
+    "revenue_by_segment",
+    # Round-8 rotation part 3: six round-6-gated fills (embedding
+    # near-dup family, the side-effect gates, the zlib path) — the
+    # next-longest-ungated block after the r5 set
+    "embedding_ann_lsh",
+    "embedding_near_dup",
+    "embedding_incremental_near_dup",
+    "delta_roundtrip_stats",
+    "streaming_ingest_gate",
+    "text_compression_ratio",
+    # --- 50-query gate boundary ---
+    # previous rotations keep their relative order after the gated prefix
+    "embedding_index_reload_topk",
     "error_in_signup_window_sliced",
     "dedup_ngram_prefix",
     "embedding_pq_topk",
     "embedding_ann_ivf",
     "embedding_ivf_cell_stats",
     "dedup_levenshtein_blocked",
-    # Round-7 rotation part 2: the longest driver-ungated queries —
-    # the r2/r3-gated tail (judge re-swept several at r6; the DRIVER
-    # gate still dates to r3)
     "slack_messages",
     "cdc_envelope_roundtrip",
     "synthetic_activities_sample",
@@ -85,7 +140,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "text_repetition",
     "token_budget_mixture",
     "user_qualification",
-    # Round-7 rotation part 3: the r4-gated text block
     "doc_fingerprints",
     "document_chunks",
     "embedding_topk_vectorized",
@@ -95,36 +149,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_scores",
     "token_counts",
     "vocabulary_top_terms",
-    # Round-7 rotation part 4 (late-r7 revision): everything the
-    # late-r7 perf pass touched outranks stale-but-unchanged gates —
-    # the reworked LSH skew monitor, the gram-cached span family, and
-    # the repartitioned PassJoin join the changed set; the unchanged
-    # minhash/simhash/tdigest entries they displace were independently
-    # re-swept by the judge in r6 and move just past the boundary.
-    # Fills the 50-query gate boundary exactly.
-    "dedup_lsh_bucket_stats",
     "dedup_duplicated_spans",
     "dedup_span_removal_stats",
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
     "dedup_spans_incremental_removal",
-    # --- 50-query gate boundary ---
-    # previous rotations keep their relative order after the gated prefix
-    "dedup_minhash_lsh",
-    "dedup_minhash_df_pruned",
-    "dedup_minhash_incremental",
-    "dedup_simhash_hamming",
-    "event_value_tdigest",
-    "events_heavy_hitter_users",
-    "pricing_summary",
-    "order_revenue_cube",
-    "documents_sequence_packing",
-    "text_compression_ratio",
-    "embedding_ann_lsh",
-    "embedding_near_dup",
-    "embedding_incremental_near_dup",
-    "delta_roundtrip_stats",
-    "streaming_ingest_gate",
     "sport_code_mapping",
     "time_features",
     "events_interarrival",
@@ -161,36 +190,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "purchase_asof_click",
     "revenue_rollup_region_nation",
     "shipping_priority",
-    "error_in_signup_window_by_user",
-    "pricing_summary_sql",
-    "revenue_by_segment",
-    "brand_volume",
-    "regional_supplier_volume",
-    "promo_revenue_share",
-    "events_json_props_stats",
-    "event_type_user_grouping_sets",
-    "order_priority_check",
-    "events_trailing_hour_sum",
-    "events_hourly_gapfilled",
-    "events_distinct_users_hll",
-    "documents_domain_cap",
-    "events_user_cms_counts",
-    "events_bloom_pruned_building",
-    "events_theta_distinct_algebra",
-    "events_snapshot_diff",
-    "events_robust_outliers",
-    "large_order_customers",
-    "event_value_kll",
-    "events_cms_daily_range",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_simhash",
-    "dedup_ngram_blocked",
-    "dedup_cluster_summary",
-    "dedup_clusters_alternating",
-    "dedup_quality_keepers",
-    "embedding_topk",
-    "embedding_quantized_topk",
 )
 
 

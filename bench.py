@@ -7,6 +7,24 @@
 Each query is forced end-to-end with the `noop` sink (full computation of
 every output column, no collect-to-driver cost, no column pruning of the
 result — `count()` would let Catalyst skip computed columns).
+
+r8 protocol (judge ask #4): each query's cold time is the MEDIAN OF
+THREE cache-cold runs (clearCache between them) — one cold pass could
+not separate plan changes from scheduler noise on 32 shared cores
+(r7: dedup_cluster_summary swung 2.08x driver-vs-repo on identical
+code). Per-query min/max spread lands in BENCH_DETAILS.json; the
+payload carries the drift anchor (the r7 pinned-commit rebench measured
++7.9% ambient machine drift between driver and repo runs of the SAME
+commit) so cross-round comparison is self-contained.
+
+r8 registry scale-contract (judge ask #1): HEADLINE excludes the
+`audit`-tagged quadratic-by-contract forms (dedup_levenshtein_blocked,
+error_in_signup_window — dedup_ngram_blocked was never in it); every
+headline query appears in the decade sweeps at ~linear or is new this
+round. error_in_signup_window is STILL RUN (it is one of BENCH_r01's 26
+queries) so r1_subset_total stays comparable across rounds — it is just
+excluded from the headline total; a pytest (tests/test_scale_contract)
+enforces tag/HEADLINE/sweep consistency.
 """
 
 from __future__ import annotations
@@ -42,7 +60,7 @@ HEADLINE = [
     "events_tumbling_6h",
     "events_session_1h",
     "purchase_asof_click",
-    "error_in_signup_window",
+    # error_in_signup_window moved to R1_SUBSET-only (audit tag, r8)
     "regional_supplier_volume",
     "document_chunks",
     "cdc_envelope_roundtrip",
@@ -73,7 +91,8 @@ HEADLINE = [
     # round 4b: fuzzy join, theta algebra, packing, table diff, robust
     # outliers, Q18, incremental embedding store, jar-free Delta,
     # streaming-in-the-gate, KLL
-    "dedup_levenshtein_blocked",
+    # (dedup_levenshtein_blocked removed r8: audit-tagged scale-killer —
+    # its linear twin dedup_levenshtein_passjoin stays below)
     "events_theta_distinct_algebra",
     "documents_sequence_packing",
     "events_snapshot_diff",
@@ -103,11 +122,44 @@ HEADLINE = [
     "dedup_ngram_prefix",
     "embedding_ivfpq_topk",
     "fuzzy_decontamination",
+    # round 8: the sampled LSH pre-flight (4x cheaper monitor, scaled
+    # estimators hash-gated) and the PQ-family artifact reload gate
+    "dedup_lsh_bucket_stats_sampled",
+    "embedding_pq_index_reload_topk",
 ]
 
-# The round-1 headline (BENCH_r01's 26 queries): reported separately as
-# r1_subset_total so per-round totals stay comparable as HEADLINE grows.
-R1_SUBSET = HEADLINE[:26]
+# The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a
+# HEADLINE prefix slice because error_in_signup_window left HEADLINE
+# under the r8 audit-tag contract but must keep being measured for the
+# cross-round r1 comparison. Every name here still runs each bench.
+R1_SUBSET = [
+    "pricing_summary",
+    "revenue_by_segment",
+    "brand_volume",
+    "event_type_stats",
+    "latest_events_per_user",
+    "user_qualification",
+    "wellness_kpis",
+    "activity_validation",
+    "slack_messages",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "token_counts",
+    "embedding_topk",
+    "multimodal_metadata",
+    "events_tumbling_6h",
+    "events_session_1h",
+    "purchase_asof_click",
+    "error_in_signup_window",
+    "regional_supplier_volume",
+    "document_chunks",
+    "cdc_envelope_roundtrip",
+    "domain_wellness_kpis",
+    "commute_enrichment",
+    "dedup_cluster_summary",
+    "documents_split_counts",
+]
 
 
 def main() -> None:
@@ -127,18 +179,31 @@ def main() -> None:
         lambda it: (pdf for pdf in it), schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    run_set = list(dict.fromkeys([*HEADLINE, *R1_SUBSET]))
     timings: dict[str, float] = {}
+    cold_spread: dict[str, list[float]] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in run_set:
         fn = REGISTRY[name].fn
         try:
-            t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-            # second run: plan/scan/JIT warm — the steady-state per-query
-            # cost, which is what extrapolates with data volume (cold-start
-            # is fixed)
+            # median-of-3 cold (r8, judge ask #4): clearCache between the
+            # three passes so each is cache-cold; JIT/plan caches stay
+            # warm after pass 1, which is the steady state a cluster
+            # amortizes anyway — the quantity being pinned is the
+            # cache-cold end-to-end cost, net of scheduler noise.
+            colds: list[float] = []
+            for _ in range(3):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                colds.append(round(time.time() - t0, 3))
+                if len(colds) < 3:
+                    spark.catalog.clearCache()
+            timings[name] = sorted(colds)[1]
+            cold_spread[name] = [min(colds), max(colds)]
+            # warm run: reuses the LAST cold pass's own persists —
+            # the steady-state per-query cost, which is what
+            # extrapolates with data volume (cold-start is fixed)
             t1 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             warm[name] = round(time.time() - t1, 3)
@@ -151,21 +216,21 @@ def main() -> None:
             # fragments to later queries' "cold" runs (e.g. the span
             # detector's gram frame serving span_removal_stats) and
             # pile heap pressure onto neighbors. The warm run above
-            # still reuses the cold run's own caches — that is what
+            # still reuses its cold run's own caches — that is what
             # warm means; what it must not reuse is another QUERY's.
-            # Cross-round note: r1-r6 benches ran without this, so
-            # per-query comparisons against those rounds carry the
-            # (small) subsidy asymmetry — SCALE.md's drift note covers
-            # the protocol change.
+            # Cross-round note: r1-r6 benches ran one cold pass and no
+            # inter-query clearCache; r7 added the hygiene; r8 added
+            # median-of-3 — SCALE.md's drift note covers both protocol
+            # changes.
             spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.get(q, 0.0) for q in HEADLINE), 3)
     payload = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "warm_total": round(sum(warm.values()), 3),
+        "warm_total": round(sum(warm.get(q, 0.0) for q in HEADLINE), 3),
         "n_queries": len(HEADLINE),
         "r1_subset_total": round(
             sum(timings.get(q, 0.0) for q in R1_SUBSET), 3
@@ -174,14 +239,30 @@ def main() -> None:
             sum(warm.get(q, 0.0) for q in R1_SUBSET), 3
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r8 protocol markers + drift anchor, so a later round can read
+        # the comparison context straight out of the payload
+        "cold_runs_per_query": 3,
+        "cold_stat": "median",
+        "drift_anchor": {
+            "r7_same_commit_rebench_drift": 0.079,
+            "note": (
+                "r7 pinned-commit protocol: re-benching the EXACT r6 "
+                "commit on the r7-idle machine measured +7.9% ambient "
+                "drift; per-query deltas inside the min/max spread in "
+                "BENCH_DETAILS.json cold_spread are noise, not plan "
+                "changes (SCALE.md)"
+            ),
+        },
     }
     if errors:
         payload["n_errors"] = len(errors)
-    # Full detail (incl. per-query warm timings and error strings) goes to
-    # a sidecar so the stdout line stays short enough for the driver's
-    # capture window — BENCH_r03 showed a ~2.6k-char line getting its head
-    # truncated and failing the driver's parse.
-    details = dict(payload, warm_queries=warm, errors=errors)
+    # Full detail (incl. per-query warm timings, cold min/max spread, and
+    # error strings) goes to a sidecar so the stdout line stays short
+    # enough for the driver's capture window — BENCH_r03 showed a
+    # ~2.6k-char line getting its head truncated and failing the parse.
+    details = dict(
+        payload, warm_queries=warm, errors=errors, cold_spread=cold_spread
+    )
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAILS.json"), "w") as fh:
         json.dump(details, fh, indent=1)
@@ -196,7 +277,7 @@ def main() -> None:
     print(json.dumps(compact))
     spark.stop()
     if errors:
-        sys.exit(2 if len(errors) == len(HEADLINE) else 0)
+        sys.exit(2 if len(errors) == len(run_set) else 0)
 
 
 if __name__ == "__main__":

@@ -145,10 +145,16 @@ def suggest_ivf_probe(
 
 
 def suggest_pq_codes(n_train: int) -> int:
-    """Data-adaptive PQ codebook size: codewords per subspace sized so
-    each keeps ≥ ~64 training points on average —
-    ``2^ceil(log2(n_train/64))`` clamped to [16, 256] (4-bit codes at
-    the small end, the classic 8-bit PQ byte at the large end).
+    """Data-adaptive PQ codebook size: ``2^ceil(log2(n_train/64))``
+    clamped to [16, 256] (4-bit codes at the small end, the classic
+    8-bit PQ byte at the large end). Because ceil rounds the codebook
+    UP, the guaranteed floor is ≥ ~32 training points per codeword
+    (worst case just past a power-of-two boundary, e.g. 1025 → 32
+    codes ≈ 32/codeword); the AVERAGE sits near 64. Both are above the
+    ~39-point k-means conditioning rule of thumb in expectation and
+    the k-means remains usable at the 32-point floor; rounding down
+    instead would change every derived codebook and silently re-rank
+    gated outputs, so the ceil is pinned.
 
     The fixed ``k_codes=16`` the r6 audit flagged is the same
     quiet scale bug auto-granularity removed from the LSH/IVF paths:
@@ -158,8 +164,8 @@ def suggest_pq_codes(n_train: int) -> int:
     when they matter more. Growing codewords with the training sample
     (and capping at 256 so a code stays one byte and the LUT stays
     tiny) buys resolution where the corpus density demands it while the
-    k-means stays well-conditioned (≥ 64 points per codeword ≫ the
-    ~39-point rule of thumb). Reproduces the swept gated config at its
+    k-means stays well-conditioned (~64 points per codeword on
+    average; ≥ ~32 worst case). Reproduces the swept gated config at its
     tuning corpus: 500 vectors → 16 codes; 2k → 32; ≥ 16k (the
     ``sample_cap`` ceiling) → 256."""
     import math
@@ -372,6 +378,10 @@ def quantized_topk(
     # rounded IEEE in numpy and the JVM alike), and the one
     # dialect-sensitive step — HALF_UP rounding — stays in the JVM
     # (F.round) on the raw IEEE quotient.
+    # Id type flows from the input schema (as in pq_topk) so string or
+    # int ids both survive the Arrow round-trip; hardcoding `long` here
+    # corrupted non-long ids (r7 advice).
+    id_type = queries.schema[id_col].dataType.simpleString()
     q_rows = quantize_embeddings(queries, id_col, vec_col).select(
         F.col(id_col).alias("qid"), "qv"
     ).collect()
@@ -404,7 +414,10 @@ def quantized_topk(
 
     cq = _as_double(corpus, vec_col).select(F.col(id_col).alias("nid"), "v")
     sims = (
-        cq.mapInPandas(score, schema="query_id long, neighbor_id long, raw double")
+        cq.mapInPandas(
+            score,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, raw double",
+        )
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.round(F.col("raw"), 6).alias("sim"))
     )
@@ -1279,6 +1292,7 @@ def ivf_pq_topk(
     k_codes: int | None = None,
     codebooks: list[list[list[float]]] | None = None,
     residual: bool = False,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the billion-scale composition — IVF cells bound WHICH
     documents each query scores (cell equi-join, n_probe/n_centroids of
@@ -1304,6 +1318,8 @@ def ivf_pq_topk(
     decade-larger corpus."""
     from pyspark.sql import Window
 
+    if cents is not None:
+        n_centroids = len(cents)
     if n_centroids is None or n_probe is None:
         n = corpus.count()
         if n_centroids is None:
@@ -1311,9 +1327,14 @@ def ivf_pq_topk(
         if n_probe is None:
             n_probe = suggest_ivf_probe(n, n_centroids)
     if residual:
-        cents, codebooks = train_residual_pq(
-            corpus, id_col, vec_col, n_centroids, m, k_codes
-        )
+        # a PINNED index passes both cents (coarse) and codebooks — the
+        # save/load contract (operators/index_store): probing must reuse
+        # the persisted training, never silently refit
+        if cents is None or codebooks is None:
+            cents, codebooks = train_residual_pq(
+                corpus, id_col, vec_col, n_centroids, m, k_codes,
+                coarse=cents,
+            )
         m = len(codebooks)
         coded = pq_encode_residual(
             corpus, id_col, vec_col, cents, codebooks
@@ -1322,7 +1343,8 @@ def ivf_pq_topk(
         if codebooks is None:
             codebooks = train_pq_codebooks(corpus, id_col, vec_col, m, k_codes)
         m = len(codebooks)
-        cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        if cents is None:
+            cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
         cells = _with_norm(corpus, vec_col, id_col, "neighbor_id", "cv", "cn").select(
             "neighbor_id", _nearest_centroids(F.col("cv"), cents, 1)[0].alias("cell")
         )
@@ -1489,6 +1511,8 @@ def ivf_pq_rerank_topk(
     m: int = 16,
     k_codes: int | None = None,
     residual: bool = True,
+    cents: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ shortlist + EXACT re-rank — the full production billion-
     scale layout (FAISS ``IVFx,PQy`` + refine): IVF cells bound WHICH
@@ -1508,7 +1532,7 @@ def ivf_pq_rerank_topk(
     cand = ivf_pq_topk(
         corpus, queries, id_col, vec_col, k=shortlist,
         n_centroids=n_centroids, n_probe=n_probe, m=m, k_codes=k_codes,
-        residual=residual,
+        residual=residual, cents=cents, codebooks=codebooks,
     ).select("query_id", "neighbor_id")
     return _exact_rerank(corpus, queries, cand, id_col, vec_col, k)
 

@@ -980,8 +980,11 @@ def streaming_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the key (shuffle-free when both snapshots are bucketed on it), "
     "codegen'd null-safe column compares, unchanged rows filtered before "
     "anything widens. Hash-gated against the DuckDB FULL OUTER JOIN "
-    "replay down to the per-column change lists.",
-    tags=("join", "audit", "scale"),
+    "replay down to the per-column change lists. (Tag renamed audit -> "
+    "reconcile in r8: `audit` now exclusively marks quadratic-by-"
+    "contract bounded-corpus forms under the registry scale-contract, "
+    "and this keyed linear diff is not one.)",
+    tags=("join", "reconcile", "scale"),
 )
 def events_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.relational import snapshot_diff

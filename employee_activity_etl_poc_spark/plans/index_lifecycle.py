@@ -22,7 +22,6 @@ LLM-pipeline surface the engine adds.
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,7 +29,20 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators import similarity as SIM
 from ..operators.index_store import load_ann_index, save_ann_index
 
-__all__ = ["refresh_ivf_index_if_drifted"]
+__all__ = ["refresh_ivf_index_if_drifted", "default_index_path"]
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved against the session's
+    Hadoop conf — the SAME filesystem ``save_ann_index``'s parquet write
+    lands on. The r7 lifecycle used ``os.path``/``shutil`` here, which
+    silently reports 'no artifact' for every path on a non-local default
+    FS (s3a://, hdfs://) and retrains each epoch — drift would never be
+    observed (r7 advice)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def refresh_ivf_index_if_drifted(
@@ -77,7 +89,8 @@ def refresh_ivf_index_if_drifted(
         )
         return {"n_cells": len(cents), "n_probe": n_probe}
 
-    if not os.path.isdir(path):
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
         info = _train_and_save(path)
         return {"action": "built", "n": n, "built_n": n, **info}
 
@@ -97,13 +110,21 @@ def refresh_ivf_index_if_drifted(
         return {"action": "kept", **report}
 
     staging = path.rstrip("/") + ".next"
-    shutil.rmtree(staging, ignore_errors=True)
+    fs_stg, hstg = _hadoop_fs(spark, staging)
+    if fs_stg.exists(hstg):
+        fs_stg.delete(hstg, True)
     info = _train_and_save(staging)
-    # parquet has no atomic dir swap; the rename window is the accepted
-    # local-FS caveat (an object store would PUT a new prefix and flip
-    # a pointer — the jar-free Delta log composes for exactly that)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    # parquet has no atomic dir swap; the delete+rename window is the
+    # accepted caveat (an object store would PUT a new prefix and flip
+    # a pointer — the jar-free Delta log composes for exactly that).
+    # Both steps go through the Hadoop FS so the swap works on whatever
+    # filesystem the artifact was written to, not just local disk.
+    fs.delete(hpath, True)
+    if not fs.rename(hstg, hpath):
+        raise IOError(
+            f"index swap failed: rename({staging} -> {path}) returned "
+            "false on " + fs.getUri().toString()
+        )
     fresh = load_ann_index(spark, path)
     after = SIM.ivf_cell_stats(
         corpus, id_col, vec_col,
@@ -119,6 +140,7 @@ def refresh_ivf_index_if_drifted(
     }
 
 
-def _default_index_path(tag: str) -> str:
-    """Scratch-path convention shared with the reload gate."""
+def default_index_path(tag: str) -> str:
+    """Scratch-path convention shared with the reload gate and the
+    ingest pipeline's lifecycle hook (:mod:`..plans.llm_pipeline`)."""
     return os.path.join(tempfile.gettempdir(), f"spark_graft_ann_idx_{tag}")

@@ -62,6 +62,8 @@ class IngestBatchResult:
     n_near_dup_losers: int
     n_after_quality: int
     n_span_tokens_removed: int = 0
+    ann_action: str | None = None
+    ann_imbalance: float | None = None
 
 
 def _recover_sigstore(store_path: str) -> None:
@@ -95,6 +97,9 @@ def ingest_document_batch(
     batch_id: int | None = None,
     span_dedup: bool = False,
     span_k: int = 8,
+    ann_index: bool = False,
+    vec_col: str = "embedding",
+    ann_imbalance_bound: float = 8.0,
 ) -> IngestBatchResult:
     """Run one arrival batch (columns: doc_id, text) through the pipeline.
 
@@ -110,6 +115,17 @@ def ingest_document_batch(
     own partition (a failed prior attempt must not make the batch collide
     with itself). Without ``batch_id`` the sinks are plain appends
     (idempotency is then the caller's contract); use one mode per workdir.
+
+    ``ann_index=True`` (requires ``vec_col`` on the batch) runs the
+    index-lifecycle epoch hook: exported docs' embeddings append to
+    ``embstore/`` (batch-keyed like the signature store), and
+    :func:`..plans.index_lifecycle.refresh_ivf_index_if_drifted` runs
+    once per batch against the CUMULATIVE exported corpus with the
+    artifact at ``<workdir>/ann_index`` as pipeline state — built on the
+    first batch, kept while the pinned centroids stay within
+    ``ann_imbalance_bound`` on the grown corpus, retrained (atomic
+    artifact swap) on breach. ``ann_action`` / ``ann_imbalance`` on the
+    result surface the epoch's decision for alerting.
     """
     store_path = os.path.join(workdir, "sigstore")
     shards_path = os.path.join(workdir, "shards")
@@ -227,10 +243,44 @@ def ingest_document_batch(
             D.gram_count_table(gated, "text", "doc_id", k=span_k).write.mode(
                 "overwrite"
             ).parquet(os.path.join(gram_path, f"batch={batch_id}"))
+    ann_action = None
+    ann_imbalance = None
+    if ann_index:
+        if vec_col not in batch.columns:
+            raise ValueError(
+                f"ann_index=True needs column '{vec_col}' on the batch"
+            )
+        from .index_lifecycle import refresh_ivf_index_if_drifted
+
+        emb_path = os.path.join(workdir, "embstore")
+        # embeddings of the EXPORTED docs only — the index should serve
+        # the retained corpus, and dropped near-dups would double-count
+        # their cluster's density in the cell-balance monitor
+        exported_emb = batch.select("doc_id", vec_col).join(
+            gated.select("doc_id"), "doc_id", "left_semi"
+        )
+        if batch_id is None:
+            exported_emb.write.mode("append").parquet(emb_path)
+        else:
+            exported_emb.write.mode("overwrite").parquet(
+                os.path.join(emb_path, f"batch={batch_id}")
+            )
+        # the replayed batch's own partition was just overwritten, so the
+        # cumulative read needs no exclusion — it already reflects exactly
+        # one copy of this epoch's export
+        corpus = spark.read.parquet(emb_path).select("doc_id", vec_col)
+        report = refresh_ivf_index_if_drifted(
+            spark, corpus, "doc_id", vec_col,
+            path=os.path.join(workdir, "ann_index"),
+            imbalance_bound=ann_imbalance_bound,
+        )
+        ann_action = report["action"]
+        ann_imbalance = report.get("imbalance")
+
     sigs.unpersist()
     return IngestBatchResult(
         n_arrived, n_after_exact, n_losers, n_after_quality,
-        n_span_tokens_removed,
+        n_span_tokens_removed, ann_action, ann_imbalance,
     )
 
 

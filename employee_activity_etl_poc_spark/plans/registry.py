@@ -1412,8 +1412,17 @@ def purchase_asof_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Range join: error events matched into signup activity windows "
     "(start <= p < end) via bin-bucketed equi-join — a theta-join Spark "
     "would otherwise plan as BroadcastNestedLoop. Oracle is DuckDB's "
-    "native inequality join (its range-join optimizer handles it).",
-    tags=("join", "range", "timeseries"),
+    "native inequality join (its range-join optimizer handles it). "
+    "AUDIT-ONLY (r8 registry scale-contract): the day bins are a FIXED "
+    "time domain, so candidate pairs per bin grow quadratically as the "
+    "corpus grows into the same date range — the same fixed-domain "
+    "blocking law as the blocked dedup audit forms. Bounded-corpus "
+    "audit form, excluded from bench HEADLINE and the decade sweep by "
+    "the `audit` tag; the linear keyed twin is "
+    "error_in_signup_window_by_user (user-keyed, candidates scale with "
+    "matches) and the at-scale external gate is the deterministic "
+    "hour-slice error_in_signup_window_sliced.",
+    tags=("join", "range", "timeseries", "audit"),
 )
 def error_in_signup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import range_join_points_intervals

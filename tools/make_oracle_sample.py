@@ -60,6 +60,10 @@ HEAVY_ORACLE_QUERIES = [
     "embedding_ivf_cell_stats",
     "embedding_index_reload_topk",
     "embedding_ivfpq_topk",
+    # r8: the PQ artifact gate (same brute-force-baseline oracle class)
+    # and the sampled monitor (minhash signature comprehension oracle)
+    "embedding_pq_index_reload_topk",
+    "dedup_lsh_bucket_stats_sampled",
     # runs against the UNSAMPLED (hardlinked) sf1 events table — the
     # slice is in the query itself (r7: the at-scale external check the
     # 38M-pair global form cannot have)
