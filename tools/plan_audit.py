@@ -45,6 +45,14 @@ NESTED_LOOP_OK = {
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
     "dedup_lsh_bucket_stats": "1-row bucket aggregates assembled (2 modes)",
+    "dedup_lsh_bucket_stats_sampled": (
+        "1-row scaled bucket aggregates assembled (2 modes, eager "
+        "monitor on the 1/4 sample)"
+    ),
+    "embedding_pq_index_reload_topk": (
+        "exact baseline cross join + 1-row recall flag + 1-row "
+        "reload-identity flag (fresh-vs-reloaded exceptAll aggregate)"
+    ),
 }
 
 COUNTERS = {
