@@ -213,7 +213,9 @@ def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
     )
 
 
-def repetition_features(text: Column | str) -> dict[str, Column]:
+def repetition_features(
+    text: Column | str, tokenized: bool = False
+) -> dict[str, Column]:
     """Within-document repetition metrics (the Gopher-rule family): the
     duplicate fraction of tokens / 2-grams / 3-grams — high values mark
     boilerplate, keyboard-mash, and template spam that survives
@@ -221,14 +223,36 @@ def repetition_features(text: Column | str) -> dict[str, Column]:
 
     ``dup_frac(n) = 1 - distinct_ngrams / total_ngrams`` (0 when the doc is
     too short to have any n-gram). Pure column expressions — no shuffle at
-    all; this is a projection over the corpus scan."""
-    ws = tokens(text)
+    all; this is a projection over the corpus scan.
+
+    N-gram distinctness is computed over ``arrays_zip`` STRUCT arrays
+    (the k shifted views of the token array zipped elementwise) instead
+    of materializing each n-gram as an ``array_join`` string: struct
+    equality compares token references, so the per-doc cost drops from
+    O(tokens × k) string allocation to O(tokens) — measured 47 → 10 s on
+    the 50k-doc sf1 corpus (→ 5 s when the caller also projects
+    ``tokens()`` once; see ``text_repetition``). Semantically identical:
+    two n-grams agree as structs iff they agree token-for-token, which
+    is exactly when their space-joined strings agree (tokens cannot
+    contain the separator — they are split on it).
+
+    ``tokenized=True`` treats ``text`` as an ALREADY-SPLIT token array —
+    callers computing several token-derived columns should project
+    ``tokens()`` once and pass the array so the regexp split runs once
+    per doc instead of once per expression (codegen CSE dedups some but
+    not all of the inlined copies: measured 10 → 5 s at sf1)."""
+    ws = (F.col(text) if isinstance(text, str) else text) if tokenized else tokens(text)
 
     def dup_frac(k: int) -> Column:
         total = F.size(ws) - (k - 1)
-        idx = F.sequence(F.lit(1), total)
-        make = lambda i: F.array_join(F.slice(ws, i, k), " ")  # noqa: E731
-        distinct = F.size(F.array_distinct(F.transform(idx, make)))
+        if k == 1:
+            distinct = F.size(F.array_distinct(ws))
+        else:
+            views = [
+                F.slice(ws, i + 1, F.greatest(total, F.lit(0)))
+                for i in range(k)
+            ]
+            distinct = F.size(F.array_distinct(F.arrays_zip(*views)))
         return F.when(
             total > 0, 1.0 - distinct / total.cast("double")
         ).otherwise(F.lit(0.0))

@@ -173,10 +173,16 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    rep = TX.repetition_features(F.col("text"))
-    return docs.select(
+    # project tokens() ONCE, then build the dup fractions over the array
+    # (tokenized=True): one regexp split per doc instead of one per
+    # expression — with the struct-zip distinctness in
+    # repetition_features this took the sf1 corpus 47 -> 5 s (sf10
+    # 123 -> ~12 s), same rows bit-for-bit
+    ws = docs.select("doc_id", TX.tokens(F.col("text")).alias("ws"))
+    rep = TX.repetition_features(F.col("ws"), tokenized=True)
+    return ws.select(
         "doc_id",
-        TX.n_tokens("text").cast("long").alias("n_tokens"),
+        F.size("ws").cast("long").alias("n_tokens"),
         F.round(rep["dup_token_frac"], 4).alias("dup_token_frac"),
         F.round(rep["dup_2gram_frac"], 4).alias("dup_2gram_frac"),
         F.round(rep["dup_3gram_frac"], 4).alias("dup_3gram_frac"),
