@@ -47,7 +47,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # new gates (sampled LSH pre-flight, PQ artifact reload), the
     # pinned-state signature change on the IVF-PQ path, the try/finally
     # rework in the eager monitor, the cross-pairs cache-ownership doc
-    # site, and the quantized-topk id-type rewrite
+    # site, the quantized-topk id-type rewrite, and the struct-zip
+    # repetition rewrite (late r8 — changed plans gate first)
+    "text_repetition",
     "dedup_lsh_bucket_stats_sampled",
     "embedding_pq_index_reload_topk",
     "embedding_ivfpq_topk",
@@ -104,8 +106,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_incremental_near_dup",
     "delta_roundtrip_stats",
     "streaming_ingest_gate",
-    "text_compression_ratio",
     # --- 50-query gate boundary ---
+    "text_compression_ratio",
     # previous rotations keep their relative order after the gated prefix
     "embedding_index_reload_topk",
     "error_in_signup_window_sliced",
@@ -137,7 +139,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_metadata",
     "salted_event_rollup",
     "synthetic_activities_profile",
-    "text_repetition",
     "token_budget_mixture",
     "user_qualification",
     "doc_fingerprints",
