@@ -48,8 +48,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # pinned-state signature change on the IVF-PQ path, the try/finally
     # rework in the eager monitor, the cross-pairs cache-ownership doc
     # site, the quantized-topk id-type rewrite, and the struct-zip
-    # repetition rewrite (late r8 — changed plans gate first)
+    # gram rewrites (late r8 — changed plans gate first)
     "text_repetition",
+    "benchmark_decontamination",
     "dedup_lsh_bucket_stats_sampled",
     "embedding_pq_index_reload_topk",
     "embedding_ivfpq_topk",
@@ -105,8 +106,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_near_dup",
     "embedding_incremental_near_dup",
     "delta_roundtrip_stats",
-    "streaming_ingest_gate",
     # --- 50-query gate boundary ---
+    "streaming_ingest_gate",
     "text_compression_ratio",
     # previous rotations keep their relative order after the gated prefix
     "embedding_index_reload_topk",
@@ -122,7 +123,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_value_percentiles",
     "wellness_kpis",
     "activity_gold_enrichment",
-    "benchmark_decontamination",
     "cdc_apply_snapshot",
     "cdc_scd2_history",
     "commute_enrichment",
