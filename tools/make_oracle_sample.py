@@ -68,6 +68,10 @@ HEAVY_ORACLE_QUERIES = [
     # slice is in the query itself (r7: the at-scale external check the
     # 38M-pair global form cannot have)
     "error_in_signup_window_sliced",
+    # late r8: the two struct-zip gram rewrites — at-scale evidence that
+    # struct distinctness/equality replays the oracle's string grams
+    "text_repetition",
+    "benchmark_decontamination",
 ]
 
 
