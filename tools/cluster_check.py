@@ -51,6 +51,9 @@ QUERIES = [
     "streaming_ingest_gate",     # readStream -> foreachBatch -> txn sink
     "text_compression_ratio",    # zlib mapInPandas + corpus-flag gate
     "dedup_lsh_bucket_stats",    # skew monitor: candidate arithmetic
+    # late r8: struct-typed grams crossing executor serialization
+    "text_repetition",           # arrays_zip struct distinctness
+    "benchmark_decontamination", # struct-gram broadcast equi-join
 ]
 
 
