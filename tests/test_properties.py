@@ -9,6 +9,7 @@ cost."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -216,3 +217,48 @@ def test_token_budget_mixture_invariants(spark, budget, weights):
     kept_ids = {r["doc_id"] for r in rows}
     all_ids = {r["doc_id"] for r in docs.collect()}
     assert kept_ids <= all_ids
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            # arbitrary non-separator content, incl. unicode and
+            # punctuation — tokens may be ANY string without the split
+            # char, so struct-vs-string equivalence must not depend on
+            # "nice" words
+            st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_repetition_struct_zip_matches_string_reference(spark, toks):
+    """The late-r8 struct-zip rewrite's load-bearing claim, as a property:
+    distinct n-gram COUNTS over arrays_zip struct views equal distinct
+    counts over the joined-string reference for arbitrary token content
+    (tokens cannot contain the separator — they are split on it)."""
+    from employee_activity_etl_poc_spark.operators.textops import (
+        repetition_features,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(text,)], "text string")
+    rep = repetition_features(F.col("text"))
+    got = df.select(
+        rep["dup_token_frac"].alias("d1"),
+        rep["dup_2gram_frac"].alias("d2"),
+        rep["dup_3gram_frac"].alias("d3"),
+    ).collect()[0]
+
+    # reference: python string n-grams over the SAME split semantics
+    # (Spark split on " " yields empty strings around repeats/edges; the
+    # generated text has single separators, but text == "" still splits
+    # to [""] — mirror exactly)
+    words = text.split(" ")
+    for k, name in ((1, "d1"), (2, "d2"), (3, "d3")):
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+        want = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        assert got[name] == pytest.approx(want), (k, toks)
