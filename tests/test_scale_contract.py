@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from bench import HEADLINE, R1_SUBSET
 from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+from tools.query_deps import registry_deps
 from tools.sweep_heavy import (
     AUDIT_EXCLUDED,
     DOCS_LIGHT_QUERIES,
@@ -61,6 +62,46 @@ def test_every_query_is_classified():
     assert not (set(AUDIT_EXCLUDED) & set(EXEMPT))
     for name, why in EXEMPT.items():
         assert len(why) > 20, f"{name}: exemption needs a real rationale"
+
+
+def test_sweep_lists_match_detected_table_deps():
+    """Each sweep list measures its queries against a fixture scaled on
+    PARTICULAR tables (tools/query_deps source introspection, r8 advice:
+    wire it in, not just cite it):
+
+    - QUERIES / DOCS_LIGHT sweep against a documents+embeddings-only big
+      fixture, so a query there that also reads events would silently
+      under-measure — its detected set must be ⊆ {documents, embeddings}
+      and non-empty.
+    - EVENTS_QUERIES must read events (dims like customer are fine).
+    - EXEMPT entries whose rationale says 'reads no fixture table' must
+      truly detect zero loads.
+
+    Queries with no detectable load literal load via helpers; they are
+    'unknown' per query_deps' contract and are skipped, not guessed.
+    """
+    deps = registry_deps()
+    for name in list(QUERIES) + list(DOCS_LIGHT_QUERIES):
+        tabs = deps[name]
+        assert tabs, f"{name}: docs-sweep query with no detectable load"
+        assert tabs <= {"documents", "embeddings"}, (
+            f"{name} is in the docs/embeddings sweep but reads {sorted(tabs)}"
+        )
+    for name in EVENTS_QUERIES:
+        tabs = deps[name]
+        if tabs:  # unknown (helper-loaded) is skipped, per query_deps
+            assert "events" in tabs, (
+                f"{name} is in the events sweep but reads {sorted(tabs)}"
+            )
+            assert not (tabs & {"documents", "embeddings"}), (
+                f"{name} mixes docs/embeddings into the events sweep"
+            )
+    for name, why in EXEMPT.items():
+        if "reads no fixture table" in why:
+            assert not deps[name], (
+                f"{name} is exempt as fixture-free but reads "
+                f"{sorted(deps[name])}"
+            )
 
 
 def test_headline_queries_are_swept():

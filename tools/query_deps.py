@@ -15,6 +15,7 @@ as unknown and must be classified explicitly by the caller.
 from __future__ import annotations
 
 import inspect
+import os
 import re
 import sys
 
@@ -43,7 +44,9 @@ def tables_used(fn) -> frozenset[str]:
 
 
 def registry_deps() -> dict[str, frozenset[str]]:
-    sys.path.insert(0, "/root/repo")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     from employee_activity_etl_poc_spark.plans.registry import REGISTRY
 
     return {name: tables_used(q.fn) for name, q in REGISTRY.items()}
