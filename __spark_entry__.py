@@ -43,24 +43,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # every plan changed this round — followed by a representative slice of the
 # relational catalog. Everything else keeps registration order after them.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 rotation part 1: this round's new/changed plans — the two
-    # new gates (sampled LSH pre-flight, PQ artifact reload), the
-    # pinned-state signature change on the IVF-PQ path, the try/finally
-    # rework in the eager monitor, the cross-pairs cache-ownership doc
-    # site, the quantized-topk id-type rewrite, and the struct-zip
-    # gram rewrites (late r8 — changed plans gate first)
+    # Round-9 rotation part 1: every plan changed this round — the
+    # ANN id-type fix + string-id family pin (embedding_topk_vectorized),
+    # the residual pinned-state guard (ivfpq), the shared-baseline
+    # rework on both index-lifecycle gates, the audit-mode (lazy-census)
+    # parameter on the two LSH monitors, the tokenize-once rewrites
+    # (text_quality / lang_id / confusion / quality_keepers), and the
+    # representative re-gates for the table-load memo (watermark
+    # pushdown, IDF literal, ntile offsets)
+    "text_quality",
+    "lang_id_heuristic",
+    "lang_confusion_matrix",
+    "dedup_quality_keepers",
+    "dedup_lsh_bucket_stats",
+    "dedup_lsh_bucket_stats_sampled",
+    "embedding_topk_vectorized",
+    "embedding_ivfpq_topk",
+    "embedding_index_reload_topk",
+    "embedding_pq_index_reload_topk",
+    "events_after_watermark",
+    "tfidf_scores",
+    "event_value_deciles",
+    # Round-9 rotation part 2: ALL 37 queries whose last driver gate was
+    # round 6 (judge r9 ask #2; the judge's own r8 sf0.01 sweep covered
+    # them, this makes the DRIVER gate current — afterwards nothing is
+    # older than r7). streaming_ingest_gate is the side-effect exception:
+    # rows-only check, no oracle hash.
+    "active_user_intersection",
+    "activity_validation",
+    "cheapest_supplier_per_part",
+    "commute_analytics",
+    "customers_without_events",
+    "dormant_customers",
+    "error_in_signup_window",
+    "event_row_numbers",
+    "event_row_numbers_distributed",
+    "event_type_mode_value",
+    "event_type_stats",
+    "event_value_histogram",
+    "event_value_outliers",
+    "events_interarrival",
+    "events_pivot_by_type",
+    "events_running_totals",
+    "events_session_1h",
+    "events_sliding_2d_1d",
+    "events_tumbling_6h",
+    "events_user_zscores",
+    "heavy_purchasers_not_heavy_signups",
+    "heavy_user_event_types",
+    "hypertable_daily_rollup",
+    "latest_events_per_user",
+    "lineitem_union_fragments",
+    "lineitem_unpivot_metrics",
+    "nation_revenue_share",
+    "newest_events",
+    "open_order_customers",
+    "purchase_asof_click",
+    "revenue_rollup_region_nation",
+    "shipping_priority",
+    "sport_code_mapping",
+    "streaming_ingest_gate",
+    "table_row_counts",
+    "text_compression_ratio",
+    "time_features",
+    # --- 50-query gate boundary ---
+    # previous rotations keep their relative order after the gated prefix
     "text_repetition",
     "benchmark_decontamination",
-    "dedup_lsh_bucket_stats_sampled",
-    "embedding_pq_index_reload_topk",
-    "embedding_ivfpq_topk",
-    "dedup_lsh_bucket_stats",
     "fuzzy_decontamination",
     "embedding_quantized_topk",
-    # Round-8 rotation part 2: ALL 39 queries whose last driver gate was
-    # round 5 (the judge's ask #2 list and then some — three rounds
-    # stale by r8 close otherwise); embedding_quantized_topk above is
-    # the 39th
     "brand_volume",
     "dedup_cluster_summary",
     "dedup_clusters_alternating",
@@ -70,7 +121,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "dedup_minhash_lsh",
     "dedup_ngram_blocked",
-    "dedup_quality_keepers",
     "dedup_simhash",
     "dedup_simhash_hamming",
     "documents_domain_cap",
@@ -99,18 +149,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue_share",
     "regional_supplier_volume",
     "revenue_by_segment",
-    # Round-8 rotation part 3: six round-6-gated fills (embedding
-    # near-dup family, the side-effect gates, the zlib path) — the
-    # next-longest-ungated block after the r5 set
     "embedding_ann_lsh",
     "embedding_near_dup",
     "embedding_incremental_near_dup",
     "delta_roundtrip_stats",
-    # --- 50-query gate boundary ---
-    "streaming_ingest_gate",
-    "text_compression_ratio",
-    # previous rotations keep their relative order after the gated prefix
-    "embedding_index_reload_topk",
     "error_in_signup_window_sliced",
     "dedup_ngram_prefix",
     "embedding_pq_topk",
@@ -131,9 +173,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "documents_stratified_sample",
     "documents_weighted_sample",
     "domain_wellness_kpis",
-    "event_value_deciles",
     "events_column_profile",
-    "lang_confusion_matrix",
     "multimodal_frame_features",
     "multimodal_frame_sample",
     "multimodal_metadata",
@@ -143,11 +183,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_qualification",
     "doc_fingerprints",
     "document_chunks",
-    "embedding_topk_vectorized",
-    "lang_id_heuristic",
-    "text_quality",
     "text_redaction",
-    "tfidf_scores",
     "token_counts",
     "vocabulary_top_terms",
     "dedup_duplicated_spans",
@@ -155,42 +191,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_levenshtein_passjoin",
     "dedup_spans_incremental",
     "dedup_spans_incremental_removal",
-    "sport_code_mapping",
-    "time_features",
-    "events_interarrival",
-    "newest_events",
-    "table_row_counts",
-    "active_user_intersection",
-    "activity_validation",
-    "cheapest_supplier_per_part",
-    "commute_analytics",
-    "customers_without_events",
-    "dormant_customers",
-    "error_in_signup_window",
-    "event_row_numbers",
-    "event_row_numbers_distributed",
-    "event_type_mode_value",
-    "event_type_stats",
-    "event_value_histogram",
-    "event_value_outliers",
-    "events_after_watermark",
-    "events_pivot_by_type",
-    "events_running_totals",
-    "events_session_1h",
-    "events_sliding_2d_1d",
-    "events_tumbling_6h",
-    "events_user_zscores",
-    "heavy_purchasers_not_heavy_signups",
-    "heavy_user_event_types",
-    "hypertable_daily_rollup",
-    "latest_events_per_user",
-    "lineitem_union_fragments",
-    "lineitem_unpivot_metrics",
-    "nation_revenue_share",
-    "open_order_customers",
-    "purchase_asof_click",
-    "revenue_rollup_region_nation",
-    "shipping_priority",
 )
 
 

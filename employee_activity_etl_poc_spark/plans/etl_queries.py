@@ -1137,11 +1137,13 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "eval"),
 )
 def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textops import lang_id
+    from ..operators.textops import lang_id, tokens
 
     docs = load(spark, sf_dir, "documents")
+    # project tokens() once (r8 ask #6 — lang_id alone re-split 16x)
+    ws = docs.select("lang", tokens(F.col("text")).alias("ws"))
     return (
-        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        ws.select("lang", lang_id(toks=F.col("ws")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )

@@ -56,15 +56,18 @@ from .registry import load, register
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    feats = TX.quality_features(F.col("text"))
-    return docs.select(
+    # project tokens() ONCE (r8 ask #6): the feature set + score inlined
+    # ten copies of the split into one Project otherwise
+    ws = docs.select("doc_id", "text", TX.tokens(F.col("text")).alias("ws"))
+    feats = TX.quality_features(F.col("text"), toks=F.col("ws"))
+    return ws.select(
         "doc_id",
         feats["n_chars"].alias("n_chars"),
         feats["n_tokens"].alias("n_tokens"),
         feats["avg_token_len"].alias("avg_token_len"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["punct_ratio"].alias("punct_ratio"),
-        TX.quality_score(F.col("text")).alias("quality"),
+        TX.quality_score(F.col("text"), toks=F.col("ws")).alias("quality"),
     )
 
 
@@ -89,7 +92,14 @@ from .sql_fragments import _LANG_SCORE_SQL  # noqa: E402
 )
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred"))
+    # project tokens() once; lang_id alone re-split 16 times (r8 ask #6)
+    ws = docs.select(
+        "doc_id", "lang", TX.tokens(F.col("text")).alias("ws")
+    )
+    return ws.select(
+        "doc_id", "lang",
+        TX.lang_id(toks=F.col("ws")).alias("lang_pred"),
+    )
 
 
 @register(
@@ -1595,9 +1605,13 @@ def _lsh_bucket_stats_oracle_sql(cap: int) -> str:
 def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_boilerplate_near_copies(load(spark, sf_dir, "documents"))
 
+    from .registry import plan_audit_active
+
     def stats(mode: str, **kw) -> DataFrame:
+        # lazy under the plan census (same plan shape, no eager collect)
         return D.lsh_bucket_stats(
-            corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, **kw
+            corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3,
+            persist=not plan_audit_active(), **kw
         ).select(F.lit(mode).alias("mode"), "*")
 
     return stats("undefended").unionByName(
@@ -1701,10 +1715,14 @@ def _lsh_bucket_stats_sampled_oracle_sql(cap: int, mod: int) -> str:
 def dedup_lsh_bucket_stats_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_boilerplate_near_copies(load(spark, sf_dir, "documents"))
 
+    from .registry import plan_audit_active
+
     def stats(mode: str, **kw) -> DataFrame:
+        # lazy under the plan census (same plan shape, no eager collect)
         return D.lsh_bucket_stats_sampled(
             corpus, "text", "doc_id",
-            num_perm=16, bands=4, shingle_k=3, sample_mod=4, **kw
+            num_perm=16, bands=4, shingle_k=3, sample_mod=4,
+            persist=not plan_audit_active(), **kw
         ).select(F.lit(mode).alias("mode"), "*")
 
     return stats("undefended").unionByName(
@@ -2128,8 +2146,13 @@ def dedup_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, threshold=0.5
     )
     comp = D.connected_components(pairs)
+    # project tokens() once for the score's internal features (r8 ask #6)
     quality = corpus.select(
-        F.col("doc_id").alias("node"), TX.quality_score(F.col("text")).alias("q")
+        F.col("doc_id").alias("node"), "text",
+        TX.tokens(F.col("text")).alias("ws"),
+    ).select(
+        "node",
+        TX.quality_score(F.col("text"), toks=F.col("ws")).alias("q"),
     )
     w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("node"))
     return (

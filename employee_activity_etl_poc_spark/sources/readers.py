@@ -47,8 +47,44 @@ def _ensure_session_conf(spark: SparkSession) -> None:
             pass
 
 
+# Logical-plan memo for testdata tables: `spark.read.parquet` infers the
+# schema with a one-task footer job EVERY call, so each of the 133
+# registry queries paid one job just to COMPILE (the plan census could
+# never be job-free, and repeated plan builds in tools re-listed the
+# same immutable files). DataFrames are immutable logical plans — one
+# per (application, fixture dir, table) is exactly as correct as one per
+# call, and holds no executed data (bench cold semantics untouched).
+# Fixture dirs are immutable by contract; `clear_table_cache()` exists
+# for the one tool that regenerates a dir in-process (make_sf tests).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
+def _read_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized RAW parquet read (no ts normalization) — the incremental
+    loader filters the raw int64 ns column BEFORE conversion so the
+    predicate reaches the scan; it shares the memo so it, too, compiles
+    job-free on a warmed session."""
+    key = (
+        spark.sparkContext.applicationId, os.path.abspath(sf_dir),
+        f"{name}#raw",
+    )
+    if key not in _TABLE_CACHE:
+        _ensure_session_conf(spark)
+        _TABLE_CACHE[key] = spark.read.parquet(
+            os.path.join(sf_dir, f"{name}.parquet")
+        )
+    return _TABLE_CACHE[key]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver testdata table (TESTDATA.md)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     _ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLUMNS.get(name, ()):
@@ -61,6 +97,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
@@ -81,7 +118,7 @@ def load_table_incremental(
 
     _ensure_session_conf(spark)
     if ts_col in _NANOS_TS_COLUMNS.get(name, ()):
-        raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        raw = _read_table_raw(spark, sf_dir, name)
         if dict(raw.dtypes)[ts_col] == "bigint":
             dt = datetime.fromisoformat(after).replace(tzinfo=timezone.utc)
             # Integral µs arithmetic — float .timestamp() has ~0.5 µs error
