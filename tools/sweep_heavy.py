@@ -276,7 +276,20 @@ def main() -> None:
     big = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf10"
     k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     out = sys.argv[4] if len(sys.argv) > 4 else "/tmp/sweep_heavy.json"
-    spark = get_spark("sweep-heavy")
+    # optional 6th arg: comma-separated query subset — the second-decade
+    # (sf10 -> sf100) runs sweep only the heaviest linear families
+    # against the docs-only sf100 sub-fixture (r8 judge ask #7)
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+    # SPARK_GRAFT_SWEEP_SHUFFLE: shuffle-partition override for the
+    # biggest fixtures. Partition COUNT is the knob that scales with
+    # data on a real cluster; local mode pins it to the 32 cores by
+    # default, which leaves each task 1/32 of an 8 GB heap — at 5M docs
+    # the prefix-join's sort pages exceed that (GCLocker alloc failures,
+    # r9 sf100 run). 128 partitions = 4 waves of 4x-smaller tasks, same
+    # machine, bounded memory — exactly what docs-per-partition capping
+    # does at 100 TB.
+    n_shuffle = int(os.environ.get("SPARK_GRAFT_SWEEP_SHUFFLE", "0")) or None
+    spark = get_spark("sweep-heavy", shuffle_partitions=n_shuffle)
     # warm the Python worker pool (see bench.py)
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), schema="id long"
@@ -292,6 +305,11 @@ def main() -> None:
         run_list += EVENTS_QUERIES
     if has("lineitem"):
         run_list += RELATIONAL_QUERIES
+    if only is not None:
+        unknown = only - set(run_list)
+        if unknown:
+            raise SystemExit(f"subset names not sweepable here: {unknown}")
+        run_list = [n for n in run_list if n in only]
     print(f"sweeping {len(run_list)} queries", flush=True)
     rec: dict[str, dict] = {}
     for name in run_list:
