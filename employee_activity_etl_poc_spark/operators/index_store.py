@@ -112,12 +112,18 @@ def save_ann_index(
             _plane_weights(dim, n_planes, t) for t in range(n_tables or 1)
         ]
         rows += _vec_rows("lsh_plane", planes)
+    # ONE slice from the start: plain createDataFrame parallelizes local
+    # rows into defaultParallelism (32) Python slices, and a
+    # coalesce(1) write task then pulls those 32 partitions through 32
+    # SEQUENTIAL Python-worker rounds (~135 ms each — measured 4.4 s
+    # per artifact save, 60% of both index-lifecycle gates, r9). The
+    # artifact is driver-sized by construction, so one slice is the
+    # honest shape anyway: 0.3 s, same file, one task on reload.
     df = spark.createDataFrame(
-        rows, schema="section string, i int, j int, vec array<double>, meta string"
+        spark.sparkContext.parallelize(rows, 1),
+        schema="section string, i int, j int, vec array<double>, meta string",
     )
-    # one file: the artifact is driver-sized by construction, and a
-    # single-file parquet read is one task on reload
-    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").parquet(path)
 
 
 def load_ann_index(spark: SparkSession, path: str) -> dict:

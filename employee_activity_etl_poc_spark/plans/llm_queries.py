@@ -2596,6 +2596,19 @@ def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RELOAD_GATE_BASELINE: dict[str, tuple] = {}
 
 
+def _local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local rows as a ONE-slice DataFrame: plain createDataFrame
+    parallelizes into defaultParallelism Python slices, which any
+    single-task downstream (coalesced file write, broadcast build) then
+    drains as N SEQUENTIAL Python-worker rounds (~135 ms each on 32
+    cores — the index_store save paid 4.4 s for a 5k-row artifact, r9).
+    Bounded gate frames are driver-sized by contract; one slice is
+    their honest shape."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1) if rows else rows, schema
+    )
+
+
 def _reload_gate_baseline(spark: SparkSession, sf_dir: str):
     import os as _os
 
@@ -2612,7 +2625,32 @@ def _reload_gate_baseline(spark: SparkSession, sf_dir: str):
         )
         _RELOAD_GATE_BASELINE[key] = (n, cents, exact.collect(), exact.schema)
     n, cents, rows, schema = _RELOAD_GATE_BASELINE[key]
-    return n, cents, spark.createDataFrame(rows, schema)
+    return n, cents, _local_df(spark, rows, schema)
+
+
+def _reload_identity_gate(
+    spark: SparkSession, exact: DataFrame, fresh: DataFrame,
+    reloaded: DataFrame,
+) -> DataFrame:
+    """Identity + recall flags for the two index-lifecycle gates,
+    evaluating each distributed probe EXACTLY ONCE (r8 What's-wrong #4):
+    both probe results are bounded (|q|·k rows by construction), so
+    collect them, decide ``reload_identical`` as a driver-side multiset
+    compare, and run :func:`recall_gate` against the local relation.
+    The previous exceptAll ∪ exceptAll + crossJoin plan recomputed
+    ``reloaded`` three times and ``fresh`` twice per run — 40%+ of the
+    two gates' bench cost for checks on 50-row frames. Output rows and
+    the oracle hash are unchanged."""
+    cols = ["query_id", "neighbor_id", "sim", "rnk"]
+    f_rows = fresh.select(*cols).collect()
+    r_rows = reloaded.select(*cols).collect()
+    identical = sorted(map(tuple, f_rows)) == sorted(map(tuple, r_rows))
+    reloaded_local = _local_df(spark, r_rows, reloaded.select(*cols).schema)
+    return SIM.recall_gate(exact, reloaded_local, floor=0.8).crossJoin(
+        F.broadcast(
+            _local_df(spark, [(identical,)], "reload_identical boolean")
+        )
+    )
 
 
 @register(
@@ -2685,18 +2723,12 @@ def embedding_index_reload_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, "vec_id", "embedding",
         k=5, n_probe=idx["n_probe"], cents=idx["centroids"],
     )
-    ident = (
-        fresh.select("query_id", "neighbor_id", "sim", "rnk")
-        .exceptAll(reloaded.select("query_id", "neighbor_id", "sim", "rnk"))
-        .unionAll(
-            reloaded.select("query_id", "neighbor_id", "sim", "rnk")
-            .exceptAll(fresh.select("query_id", "neighbor_id", "sim", "rnk"))
-        )
-        .agg((F.count("*") == 0).alias("reload_identical"))
-    )
-    return SIM.recall_gate(exact, reloaded, floor=0.8).crossJoin(
-        F.broadcast(ident)
-    )
+    # Each probe runs EXACTLY ONCE: both results are bounded (|q|·k
+    # rows), so collect them and run the identity + recall checks on
+    # the local relations — the previous exceptAll/crossJoin form
+    # re-evaluated each distributed probe up to 3x (r8 What's-wrong #4;
+    # same values, same hashes, the gate semantics unchanged).
+    return _reload_identity_gate(spark, exact, fresh, reloaded)
 
 
 @register(
@@ -2770,18 +2802,9 @@ def embedding_pq_index_reload_topk(spark: SparkSession, sf_dir: str) -> DataFram
         n_probe=idx["n_probe"], residual=True,
         cents=idx["coarse"], codebooks=idx["codebooks"],
     )
-    ident = (
-        fresh.select("query_id", "neighbor_id", "sim", "rnk")
-        .exceptAll(reloaded.select("query_id", "neighbor_id", "sim", "rnk"))
-        .unionAll(
-            reloaded.select("query_id", "neighbor_id", "sim", "rnk")
-            .exceptAll(fresh.select("query_id", "neighbor_id", "sim", "rnk"))
-        )
-        .agg((F.count("*") == 0).alias("reload_identical"))
-    )
-    return SIM.recall_gate(exact, reloaded, floor=0.8).crossJoin(
-        F.broadcast(ident)
-    )
+    # single-execution identity + recall gate on the bounded probe
+    # results (see embedding_index_reload_topk)
+    return _reload_identity_gate(spark, exact, fresh, reloaded)
 
 
 # ---------------------------------------------------------------------------
