@@ -86,8 +86,9 @@ NESTED_LOOP_OK = {
     "embedding_pq_topk": "exact baseline + LUT join + 1-row recall flag",
     "embedding_ivfpq_topk": "exact baseline + LUT join + 1-row recall flag",
     "embedding_index_reload_topk": (
-        "exact baseline cross join + 1-row recall flag + 1-row "
-        "reload-identity flag (fresh-vs-reloaded exceptAll aggregate)"
+        "1-row recall + reload-identity flags cross-joined onto the "
+        "local exact baseline (r9: probes collected once, identity is "
+        "a driver-side compare)"
     ),
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
@@ -97,8 +98,9 @@ NESTED_LOOP_OK = {
         "monitor on the 1/4 sample)"
     ),
     "embedding_pq_index_reload_topk": (
-        "exact baseline cross join + 1-row recall flag + 1-row "
-        "reload-identity flag (fresh-vs-reloaded exceptAll aggregate)"
+        "1-row recall + reload-identity flags cross-joined onto the "
+        "local exact baseline (r9: probes collected once, identity is "
+        "a driver-side compare)"
     ),
 }
 
