@@ -376,3 +376,54 @@ def test_lsh_preflight_blocks_template_flood(spark, tmp_path):
     assert res.preflight_est_pairs <= 64.0 * res.n_arrived
     assert os.path.isdir(os.path.join(wd2, "sigstore"))
     assert res.n_after_quality > 0
+
+
+def test_ingest_pipeline_accepts_string_doc_ids(spark, tmp_path):
+    """Real corpora key documents by string ids (URLs, UUIDs) — the whole
+    batch lifecycle (exact dedup keeper policy, minhash signature store,
+    near-dup survivor policy, quality gate, sharded export) must run on
+    a string id column end-to-end, not just the long-id fixtures (the r9
+    ANN-family id-type pin, extended to the pipeline surface)."""
+    from employee_activity_etl_poc_spark.operators.textops import lang_id
+
+    def batch(ids_texts):
+        return spark.createDataFrame(ids_texts, "doc_id string, text string")
+
+    b1 = batch([
+        (
+            f"doc/{i:03d}",
+            f"document {i} cats {i * 7 % 97} dogs {i * 13 % 89} alpha "
+            f"beta gamma {i * 11 % 83} finch {i * 17 % 79} rivers "
+            f"mountains {i * 19 % 73} autumn sky {i * 23 % 71}",
+        )
+        for i in range(20)
+    ])
+    langs = tuple(
+        r[0] for r in b1.select(lang_id(F.col("text"))).distinct().collect()
+    )
+    wd = str(tmp_path / "string_ids")
+    r1 = ingest_document_batch(
+        spark, b1, wd, min_quality=0.0, keep_langs=langs, batch_id=1,
+        lsh_preflight=True,
+    )
+    assert r1.n_after_quality == 20
+    # batch 2: one exact copy + one near copy of batch-1 docs, one new doc
+    doc3 = b1.where(F.col("doc_id") == "doc/003").collect()[0]["text"]
+    doc5 = b1.where(F.col("doc_id") == "doc/005").collect()[0]["text"]
+    b2 = batch([
+        ("dup/exact", doc5),
+        ("dup/near", " ".join(doc3.split()[1:])),
+        ("new/doc", "completely different unrelated words appear here now"),
+    ])
+    r2 = ingest_document_batch(
+        spark, b2, wd, min_quality=0.0, keep_langs=langs,
+        jaccard_threshold=0.5, batch_id=2,
+    )
+    # both dups lose to the batch-1 store members (string ids intact)
+    assert r2.n_near_dup_losers >= 1
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    ids = {r["doc_id"] for r in shards.select("doc_id").distinct().collect()}
+    assert all(isinstance(i, str) for i in ids)
+    assert "dup/near" not in ids
+    store = spark.read.parquet(os.path.join(wd, "sigstore"))
+    assert dict(store.dtypes)["doc"] == "string"
