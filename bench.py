@@ -162,6 +162,72 @@ R1_SUBSET = [
 ]
 
 
+def _prev_round_queries(repo_dir: str, sf) -> tuple[str, dict] | None:
+    """Newest bench_history/r*.json at the SAME sf — the per-round
+    archive of final BENCH_DETAILS payloads (r9 judge ask #1: the
+    compact line the driver parses carries totals only, so cross-round
+    per-query comparison needs a committed snapshot; each round close
+    copies its final BENCH_DETAILS.json to bench_history/r{N}.json)."""
+    import glob
+    import re
+
+    best = None
+    for p in glob.glob(os.path.join(repo_dir, "bench_history", "r*.json")):
+        m = re.search(r"r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if data.get("sf") != sf or not isinstance(data.get("queries"), dict):
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, os.path.basename(p), data["queries"])
+    return None if best is None else (best[1], best[2])
+
+
+def _regressions_block(repo_dir: str, sf, timings: dict) -> dict | None:
+    """The BENCH self-policing rule (r9 judge ask #1, extending the
+    SWEEP remeasure rule): flag every headline row >20% AND >0.3 s
+    slower than the previous round's artifact at the same sf. A flagged
+    row on an UNCHANGED plan must be root-caused or pinned with an
+    idle-machine median-of-3 — tools/bench_remeasure.py writes those
+    pins to BENCH_REMEASURED.json, which this block carries verbatim so
+    the shipped payload is self-contained."""
+    prev = _prev_round_queries(repo_dir, sf)
+    if prev is None:
+        return None
+    fname, prev_q = prev
+    rows = [
+        {
+            "query": name,
+            "prev": prev_q[name],
+            "cur": cur,
+            "ratio": round(cur / prev_q[name], 2),
+        }
+        for name, cur in sorted(timings.items())
+        if name in prev_q
+        and cur > prev_q[name] * 1.2
+        and cur - prev_q[name] > 0.3
+    ]
+    block: dict = {
+        "prev_artifact": f"bench_history/{fname}",
+        "rule": ">20% and >0.3s slower than the previous round at the same sf",
+        "rows": rows,
+    }
+    rem_path = os.path.join(repo_dir, "BENCH_REMEASURED.json")
+    if os.path.isfile(rem_path):
+        try:
+            with open(rem_path) as fh:
+                block["remeasured"] = json.load(fh)
+        except (OSError, ValueError):
+            pass
+    return block
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -256,6 +322,11 @@ def main() -> None:
     }
     if errors:
         payload["n_errors"] = len(errors)
+    regressions = _regressions_block(
+        os.path.dirname(os.path.abspath(__file__)), payload["sf"], timings
+    )
+    if regressions is not None:
+        payload["regressions_vs_prev"] = regressions
     # Full detail (incl. per-query warm timings, cold min/max spread, and
     # error strings) goes to a sidecar so the stdout line stays short
     # enough for the driver's capture window — BENCH_r03 showed a

@@ -25,6 +25,7 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
 from .textops import jaccard, shingles, tokens
 
 # ---------------------------------------------------------------------------
@@ -432,7 +433,10 @@ def lsh_bucket_stats(
     finally:
         banded.unpersist()
         hashed.unpersist()  # no-op in the un-pruned mode (never persisted)
-    return df.sparkSession.createDataFrame(rows, out.schema)
+    # one-slice local relation (see ..localrel): the eager monitor
+    # result is 1 row; a plain createDataFrame would hand any future
+    # coalesce(1)/sequential consumer 32 sequential Python slices.
+    return local_df(df.sparkSession, rows, out.schema)
 
 
 def lsh_bucket_stats_sampled(

@@ -40,6 +40,8 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..localrel import local_df
+
 __all__ = ["save_ann_index", "load_ann_index", "PLANE_DRIFT_MSG"]
 
 PLANE_DRIFT_MSG = (
@@ -112,16 +114,14 @@ def save_ann_index(
             _plane_weights(dim, n_planes, t) for t in range(n_tables or 1)
         ]
         rows += _vec_rows("lsh_plane", planes)
-    # ONE slice from the start: plain createDataFrame parallelizes local
-    # rows into defaultParallelism (32) Python slices, and a
-    # coalesce(1) write task then pulls those 32 partitions through 32
-    # SEQUENTIAL Python-worker rounds (~135 ms each — measured 4.4 s
-    # per artifact save, 60% of both index-lifecycle gates, r9). The
+    # ONE slice from the start (see ..localrel): a coalesce(1) write of
+    # a 32-slice local relation drains 32 SEQUENTIAL Python-worker
+    # rounds — measured 4.4 s per artifact save before the r9 fix; the
     # artifact is driver-sized by construction, so one slice is the
     # honest shape anyway: 0.3 s, same file, one task on reload.
-    df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1),
-        schema="section string, i int, j int, vec array<double>, meta string",
+    df = local_df(
+        spark, rows,
+        "section string, i int, j int, vec array<double>, meta string",
     )
     df.write.mode("overwrite").parquet(path)
 

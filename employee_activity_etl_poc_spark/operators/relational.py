@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
+
 
 def enrich_left(
     fact: DataFrame,
@@ -155,7 +157,7 @@ def assign_contiguous_ids_distributed(
     for pid, n in counts:
         offsets.append((pid, acc))
         acc += n
-    offset_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    offset_df = local_df(spark, offsets, "_pid int, _offset long")
 
     w = Window.partitionBy("_pid").orderBy(*order)
     return (
@@ -202,7 +204,7 @@ def exact_ntile_distributed(
     for pid, n in counts:
         offsets.append((pid, total))
         total += n
-    offset_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    offset_df = local_df(spark, offsets, "_pid int, _offset long")
 
     q, r = divmod(total, n_tiles)
     cut = r * (q + 1)  # global rank of the last row in the "big" tiles

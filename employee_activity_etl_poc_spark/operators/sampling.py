@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
 from ..sources.generator import uniform
 
 
@@ -85,8 +86,8 @@ def token_budget_mixture(
     training-loader concern, not a corpus-sampling one. Adds a
     ``sample_fraction`` column for auditability."""
     spark = df.sparkSession
-    wdf = spark.createDataFrame(
-        sorted(weights.items()), f"{strata_col} string, weight double"
+    wdf = local_df(
+        spark, sorted(weights.items()), f"{strata_col} string, weight double"
     )
     totals = df.groupBy(strata_col).agg(
         F.sum(F.col(tokens_col)).cast("double").alias("_tot")

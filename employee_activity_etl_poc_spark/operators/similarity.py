@@ -29,6 +29,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -718,8 +720,9 @@ def ivf_topk(
         )
         for cell in order[:n_probe]:
             q_rows.append((q_ids[qi], [float(x) for x in q_mat[qi]], int(cell)))
-    q = queries.sparkSession.createDataFrame(
-        q_rows, schema=f"query_id {id_type}, qv array<double>, cell int"
+    q = local_df(
+        queries.sparkSession, q_rows,
+        f"query_id {id_type}, qv array<double>, cell int",
     )
     sims = (
         c.join(F.broadcast(q), "cell")
@@ -834,8 +837,9 @@ def lsh_bucketed_topk(
             }
             for b in sorted(probes):
                 q_rows.append((q_ids[qi], qv, t, b))
-    q = queries.sparkSession.createDataFrame(
-        q_rows, schema=f"query_id {id_type}, qv array<double>, tbl int, bucket long"
+    q = local_df(
+        queries.sparkSession, q_rows,
+        f"query_id {id_type}, qv array<double>, tbl int, bucket long",
     )
     sims = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
@@ -1268,9 +1272,10 @@ def pq_topk(
     q_ids, q_mat = _collect_unit_queries(queries, id_col, vec_col)
     luts = _numpy_luts(q_mat, codebooks)
     id_type = queries.schema[id_col].dataType.simpleString()
-    q = queries.sparkSession.createDataFrame(
+    q = local_df(
+        queries.sparkSession,
         [(i, lut) for i, lut in zip(q_ids, luts)],
-        schema=f"query_id {id_type}, lut array<array<double>>",
+        f"query_id {id_type}, lut array<array<double>>",
     )
     score = None
     for s in range(m):
@@ -1391,9 +1396,10 @@ def ivf_pq_topk(
             q_rows.append(
                 (q_ids[qi], luts[qi], int(cell), float(cell_scores[qi][cell]))
             )
-    q = queries.sparkSession.createDataFrame(
+    q = local_df(
+        queries.sparkSession,
         q_rows,
-        schema=(
+        (
             f"query_id {id_type}, lut array<array<double>>, "
             "cell int, cdot double"
         ),

@@ -50,6 +50,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..localrel import local_df
 from ..operators import dedup as D
 from ..operators.textops import chunk_tokens, lang_id, quality_score, tokens
 from ..sources.sinks import write_training_shards
@@ -65,6 +66,7 @@ class IngestBatchResult:
     ann_action: str | None = None
     ann_imbalance: float | None = None
     preflight_est_pairs: int | None = None
+    preflight_est_docs: int | None = None
 
 
 class TemplateFloodError(RuntimeError):
@@ -135,8 +137,10 @@ def ingest_document_batch(
     (no state written) when the estimated candidate-pair volume exceeds
     ``preflight_pairs_per_doc_bound`` pairs per doc — the guard that
     keeps one template-flooded crawl drop from turning the band-join
-    quadratic. On pass, the estimate is surfaced as
-    ``preflight_est_pairs`` for alerting.
+    quadratic. On pass, the estimates are surfaced as
+    ``preflight_est_pairs`` / ``preflight_est_docs`` for alerting — the
+    exact two quantities the guard's ratio compares, so a monitor can
+    re-derive the decision.
 
     ``ann_index=True`` (requires ``vec_col`` on the batch) runs the
     index-lifecycle epoch hook: exported docs' embeddings append to
@@ -168,19 +172,26 @@ def ingest_document_batch(
     # pairs, so the ratio crosses any linear bound as soon as
     # F² > bound·n. Same banding params as the join it protects.
     preflight_est_pairs = None
+    preflight_est_docs = None
     if lsh_preflight:
         stats = D.lsh_bucket_stats_sampled(
             deduped, "text", "doc_id", sample_mod=preflight_sample_mod
         ).collect()[0]
-        preflight_est_pairs = int(stats["est_candidate_pairs"])
-        est_docs = max(int(stats["est_n_docs"]), 1)
+        # NULL-safe: when the 1/sample_mod sample selects zero docs
+        # (empty batch, or ~((m-1)/m)^n for a tiny one, or every doc
+        # shorter than shingle_k tokens), the global aggregates come
+        # back as one row with max_bucket/candidate_pairs = NULL — that
+        # is a vacuously healthy batch, not a flood.
+        preflight_est_pairs = int(stats["est_candidate_pairs"] or 0)
+        preflight_est_docs = int(stats["est_n_docs"] or 0)
+        est_docs = max(preflight_est_docs, 1)
         if preflight_est_pairs > preflight_pairs_per_doc_bound * est_docs:
             raise TemplateFloodError(
                 f"batch{'' if batch_id is None else f' {batch_id}'}: "
                 f"sampled LSH pre-flight estimates "
                 f"{preflight_est_pairs} candidate pairs for ~{est_docs} "
                 f"docs (> {preflight_pairs_per_doc_bound}/doc; "
-                f"est_max_bucket={int(stats['est_max_bucket'])}) — "
+                f"est_max_bucket={int(stats['est_max_bucket'] or 0)}) — "
                 "template flood; quarantine the batch or prune with "
                 "max_doc_frequency before the minhash join pays for it"
             )
@@ -239,7 +250,7 @@ def ingest_document_batch(
                 F.sum("n").cast("long").alias("n")
             )
         else:
-            gstore = spark.createDataFrame([], "g long, n long")
+            gstore = local_df(spark, [], "g long, n long")
         # persist=False: a long-running foreachBatch stream calls this
         # once per micro-batch, and nobody here owns an unpersist handle
         # for the remover's internal removals frame — the default would
@@ -337,7 +348,7 @@ def ingest_document_batch(
     return IngestBatchResult(
         n_arrived, n_after_exact, n_losers, n_after_quality,
         n_span_tokens_removed, ann_action, ann_imbalance,
-        preflight_est_pairs,
+        preflight_est_pairs, preflight_est_docs,
     )
 
 

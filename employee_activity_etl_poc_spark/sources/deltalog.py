@@ -44,6 +44,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
+from ..localrel import local_df
+
 _LOG = "_delta_log"
 
 
@@ -148,7 +150,7 @@ def read_delta_pylog(
     schema = StructType.fromJson(json.loads(schema_str))
     files = [os.path.join(path, p) for p in sorted(live)]
     if not files:
-        return spark.createDataFrame([], schema)
+        return local_df(spark, [], schema)
     reader = spark.read.schema(schema)
     if part_cols:
         reader = reader.option("basePath", path)

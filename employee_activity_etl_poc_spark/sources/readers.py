@@ -54,8 +54,9 @@ def _ensure_session_conf(spark: SparkSession) -> None:
 # same immutable files). DataFrames are immutable logical plans — one
 # per (application, fixture dir, table) is exactly as correct as one per
 # call, and holds no executed data (bench cold semantics untouched).
-# Fixture dirs are immutable by contract; `clear_table_cache()` exists
-# for the one tool that regenerates a dir in-process (make_sf tests).
+# Fixture dirs are immutable by contract; `clear_table_cache()` is
+# invoked by tools/make_sf.py (the one tool that rewrites a fixture
+# dir) so an in-process regenerate-then-read never sees a stale memo.
 _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 

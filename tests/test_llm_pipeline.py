@@ -373,9 +373,38 @@ def test_lsh_preflight_blocks_template_flood(spark, tmp_path):
         lsh_preflight=True,
     )
     assert res.preflight_est_pairs is not None
-    assert res.preflight_est_pairs <= 64.0 * res.n_arrived
+    # Pin the guard's ACTUAL contract (r9 advice #4): the ratio compares
+    # est_pairs against est_docs (the sampled estimate of post-exact-dedup
+    # docs), not n_arrived — asserting the same quantities the guard uses
+    # means this test fails exactly when the production ratio would.
+    assert res.preflight_est_docs is not None
+    assert res.preflight_est_pairs <= 64.0 * max(res.preflight_est_docs, 1)
     assert os.path.isdir(os.path.join(wd2, "sigstore"))
     assert res.n_after_quality > 0
+
+
+def test_lsh_preflight_null_sample_passes(spark, tmp_path):
+    """r9 advice #1: when the 1/sample_mod sample selects zero shingled
+    docs (here: every doc shorter than shingle_k tokens, so the sampled
+    monitor's global aggregates return one all-NULL row), the pre-flight
+    must treat the batch as vacuously healthy — not raise TypeError on
+    int(None)."""
+    from employee_activity_etl_poc_spark.operators.textops import lang_id
+
+    tiny = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(6)], "doc_id long, text string"
+    )
+    langs = tuple(
+        r[0] for r in tiny.select(lang_id(F.col("text"))).distinct().collect()
+    )
+    wd = str(tmp_path / "tinydocs")
+    res = ingest_document_batch(
+        spark, tiny, wd, min_quality=0.0, keep_langs=langs,
+        lsh_preflight=True,
+    )
+    assert res.preflight_est_pairs == 0
+    assert res.preflight_est_docs == 0
+    assert res.n_arrived == 6
 
 
 def test_ingest_pipeline_accepts_string_doc_ids(spark, tmp_path):

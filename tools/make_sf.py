@@ -77,6 +77,19 @@ REPLICATED = [
 
 def make_sf(src: str, dest: str, k: int, tables: list[str] | None = None) -> None:
     os.makedirs(dest, exist_ok=True)
+    # Invalidate the reader memo for in-process callers (r9 advice #3):
+    # readers._TABLE_CACHE assumes fixture dirs are immutable, and this
+    # is the one tool that rewrites one — a test that generates a dir,
+    # reads it through `load`, and regenerates it in the SAME process
+    # would otherwise keep the stale memoized file listing.
+    try:
+        from employee_activity_etl_poc_spark.sources.readers import (
+            clear_table_cache,
+        )
+
+        clear_table_cache()
+    except ImportError:
+        pass  # standalone use outside the repo checkout
     copy_as_is = [t for t in COPY_AS_IS if tables is None or t in tables]
     replicated = [t for t in REPLICATED if tables is None or t in tables]
     con = duckdb.connect()
