@@ -216,16 +216,20 @@ def term_frequencies(df, text_col: str, id_col: str):
     )
 
 
-def tf_idf(df, text_col: str, id_col: str, min_df: int = 1):
+def tf_idf(df, text_col: str, id_col: str, min_df: int = 1,
+           n_docs: int | None = None):
     """TF-IDF per (doc, term): tf × ln(N / df).
 
     Two aggregations over the exploded token frame (per-doc tf, corpus df)
     joined back — the document-frequency side is tiny (vocabulary-sized)
     and broadcasts. ``min_df`` prunes hapax noise. The natural log runs on
     identical doubles in any IEEE engine, so scores are oracle-comparable
-    after rounding."""
+    after rounding. ``n_docs`` (the IDF numerator literal) may be passed
+    by callers who already know the corpus size (table metadata, the
+    readers count memo) — otherwise one count job derives it."""
     tf = term_frequencies(df, text_col, id_col)
-    n_docs = df.count()  # scalar; one count job, reused as a literal
+    if n_docs is None:
+        n_docs = df.count()  # scalar; one count job, reused as a literal
     df_counts = (
         tf.groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
