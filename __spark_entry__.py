@@ -63,9 +63,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_topk",
     "dedup_lsh_bucket_stats",
     "dedup_lsh_bucket_stats_sampled",
-    "event_row_numbers",
-    "event_row_numbers_distributed",
     "delta_roundtrip_stats",
+    # Round-10 NEW queries (never externally gated before — gate first):
+    # BM25 retrieval scoring + the unigram-LM quality filter.
+    # event_row_numbers(+_distributed) yielded their prefix slots to
+    # these: their only r10 change is the one-slice offset frame,
+    # hash-gated in-session at sf0.001+sf0.01 (the lang_confusion_matrix
+    # precedent); they keep their r9 driver gates and sit right after
+    # the boundary.
+    "bm25_scores",
+    "lm_quality_nll",
     # Round-10 rotation part 2: ALL 39 queries whose last driver gate
     # was round 7 (judge r9 ask #5; the judge's own r9 sf0.01 sweep
     # covered all 39, ALL OK — this makes the DRIVER gate current,
@@ -111,6 +118,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "wellness_kpis",
     # --- 50-query gate boundary ---
     # previous rotations keep their relative order after the gated prefix
+    "event_row_numbers",
+    "event_row_numbers_distributed",
     "text_quality",
     "lang_id_heuristic",
     "dedup_quality_keepers",

@@ -216,6 +216,136 @@ def term_frequencies(df, text_col: str, id_col: str):
     )
 
 
+def bm25_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+):
+    """Okapi BM25 retrieval scores per document for one query — the
+    canonical lexical ranking a training-data pipeline uses for
+    benchmark decontamination lookups, retrieval-based filtering, and
+    hard-negative mining (Robertson & Zaragoza, FnTIR 2009; the IDF is
+    Lucene's non-negative ``ln(1 + (N - df + .5)/(df + .5))`` form).
+
+    Plan shape (all JVM-side, one pass over the exploded tokens):
+    per-doc tf restricted to the |Q| query terms (tiny after the
+    filter), the df side is |Q| rows and broadcasts, doc length joins
+    from a second projection of the same scan, and avgdl is a one-row
+    global aggregate attached by broadcast cross join — no driver
+    collect, compiles job-free. At 100 TB every stage is linear in the
+    corpus with |Q|-bounded join sides.
+
+    Cross-engine determinism: the per-(doc,term) score is one IEEE
+    expression tree on identical inputs, pinned to a 1e-6 integer grid
+    (``floor(x·10⁶ + .5)``, the repo's HALF_UP idiom) BEFORE the
+    per-doc sum, so the sum is exact bigint arithmetic — immune to
+    Spark's partition-order float summation (the ``money_sum`` lesson
+    applied to floats that cannot take DECIMAL).
+
+    Returns (id, n_hits, bm25): docs matching ≥1 query term."""
+    qt = [str(t) for t in query_terms]
+    tf_q = term_frequencies(df, text_col, id_col).where(F.col("term").isin(qt))
+    dfc = tf_q.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    if n_docs is None:
+        n_docs = df.count()
+    dl = df.select(F.col(id_col), n_tokens(F.col(text_col)).alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    term_score = idf * (
+        F.col("tf")
+        * (F.lit(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf_q.join(F.broadcast(dfc), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.floor(term_score * 1e6 + F.lit(0.5)).cast("long").alias("_s6"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            (F.sum("_s6") / F.lit(1e6)).alias("bm25"),
+        )
+    )
+
+
+def unigram_nll(
+    df,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+):
+    """Per-document average negative log-likelihood under an add-alpha
+    smoothed UNIGRAM language model trained on the corpus itself — the
+    language-model quality filter of the CCNet lineage (Wenzek et al.,
+    LREC 2020): documents whose token distribution diverges from the
+    corpus read as noise (gibberish, boilerplate, wrong-language) and
+    score a high ``avg_nll``; perplexity is ``exp(avg_nll)`` when a
+    consumer wants the conventional units (left to the consumer — libm
+    ``exp`` is not guaranteed correctly-rounded across engines, ``ln``
+    on identical doubles is proven oracle-stable in this repo).
+
+    P(t) = (c(t) + alpha) / (T + alpha·V) with corpus term counts c,
+    total token count T and vocabulary size V — both one-row global
+    aggregates attached by broadcast cross join (no driver collect,
+    compiles job-free). Per-doc aggregation uses the 1e-6 integer-grid
+    pin per (doc, term) before the exact bigint sum (see
+    :func:`bm25_scores`); the per-token average divides by the exact
+    ``dl`` afterwards. Every stage is linear; the model side is one
+    vocabulary-sized frame (broadcast at any realistic vocab).
+
+    Returns (id, dl, avg_nll)."""
+    tf = term_frequencies(df, text_col, id_col)
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("t_total"), F.count("*").alias("v_size")
+    )
+    # -tf·ln P(term) on the 1e-6 grid: one expression tree per
+    # (doc, term) on identical doubles in any IEEE engine
+    nll6 = F.floor(
+        -F.col("tf").cast("double")
+        * F.log(
+            (F.col("c") + F.lit(alpha))
+            / (F.col("t_total") + F.lit(alpha) * F.col("v_size"))
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        tf.join(counts, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("tf"), nll6.alias("_nll6"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("dl"),
+            # floor-HALF_UP, not round(): the engines' round() diverge on
+            # .xxxxxx5 double boundaries (the quality_score lesson); the
+            # division is exact-int / exact-int so both engines see the
+            # identical double
+            (
+                F.floor(F.sum("_nll6") * F.lit(1.0) / F.sum("tf") + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def tf_idf(df, text_col: str, id_col: str, min_df: int = 1,
            n_docs: int | None = None):
     """TF-IDF per (doc, term): tf × ln(N / df).

@@ -591,6 +591,99 @@ def tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bm25_scores",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    qt AS (SELECT unnest(['hash', 'spark', 'vector']) AS term),
+    tfq AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+    dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfq GROUP BY term),
+    dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    stats AS (SELECT avg(dl) AS avgdl FROM dl),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tfq.doc_id,
+             CAST(floor(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1.0)
+                  / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+               * 1000000 + 0.5) AS BIGINT) AS s6
+      FROM tfq JOIN dfc USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats CROSS JOIN n
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(sum(s6) AS BIGINT) / 1000000.0 AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Okapi BM25 document scores for a fixed 3-term query (Robertson "
+    "& Zaragoza FnTIR'09, Lucene's non-negative IDF): the lexical "
+    "ranking a training-data pipeline runs for decontamination lookups, "
+    "retrieval-based filtering, and hard-negative mining. Per-doc tf is "
+    "|Q|-filtered right after the token explode, the df side broadcasts "
+    "at |Q| rows, avgdl attaches as a broadcast 1-row aggregate — "
+    "linear, job-free compile, no collect. Per-(doc,term) scores pin to "
+    "the 1e-6 integer grid BEFORE the per-doc sum so the sum is exact "
+    "bigint arithmetic, immune to float summation order on both "
+    "engines.",
+    tags=("llm", "text", "retrieval"),
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.bm25_scores(
+        docs, "text", "doc_id", ("hash", "spark", "vector"),
+        n_docs=table_count(spark, sf_dir, "documents"),
+    )
+
+
+@register(
+    "lm_quality_nll",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t_total,
+             CAST(count(*) AS BIGINT) AS v_size
+      FROM counts
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(floor(
+               -(CAST(tf AS DOUBLE))
+               * ln((c + 0.5) / (t_total + 0.5 * v_size))
+               * 1000000 + 0.5) AS BIGINT) AS nll6
+      FROM tf JOIN counts USING (term) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+           CAST(floor(CAST(sum(nll6) AS BIGINT) * 1.0 / CAST(sum(tf) AS BIGINT)
+                      + 0.5) AS BIGINT) / 1000000.0 AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Per-document average negative log-likelihood under an "
+    "add-0.5-smoothed unigram LM trained on the corpus itself — the "
+    "CCNet-lineage (Wenzek et al. LREC'20) language-model quality "
+    "filter: gibberish/boilerplate/wrong-language docs diverge from the "
+    "corpus distribution and score high avg_nll (perplexity = "
+    "exp(avg_nll), left to consumers: libm exp is not "
+    "correctly-rounded across engines, ln on identical doubles is "
+    "proven oracle-stable here). Model side is one vocabulary-sized "
+    "broadcast; global T/V attach as a broadcast 1-row aggregate; "
+    "per-(doc,term) contributions pin to the 1e-6 grid before the "
+    "exact bigint sum.",
+    tags=("llm", "text", "quality"),
+)
+def lm_quality_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.unigram_nll(docs, "text", "doc_id")
+
+
+@register(
     "event_value_histogram",
     """
     SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,

@@ -153,3 +153,64 @@ def test_compression_ratio_separates_spam_from_prose(spark):
     # determinism
     again = {r["doc_id"]: r["ratio"] for r in compression_ratio_features(df, "text", "doc_id").collect()}
     assert again == {k: v["ratio"] for k, v in out.items()}
+
+
+def test_bm25_hand_computed_and_monotone(spark):
+    """BM25 against a hand-computed score (one doc, one hit term) and the
+    two core monotonicities: more matched query terms -> higher score;
+    for equal tf, longer docs score LOWER (length normalization)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark runs fast"),          # tf(spark)=2, dl=4
+            (2, "spark vector hash engine"),        # 3 distinct hits, dl=4
+            (3, "spark a b c d e f g h i j k"),     # tf=1, dl=12 (long)
+            (4, "spark x y z"),                      # tf=1, dl=4 (short)
+            (5, "nothing relevant here at all"),     # 0 hits -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.bm25_scores(
+            docs, "text", "doc_id", ("spark", "vector", "hash")
+        ).collect()
+    }
+    assert 5 not in out                       # no query term, no row
+    assert out[2]["n_hits"] == 3 and out[1]["n_hits"] == 1
+    # hand computation for doc 4's single term: N=5, df(spark)=4,
+    # avgdl=(4+4+12+4+5)/5, tf=1, k1=1.2, b=0.75
+    n, df_t, tf, dl, avgdl = 5, 4, 1, 4, 29 / 5
+    idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+    expected = idf * (tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+    expected = math.floor(expected * 1e6 + 0.5) / 1e6
+    assert abs(out[4]["bm25"] - expected) < 1e-9, (out[4]["bm25"], expected)
+    # length normalization: same tf, longer doc scores lower
+    assert out[3]["bm25"] < out[4]["bm25"]
+    # more matched terms beats one matched term at comparable length
+    assert out[2]["bm25"] > out[4]["bm25"]
+
+
+def test_unigram_nll_flags_rare_token_docs(spark):
+    """The CCNet-style LM filter: a doc made of corpus-rare tokens must
+    score a higher avg_nll than a doc of corpus-common tokens; dl is the
+    exact token count; values replay from the closed-form model."""
+    import math
+
+    rows = [(i, "common words appear here often") for i in range(1, 9)]
+    rows.append((9, "zyx qwv jkl"))  # three corpus-hapax tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in TX.unigram_nll(docs, "text", "doc_id").collect()
+    }
+    assert out[1]["dl"] == 5 and out[9]["dl"] == 3
+    assert out[9]["avg_nll"] > out[1]["avg_nll"]
+    # closed form for doc 9: V=8 terms (5 common + 3 hapax), T=43 tokens,
+    # each hapax has c=1 -> P = (1+.5)/(43+.5*8); per-term grid pin then
+    # exact average
+    p = (1 + 0.5) / (43 + 0.5 * 8)
+    per_tok = math.floor(-math.log(p) * 1e6 + 0.5)
+    expected = math.floor(3 * per_tok / 3 + 0.5) / 1e6
+    assert abs(out[9]["avg_nll"] - expected) < 1e-9

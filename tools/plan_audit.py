@@ -103,6 +103,8 @@ NESTED_LOOP_OK = {
         "a driver-side compare)"
     ),
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
+    "bm25_scores": "1-row broadcast avgdl aggregate cross-joined (r10)",
+    "lm_quality_nll": "1-row broadcast T/V totals aggregate cross-joined (r10)",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
     "dedup_lsh_bucket_stats": "1-row bucket aggregates assembled (2 modes)",
     "dedup_lsh_bucket_stats_sampled": (

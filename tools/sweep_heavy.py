@@ -130,6 +130,8 @@ DOCS_LIGHT_QUERIES = [
     "text_repetition",
     "text_compression_ratio",
     "tfidf_scores",
+    "bm25_scores",
+    "lm_quality_nll",
     "vocabulary_top_terms",
     "benchmark_decontamination",
     "token_budget_mixture",
