@@ -63,16 +63,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_topk",
     "dedup_lsh_bucket_stats",
     "dedup_lsh_bucket_stats_sampled",
-    "delta_roundtrip_stats",
     # Round-10 NEW queries (never externally gated before — gate first):
-    # BM25 retrieval scoring + the unigram-LM quality filter.
-    # event_row_numbers(+_distributed) yielded their prefix slots to
-    # these: their only r10 change is the one-slice offset frame,
-    # hash-gated in-session at sf0.001+sf0.01 (the lang_confusion_matrix
-    # precedent); they keep their r9 driver gates and sit right after
-    # the boundary.
+    # BM25 retrieval scoring, the unigram-LM quality filter, and
+    # SemDeDup cluster-blocked semantic dedup.
+    # event_row_numbers(+_distributed) and delta_roundtrip_stats yielded
+    # their prefix slots to these: their only r10 change is the
+    # one-slice local-relation frame, hash-gated in-session at
+    # sf0.001+sf0.01 (the lang_confusion_matrix precedent); they keep
+    # their r8/r9 driver gates and sit right after the boundary.
     "bm25_scores",
     "lm_quality_nll",
+    "semantic_dedup_pairs",
     # Round-10 rotation part 2: ALL 39 queries whose last driver gate
     # was round 7 (judge r9 ask #5; the judge's own r9 sf0.01 sweep
     # covered all 39, ALL OK — this makes the DRIVER gate current,
@@ -120,6 +121,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # previous rotations keep their relative order after the gated prefix
     "event_row_numbers",
     "event_row_numbers_distributed",
+    "delta_roundtrip_stats",
     "text_quality",
     "lang_id_heuristic",
     "dedup_quality_keepers",

@@ -126,10 +126,12 @@ HEADLINE = [
     # estimators hash-gated) and the PQ-family artifact reload gate
     "dedup_lsh_bucket_stats_sampled",
     "embedding_pq_index_reload_topk",
-    # round 10: BM25 retrieval scoring and the CCNet-style unigram-LM
-    # quality filter (both integer-grid pinned, linear, job-free compile)
+    # round 10: BM25 retrieval scoring, the CCNet-style unigram-LM
+    # quality filter (both integer-grid pinned, linear, job-free
+    # compile), and SemDeDup-style cluster-blocked semantic dedup
     "bm25_scores",
     "lm_quality_nll",
+    "semantic_dedup_pairs",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

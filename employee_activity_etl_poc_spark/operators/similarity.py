@@ -232,6 +232,99 @@ def near_duplicate_pairs_exact_small(
     )
 
 
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.99,
+    cents: list[list[float]] | None = None,
+    n_centroids: int | None = None,
+    n: int | None = None,
+    sub_planes: int | None = None,
+    multi_probe: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al.,
+    arXiv:2303.09540): k-means-CLUSTER-blocked exact-cosine pairs — the
+    clustering-based counterpart of the hyperplane-LSH blocking in
+    :func:`bucketed_near_duplicate_pairs`. Corpus vectors assign to
+    their nearest centroid (Arrow/BLAS matmul tier, the IVF cell
+    assignment), candidates block on the cell, and the verify is exact
+    cosine ≥ ``threshold`` — precision 1.0; recall is the probability a
+    τ-pair shares a block (exact copies ALWAYS do: identical vectors
+    get identical assignments and signatures).
+
+    Scale shape — PRODUCT blocking: cells ~ sqrt(n) alone leave
+    within-cell pair volume growing n^1.5 (measured 1.97× linear warm
+    at the sf1→sf10 decade), because the paper's GPU pairwise pass
+    inside each cluster is exactly the part that does not scale as a
+    join. So inside each cell the block key gains a hyperplane LSH
+    sub-bucket sized to the EXPECTED CELL POPULATION
+    (``suggest_granularity(n/cells, AUTO_TARGET_BUCKET_PAIRS)``), with
+    the same ``multi_probe`` 1-bit-flip amplification and
+    exactly-one-emission discipline as the LSH pair path (probes
+    explode on one side only; ``id_a < id_b`` keeps one row per pair,
+    no distinct shuffle). Candidate volume is then ~target·n — linear —
+    at any corpus size, while exact copies still always collide.
+
+    Pass pinned ``cents`` (the :mod:`.index_store` artifact / a shared
+    memoized train) for cross-session stability — per-call
+    auto-training is the one-shot path only."""
+    if n is None and (cents is None or sub_planes is None):
+        n = df.count()
+    if cents is None:
+        if n_centroids is None:
+            n_centroids = suggest_ivf_cells(n)
+        cents = _ivf_centroids_kcenter(df, id_col, vec_col, n_centroids)
+    dim = len(cents[0])
+    if sub_planes is None:
+        expected_cell = max(1, n // max(1, len(cents)))
+        sub_planes = (
+            suggest_granularity(expected_cell, AUTO_TARGET_BUCKET_PAIRS)
+            if expected_cell > AUTO_TARGET_BUCKET_PAIRS
+            else 0
+        )
+    c = _assign_cells_vectorized(df, id_col, vec_col, cents)
+    if sub_planes > 0:
+        c = c.withColumn(
+            "_sig", hyperplane_signature(F.col("v"), dim, sub_planes)
+        )
+        probes = F.array_distinct(
+            F.array(
+                F.col("_sig"),
+                *[
+                    F.col("_sig").bitwiseXOR(F.lit(2**p))
+                    for p in range(min(multi_probe, sub_planes))
+                ],
+            )
+        )
+    else:  # small corpus: the cell alone is the block
+        c = c.withColumn("_sig", F.lit(0).cast("long"))
+        probes = F.array(F.col("_sig"))
+    a = c.select(
+        F.col("i").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "cell", F.explode(probes).alias("bucket"),
+    )
+    b = c.select(
+        F.col("i").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "cell", F.col("_sig").alias("bucket"),
+    )
+    # merge-hint the self-join: unhinted, Catalyst size-guesses through
+    # the mapInPandas boundary and BROADCASTS the whole corpus-cells
+    # side — vectors included, >1 GB at 2M×64d (the repo's standing
+    # array-side rule: hint merge, never let BHJ/SHJ pin array frames)
+    return (
+        a.join(b.hint("merge"), ["cell", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .where(F.col("s") >= threshold)
+        .select("id_a", "id_b", F.round("s", 4).alias("sim"))
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     id_col: str,

@@ -2319,6 +2319,51 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_pairs",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+    doc="SemDeDup-style semantic dedup pairs (Abbas et al. "
+    "arXiv:2303.09540; threshold 0.99, 20 planted exact copies): "
+    "k-means-CLUSTER-blocked candidates + exact cosine verify — the "
+    "clustering-based blocking the paper uses, vs embedding_near_dup's "
+    "hyperplane-LSH blocking over the SAME corpus/oracle. The pinned "
+    "centroids come from the shared per-fixture memoized k-center train "
+    "(the index_store/reload-gate family), so assignment is "
+    "cross-session deterministic; exact copies always share a cell "
+    "(identical argmax under the deterministic tie-break), making "
+    "recall vs the brute-force oracle total at the gate corpora. Cells "
+    "~ sqrt(n) keep within-cell pair volume bounded as the corpus "
+    "grows — the scale trade the paper's FAISS clustering makes, here "
+    "as one Arrow/BLAS assignment pass + a cell equi-join.",
+    tags=("llm", "dedup", "similarity", "scale"),
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.unionByName(
+        emb.where(F.col("vec_id") < 20).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+    )
+    return SIM.semantic_near_dup_pairs(
+        corpus, "vec_id", "embedding", threshold=0.99,
+        cents=_reload_gate_cents(spark, sf_dir),
+        # corpus n from the per-fixture count memo (+20 planted copies,
+        # ids dense) — sizes the within-cell LSH sub-blocking without a
+        # plan-build count job
+        n=table_count(spark, sf_dir, "embeddings") + 20,
+    )
+
+
+@register(
     "embedding_near_dup",
     """
     WITH corpus AS (

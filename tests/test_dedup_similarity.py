@@ -1636,3 +1636,37 @@ def test_ivfpq_residual_rejects_codebooks_without_cents(spark):
         k_codes=8, residual=True, cents=cents,
     )
     assert out.count() > 0
+
+
+def test_semantic_near_dup_pairs_planted_copies(spark):
+    """SemDeDup-style cluster-blocked pairs: planted exact copies are
+    always recovered (identical vectors share a cell under the
+    deterministic argmax tie-break) with sim 1.0; precision is exact —
+    no pair below the threshold survives the cosine verify."""
+    import math
+
+    from employee_activity_etl_poc_spark.operators import similarity as SIM
+
+    def vec(seed):
+        return [math.sin(seed * 7.3 + j) for j in range(8)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    rows += [(1000 + i, vec(i)) for i in range(5)]  # exact copies of 0..4
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = SIM.semantic_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.99, n_centroids=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(5):
+        assert (i, 1000 + i) in got, f"planted copy {i} missed"
+    for r in pairs:
+        assert r["sim"] >= 0.99
+    # pinned-cents path: same pairs when centroids come in pre-trained
+    cents = SIM._ivf_centroids_kcenter(df, "vec_id", "embedding", 4)
+    again = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.semantic_near_dup_pairs(
+            df, "vec_id", "embedding", threshold=0.99, cents=cents
+        ).collect()
+    }
+    assert again == got

@@ -57,6 +57,7 @@ PLAN_BUILD_JOBS_OK = {
     "embedding_ann_lsh": "exact-baseline + query-vector collects (driver literals)",
     "embedding_ann_ivf": "k-center/Lloyd training collects (centroid literals)",
     "embedding_ivf_cell_stats": "first-in-process memoized count / shared-cents train",
+    "semantic_dedup_pairs": "first-in-process shared memoized k-center train (pinned-cents literal, r10)",
     "embedding_pq_topk": "PQ codebook training-sample collect + per-query LUTs",
     "embedding_ivfpq_topk": "residual-PQ training collects (one-shot auto path)",
     "embedding_index_reload_topk": "full artifact lifecycle: train, save, reload — the gate IS the side effect",

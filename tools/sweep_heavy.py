@@ -82,6 +82,7 @@ QUERIES = [
     "embedding_topk_vectorized",
     "embedding_quantized_topk",
     "embedding_near_dup",
+    "semantic_dedup_pairs",
     "embedding_incremental_near_dup",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
