@@ -72,6 +72,12 @@ HEAVY_ORACLE_QUERIES = [
     # struct distinctness/equality replays the oracle's string grams
     "text_repetition",
     "benchmark_decontamination",
+    # r10: the new text/retrieval/semantic operators — each trains its
+    # model/blocks on the sampled corpus identically on both engines,
+    # so the sampled gate is self-consistent
+    "bm25_scores",
+    "lm_quality_nll",
+    "semantic_dedup_pairs",
 ]
 
 
