@@ -179,7 +179,7 @@ def _prev_round_queries(repo_dir: str, sf) -> tuple[str, dict] | None:
 
     best = None
     for p in glob.glob(os.path.join(repo_dir, "bench_history", "r*.json")):
-        m = re.search(r"r(\d+)\.json$", p)
+        m = re.search(r"r(\d+)(?:_[a-z0-9]+)?\.json$", p)
         if not m:
             continue
         try:
