@@ -61,19 +61,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_ann_ivf",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
-    "dedup_lsh_bucket_stats",
     "dedup_lsh_bucket_stats_sampled",
     # Round-10 NEW queries (never externally gated before — gate first):
     # BM25 retrieval scoring, the unigram-LM quality filter, and
-    # SemDeDup cluster-blocked semantic dedup.
-    # event_row_numbers(+_distributed) and delta_roundtrip_stats yielded
-    # their prefix slots to these: their only r10 change is the
-    # one-slice local-relation frame, hash-gated in-session at
-    # sf0.001+sf0.01 (the lang_confusion_matrix precedent); they keep
-    # their r8/r9 driver gates and sit right after the boundary.
+    # SemDeDup cluster-blocked semantic dedup (batch + incremental).
+    # event_row_numbers(+_distributed), delta_roundtrip_stats and
+    # dedup_lsh_bucket_stats yielded their prefix slots to these: their
+    # only r10 change is the one-slice local-relation frame, hash-gated
+    # in-session at sf0.001+sf0.01 (the lang_confusion_matrix
+    # precedent); they keep their r8/r9 driver gates and sit right
+    # after the boundary.
     "bm25_scores",
     "lm_quality_nll",
     "semantic_dedup_pairs",
+    "semantic_dedup_incremental",
     # Round-10 rotation part 2: ALL 39 queries whose last driver gate
     # was round 7 (judge r9 ask #5; the judge's own r9 sf0.01 sweep
     # covered all 39, ALL OK — this makes the DRIVER gate current,
@@ -122,6 +123,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_row_numbers",
     "event_row_numbers_distributed",
     "delta_roundtrip_stats",
+    "dedup_lsh_bucket_stats",
     "text_quality",
     "lang_id_heuristic",
     "dedup_quality_keepers",

@@ -132,6 +132,7 @@ HEADLINE = [
     "bm25_scores",
     "lm_quality_nll",
     "semantic_dedup_pairs",
+    "semantic_dedup_incremental",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

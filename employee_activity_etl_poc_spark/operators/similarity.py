@@ -1704,6 +1704,137 @@ def embedding_signature_table(
     )
 
 
+def semantic_signature_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    sub_planes: int,
+) -> DataFrame:
+    """(id, v, n, cell, sig): the persistable block table for
+    INCREMENTAL SemDeDup — :func:`semantic_near_dup_pairs`'s product
+    block key (k-means cell × hyperplane sub-bucket) computed once per
+    vector, ever; new batches only assign/sign themselves. One fused
+    Arrow/BLAS pass: the (batch × cells) assignment matmul and the
+    (batch × sub_planes) signature matmul share the batch load.
+
+    BOTH granularities are pinned, never auto-derived here: every batch
+    blocked into one store must use the SAME centroids and plane family
+    or the block join is meaningless (the signature-store contract —
+    derive once at store creation from the expected corpus, persist
+    `cents` in an :mod:`.index_store` artifact, re-blocking on a decade
+    step is the documented compaction path)."""
+    import numpy as np
+    import pandas as pd
+
+    c_arr = np.array(cents, dtype=np.float64)
+    n_cells = c_arr.shape[0]
+    dim = c_arr.shape[1]
+    if sub_planes > 0:
+        w_mat = np.array(
+            _plane_weights(dim, sub_planes, 0), dtype=np.float64
+        ).T
+        pow2 = 2 ** np.arange(sub_planes)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def block(batches):
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            scores = x @ c_arr.T
+            cell = (n_cells - 1) - np.argmax(scores[:, ::-1], axis=1)
+            sig = (
+                ((x @ w_mat >= 0).astype(np.int64) @ pow2)
+                if sub_planes > 0
+                else np.zeros(len(pdf), dtype=np.int64)
+            )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["i"],
+                    "v": pdf["v"],
+                    "n": np.linalg.norm(x, axis=1),
+                    "cell": cell,
+                    "sig": sig,
+                }
+            )
+
+    return (
+        _as_double(df, vec_col)
+        .select(F.col(id_col).alias("i"), "v")
+        .mapInPandas(
+            block,
+            schema=(
+                f"id {id_type}, v array<double>, n double, "
+                "cell int, sig long"
+            ),
+        )
+    )
+
+
+def semantic_incremental_pairs(
+    store: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.99,
+    sub_planes: int = 0,
+    multi_probe: int = 2,
+) -> DataFrame:
+    """Semantic (SemDeDup) near-dup pairs INVOLVING AT LEAST ONE NEW
+    vector — the incremental form of :func:`semantic_near_dup_pairs`
+    for streaming/batched ingest, mirroring
+    :func:`embedding_incremental_pairs` with the product block key
+    (cell, sub-bucket).
+
+    ``store``/``new`` are block tables from
+    :func:`semantic_signature_table` (same pinned cents + plane family
+    by contract). Only the NEW side probes bit-flips; XOR involution
+    makes probing symmetric, so the union of per-batch outputs over any
+    ingest order equals the batch operator's full result (exactly-once
+    per pair: store×store pairs were emitted by earlier batches). Exact
+    copies share the cell AND every signature, so they are always
+    caught; verification is exact cosine, precision 1.0. Per-batch cost
+    is O(|new|) blocking + the (cell, bucket) equi-join — the store is
+    never re-blocked."""
+    probes = F.array_distinct(
+        F.array(
+            F.col("sig"),
+            *[
+                F.col("sig").bitwiseXOR(F.lit(2**p))
+                for p in range(min(multi_probe, sub_planes))
+            ],
+        )
+    )
+    a = new.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("n").alias("na"),
+        "cell",
+        F.explode(probes).alias("bucket"),
+    )
+    all_vecs = store.unionByName(new)
+    b = all_vecs.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+        "cell",
+        F.col("sig").alias("bucket"),
+    )
+    return (
+        a.join(b.hint("merge"), ["cell", "bucket"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("p_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("p_b"),
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .where(F.col("s") >= threshold)
+        .select(
+            F.col("p_a").alias("id_a"),
+            F.col("p_b").alias("id_b"),
+            F.round("s", 4).alias("sim"),
+        )
+        .distinct()
+    )
+
+
 def embedding_incremental_pairs(
     store: DataFrame,
     new: DataFrame,

@@ -2466,6 +2466,70 @@ def embedding_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "semantic_dedup_incremental",
+    """
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 20
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+    doc="Incremental SemDeDup via the persistable block table "
+    "(SIM.semantic_signature_table / semantic_incremental_pairs — the "
+    "cluster-blocked analog of embedding_incremental_near_dup): batch 1 "
+    "is the base corpus, batch 2 the planted copies; each batch "
+    "assigns/signs ONLY itself in one fused Arrow/BLAS pass (cell "
+    "matmul + sub-bucket matmul share the load) against PINNED "
+    "centroids and plane family, then probes its buckets against "
+    "store ∪ batch on the (cell, bucket) product key. XOR-involution "
+    "probing makes the union of per-batch outputs equal the batch "
+    "operator's full result, so the two batches' union hash-matches "
+    "the full-corpus brute-force oracle (exactly-once per pair across "
+    "the ingest history). Per-batch cost at 100 TB: O(|batch|) "
+    "blocking + a (cell, bucket) equi-join — the store is never "
+    "re-blocked.",
+    tags=("llm", "dedup", "similarity", "scale", "incremental"),
+)
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    copies = emb.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    # BOTH granularities pinned once from the base corpus (the
+    # signature-store contract): the shared memoized k-center cents +
+    # a sub-bucket plane count sized to the expected cell population
+    cents = _reload_gate_cents(spark, sf_dir)
+    n_base = table_count(spark, sf_dir, "embeddings")
+    expected_cell = max(1, n_base // max(1, len(cents)))
+    sub = (
+        SIM.suggest_granularity(expected_cell, SIM.AUTO_TARGET_BUCKET_PAIRS)
+        if expected_cell > SIM.AUTO_TARGET_BUCKET_PAIRS
+        else 0
+    )
+    # persist: the store is referenced by both batch outputs — without
+    # it the blocking matmul re-runs per reference (the sign-once
+    # contract, mirroring the embedding signature store)
+    blk1 = SIM.semantic_signature_table(
+        emb, "vec_id", "embedding", cents=cents, sub_planes=sub
+    ).persist()
+    blk2 = SIM.semantic_signature_table(
+        copies, "vec_id", "embedding", cents=cents, sub_planes=sub
+    )
+    out1 = SIM.semantic_incremental_pairs(
+        blk1.limit(0), blk1, threshold=0.99, sub_planes=sub
+    )
+    out2 = SIM.semantic_incremental_pairs(
+        blk1, blk2, threshold=0.99, sub_planes=sub
+    )
+    return out1.unionByName(out2)
+
+
+@register(
     "embedding_ivf_cell_stats",
     """
     WITH c AS (SELECT count(*) AS n FROM embeddings)

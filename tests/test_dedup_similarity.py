@@ -1670,3 +1670,49 @@ def test_semantic_near_dup_pairs_planted_copies(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_semantic_incremental_union_equals_batch(spark):
+    """Incremental SemDeDup ingest identity: the union of per-batch
+    outputs (each batch blocked against pinned cents/planes, probed
+    against store ∪ batch) equals the batch operator's pairs on the
+    full corpus — the exactly-once-per-pair contract every signature
+    store in the repo carries."""
+    import math
+
+    from employee_activity_etl_poc_spark.operators import similarity as SIM
+
+    def vec(seed):
+        return [math.sin(seed * 7.3 + j) for j in range(8)]
+
+    base = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    batch2 = spark.createDataFrame(
+        [(1000 + i, vec(i)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = SIM._ivf_centroids_kcenter(base, "vec_id", "embedding", 4)
+    sub = 2
+    blk1 = SIM.semantic_signature_table(
+        base, "vec_id", "embedding", cents=cents, sub_planes=sub
+    ).persist()
+    blk2 = SIM.semantic_signature_table(
+        batch2, "vec_id", "embedding", cents=cents, sub_planes=sub
+    )
+    inc = (
+        SIM.semantic_incremental_pairs(blk1.limit(0), blk1, sub_planes=sub)
+        .unionByName(
+            SIM.semantic_incremental_pairs(blk1, blk2, sub_planes=sub)
+        )
+        .collect()
+    )
+    full = SIM.semantic_near_dup_pairs(
+        base.unionByName(batch2), "vec_id", "embedding",
+        cents=cents, sub_planes=sub,
+    ).collect()
+    blk1.unpersist()
+    assert sorted(map(tuple, inc)) == sorted(map(tuple, full))
+    got = {(r["id_a"], r["id_b"]) for r in inc}
+    for i in range(5):
+        assert (i, 1000 + i) in got

@@ -83,6 +83,7 @@ QUERIES = [
     "embedding_quantized_topk",
     "embedding_near_dup",
     "semantic_dedup_pairs",
+    "semantic_dedup_incremental",
     "embedding_incremental_near_dup",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
