@@ -57,24 +57,29 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # lang_confusion_matrix precedent).
     "embedding_index_reload_topk",
     "embedding_pq_index_reload_topk",
-    "embedding_ann_lsh",
-    "embedding_ann_ivf",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "dedup_lsh_bucket_stats_sampled",
     # Round-10 NEW queries (never externally gated before — gate first):
-    # BM25 retrieval scoring, the unigram-LM quality filter, and
-    # SemDeDup cluster-blocked semantic dedup (batch + incremental).
+    # BM25 retrieval scoring, the unigram-LM quality filter, SemDeDup
+    # cluster-blocked semantic dedup (batch + incremental), the
+    # Gopher/MassiveText rule-set filter, and unigram token entropy.
     # event_row_numbers(+_distributed), delta_roundtrip_stats and
     # dedup_lsh_bucket_stats yielded their prefix slots to these: their
     # only r10 change is the one-slice local-relation frame, hash-gated
     # in-session at sf0.001+sf0.01 (the lang_confusion_matrix
     # precedent); they keep their r8/r9 driver gates and sit right
-    # after the boundary.
+    # after the boundary. embedding_ann_lsh / embedding_ann_ivf yielded
+    # likewise for the two second-session queries: their r10 change is
+    # only WHICH memo feeds the recall-gate baseline (lazily-split,
+    # bit-identical state), hash-gated in-session at sf0.001+sf0.01,
+    # and both carry r9 driver gates.
     "bm25_scores",
     "lm_quality_nll",
     "semantic_dedup_pairs",
     "semantic_dedup_incremental",
+    "gopher_quality_filter",
+    "token_entropy",
     # Round-10 rotation part 2: ALL 39 queries whose last driver gate
     # was round 7 (judge r9 ask #5; the judge's own r9 sf0.01 sweep
     # covered all 39, ALL OK — this makes the DRIVER gate current,
@@ -120,6 +125,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "wellness_kpis",
     # --- 50-query gate boundary ---
     # previous rotations keep their relative order after the gated prefix
+    "embedding_ann_lsh",
+    "embedding_ann_ivf",
     "event_row_numbers",
     "event_row_numbers_distributed",
     "delta_roundtrip_stats",

@@ -133,6 +133,11 @@ HEADLINE = [
     "lm_quality_nll",
     "semantic_dedup_pairs",
     "semantic_dedup_incremental",
+    # round 10b: the Gopher/MassiveText rule-set document filter and
+    # unigram token entropy (both pure column expressions / one
+    # map-side-combinable shuffle — linear, job-free compile)
+    "gopher_quality_filter",
+    "token_entropy",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -562,3 +562,154 @@ def compression_ratio_features(
             )
 
     return df.select(id_col, text_col).mapInPandas(comp, schema)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, arXiv:2112.11446
+# appendix A1.1 — the MassiveText filter set) and unigram entropy.
+# ---------------------------------------------------------------------------
+
+# The stop set Gopher names explicitly ("contains at least two of ...").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_BULLETS = ("- ", "* ", "• ")
+
+
+def _occurrences(text: Column, needle: str) -> Column:
+    """Non-overlapping occurrence count of ``needle`` via the length-diff
+    idiom — identical leftmost-nonoverlapping semantics in Spark and
+    DuckDB ``replace``."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def gopher_quality_rules(
+    text: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> dict[str, Column]:
+    """The Gopher/MassiveText document-level quality rule set as pure
+    column expressions over (possibly multi-line) text: word-count
+    bounds, mean-word-length bounds, the '#'/'...' symbol-to-word ratio,
+    bullet-start and ellipsis-end line ratios, the fraction of words
+    containing an alphabetic character, and the two-distinct-stopwords
+    rule. Returns metric AND flag columns (flags as ints so the
+    cross-engine value hash is type-stable); ``keep`` is the AND of all
+    seven rules.
+
+    All ratios are exact-int / exact-int divisions — bit-identical
+    doubles in any IEEE engine, so the threshold comparisons (and the
+    floor-HALF_UP 1e-4 grid used for the emitted ratios) replay exactly
+    in the DuckDB oracle. Linear, no shuffles, whole-stage codegen."""
+    t = F.col(text) if isinstance(text, str) else text
+    # words: split on space or newline (lines are space-joined internally)
+    ws = F.filter(F.split(t, r"[ \n]"), lambda w: w != "")
+    n_words = F.size(ws).cast("long")
+    n_word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = n_word_chars / n_words
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    n_sym = _occurrences(t, "#") + _occurrences(t, "...")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith(_BULLETS[0])
+            | l.startswith(_BULLETS[1])
+            | l.startswith(_BULLETS[2]),
+        )
+    ).cast("long")
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
+        "long"
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws), F.array([F.lit(s) for s in stopwords])
+        )
+    ).cast("long")
+
+    def _grid4(x: Column) -> Column:
+        return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+    ok = {
+        "ok_words": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_wl": (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
+        "ok_symbols": (n_sym / n_words) <= max_symbol_ratio,
+        "ok_bullets": (n_bullet / n_lines) <= max_bullet_ratio,
+        "ok_ellipsis": (n_ellipsis / n_lines) <= max_ellipsis_ratio,
+        "ok_alpha": (n_alpha / n_words) >= min_alpha_ratio,
+        "ok_stops": n_stop >= min_stop_hits,
+    }
+    keep = None
+    for flag in ok.values():
+        keep = flag if keep is None else (keep & flag)
+    out: dict[str, Column] = {
+        "n_words": n_words,
+        "mean_word_len": _grid4(mean_wl),
+        "symbol_ratio": _grid4(n_sym / n_words),
+        "bullet_ratio": _grid4(n_bullet / n_lines),
+        "ellipsis_ratio": _grid4(n_ellipsis / n_lines),
+        "alpha_ratio": _grid4(n_alpha / n_words),
+        "n_stop": n_stop,
+    }
+    for name, flag in ok.items():
+        out[name] = flag.cast("int")
+    out["keep"] = keep.cast("int")
+    return out
+
+
+def token_entropy(df, text_col: str, id_col: str):
+    """Per-document Shannon entropy (nats) of the document's own unigram
+    distribution — the repetition/diversity quality signal (a keyword-
+    stuffed or template doc concentrates mass on few tokens and scores
+    low; H = ln(dl) − (Σ tf·ln tf)/dl with dl the token count).
+
+    Plan: one token explode → per-(doc, term) counts → per-doc sum; the
+    per-term ``tf·ln tf`` contribution pins to the 1e-6 integer grid
+    BEFORE the sum (exact bigint arithmetic, immune to float summation
+    order — the :func:`bm25_scores` idiom), and the final entropy /
+    normalized entropy land on the same grid via floor-HALF_UP. Linear,
+    one shuffle on (id, term), no collect; at 100 TB the per-doc
+    aggregation is map-side combinable.
+
+    Returns (id, dl, n_unique, entropy, norm_entropy) where
+    ``norm_entropy = H / ln(dl)`` ∈ [0, 1] (0 when dl ≤ 1)."""
+    tf = term_frequencies(df, text_col, id_col)
+    s6 = F.floor(
+        F.col("tf").cast("double") * F.log(F.col("tf").cast("double")) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    per_doc = tf.select(F.col(id_col), F.col("tf"), s6.alias("_s6")).groupBy(
+        id_col
+    ).agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum("_s6").alias("_sum6"),
+    )
+    dl_d = F.col("dl").cast("double")
+    ent_raw = F.log(dl_d) - F.col("_sum6") / F.lit(1e6) / dl_d
+    ent = F.when(F.col("dl") <= 1, F.lit(0.0)).otherwise(
+        F.floor(ent_raw * 1e6 + F.lit(0.5)) / 1e6
+    )
+    norm = F.when(F.col("dl") <= 1, F.lit(0.0)).otherwise(
+        F.floor(ent_raw / F.log(dl_d) * 1e6 + F.lit(0.5)) / 1e6
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.col("n_unique"),
+        ent.alias("entropy"),
+        norm.alias("norm_entropy"),
+    )

@@ -3165,3 +3165,160 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(meta, every_n=2).select(
         "doc_id", F.col("frame_idx").cast("long").alias("frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text quality — round-10b: the Gopher/MassiveText rule set over a
+# deterministically line-structured corpus, and unigram entropy.
+# ---------------------------------------------------------------------------
+
+# Fixture docs are single-line word-salad; line-based rules need lines.
+# Both engines derive the identical line-structured corpus: 8-token
+# lines, every 7th doc bullet-prefixed, every 11th ellipsis-suffixed
+# (the planted rule-violators the filter must catch).
+_LINED_CORPUS_SQL = """
+      SELECT doc_id,
+             array_to_string(
+               [CASE WHEN doc_id % 7 = 0 THEN '- ' ELSE '' END || x ||
+                CASE WHEN doc_id % 11 = 0 THEN ' ...' ELSE '' END
+                for x in [array_to_string(ws[i*8+1:i*8+8], ' ')
+                          for i in generate_series(0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1)]],
+               chr(10)) AS text
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+"""
+
+_GOPHER_STOPS = ("the", "a", "data", "table", "join", "row", "query", "value")
+
+
+def _with_planted_lines(docs: DataFrame) -> DataFrame:
+    """documents re-texted as 8-token lines; doc_id%7 bullets, %11 ellipses."""
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    bullet = F.col("doc_id") % 7 == 0
+    ell = F.col("doc_id") % 11 == 0
+    decorated = F.transform(
+        lines,
+        lambda l: F.concat(
+            F.when(bullet, F.lit("- ")).otherwise(F.lit("")),
+            l,
+            F.when(ell, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    return docs.select("doc_id", F.array_join(decorated, "\n").alias("text"))
+
+
+@register(
+    "gopher_quality_filter",
+    f"""
+    WITH corpus AS ({_LINED_CORPUS_SQL}),
+    feats AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '[ \n]'), x -> x <> '') AS ws2,
+             string_split(text, chr(10)) AS ls
+      FROM corpus
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(ws2) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(ws2, x -> length(x))) AS BIGINT) AS n_word_chars,
+        CAST(len(list_filter(ws2, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        CAST((length(text) - length(replace(text, '#', ''))) AS BIGINT)
+          + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_sym,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) AS BIGINT) AS n_bullet,
+        CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS n_ellipsis,
+        CAST(len(list_filter(['the','a','data','table','join','row','query','value'],
+                             s -> list_contains(ws2, s))) AS BIGINT) AS n_stop
+      FROM feats
+    )
+    SELECT doc_id, n_words,
+      floor(n_word_chars / n_words * 10000 + 0.5) / 10000 AS mean_word_len,
+      floor(n_sym / n_words * 10000 + 0.5) / 10000 AS symbol_ratio,
+      floor(n_bullet / n_lines * 10000 + 0.5) / 10000 AS bullet_ratio,
+      floor(n_ellipsis / n_lines * 10000 + 0.5) / 10000 AS ellipsis_ratio,
+      floor(n_alpha / n_words * 10000 + 0.5) / 10000 AS alpha_ratio,
+      n_stop,
+      CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_words,
+      CAST(n_word_chars / n_words >= 3.0 AND n_word_chars / n_words <= 10.0 AS INT) AS ok_mean_wl,
+      CAST(n_sym / n_words <= 0.1 AS INT) AS ok_symbols,
+      CAST(n_bullet / n_lines <= 0.9 AS INT) AS ok_bullets,
+      CAST(n_ellipsis / n_lines <= 0.3 AS INT) AS ok_ellipsis,
+      CAST(n_alpha / n_words >= 0.8 AS INT) AS ok_alpha,
+      CAST(n_stop >= 2 AS INT) AS ok_stops,
+      CAST(n_words >= 50 AND n_words <= 100000
+           AND n_word_chars / n_words >= 3.0 AND n_word_chars / n_words <= 10.0
+           AND n_sym / n_words <= 0.1
+           AND n_bullet / n_lines <= 0.9
+           AND n_ellipsis / n_lines <= 0.3
+           AND n_alpha / n_words >= 0.8
+           AND n_stop >= 2 AS INT) AS keep
+    FROM m
+    """,
+    doc="The Gopher/MassiveText document-level quality rule set (Rae et "
+    "al. 2021, arXiv:2112.11446 A1.1): word-count and mean-word-length "
+    "bounds, '#'/'...' symbol-to-word ratio, bullet-start and "
+    "ellipsis-end line ratios, alphabetic-word fraction, and the "
+    "two-distinct-stopwords rule (stop set fitted to the fixture "
+    "vocabulary; Gopher's English set is the operator default). Runs "
+    "over a deterministically line-structured corpus with planted "
+    "rule-violators (every 7th doc fully bulleted -> fails the 90% "
+    "bullet rule; every 11th ellipsis-suffixed -> fails the 30% "
+    "ellipsis AND 10% symbol rules; <50-word docs fail the length "
+    "rule). Pure column expressions — linear, shuffle-free, "
+    "whole-stage codegen; ratios are exact-int/exact-int doubles so "
+    "thresholds and the 1e-4 grid replay exactly in the oracle.",
+    tags=("llm", "text", "quality", "filter"),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_planted_lines(load(spark, sf_dir, "documents"))
+    cols = TX.gopher_quality_rules("text", stopwords=_GOPHER_STOPS)
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in cols.items()],
+    )
+
+
+@register(
+    "token_entropy",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(sum(tf) AS BIGINT) AS dl,
+             CAST(count(*) AS BIGINT) AS n_unique,
+             CAST(sum(CAST(floor(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE))
+                                 * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s6
+      FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, dl, n_unique,
+      CASE WHEN dl <= 1 THEN 0.0 ELSE
+        floor((ln(CAST(dl AS DOUBLE)) - s6 / 1000000.0 / dl) * 1000000 + 0.5)
+        / 1000000.0 END AS entropy,
+      CASE WHEN dl <= 1 THEN 0.0 ELSE
+        floor((ln(CAST(dl AS DOUBLE)) - s6 / 1000000.0 / dl)
+              / ln(CAST(dl AS DOUBLE)) * 1000000 + 0.5) / 1000000.0 END
+        AS norm_entropy
+    FROM per
+    """,
+    doc="Per-document unigram Shannon entropy in nats (H = ln(dl) - "
+    "(Σ tf·ln tf)/dl) plus the [0,1] normalized form H/ln(dl) — the "
+    "repetition/diversity quality signal (keyword-stuffed or template "
+    "docs concentrate token mass and score low; the within-doc "
+    "complement of the corpus-level lm_quality_nll). One explode + one "
+    "map-side-combinable groupBy — linear at 100 TB. Per-term tf·ln(tf) "
+    "contributions pin to the 1e-6 grid BEFORE the exact bigint sum "
+    "(the bm25_scores idiom); ln on identical doubles is "
+    "oracle-stable.",
+    tags=("llm", "text", "quality"),
+)
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.token_entropy(docs, "text", "doc_id")

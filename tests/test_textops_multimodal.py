@@ -214,3 +214,73 @@ def test_unigram_nll_flags_rare_token_docs(spark):
     per_tok = math.floor(-math.log(p) * 1e6 + 0.5)
     expected = math.floor(3 * per_tok / 3 + 0.5) / 1e6
     assert abs(out[9]["avg_nll"] - expected) < 1e-9
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each Gopher rule against hand-built violators: an all-bulleted doc
+    fails the 90% bullet rule, an all-ellipsis doc fails the ellipsis AND
+    symbol rules, a short doc fails the word-count rule, and a clean long
+    doc keeps. Metric values replay the exact count arithmetic."""
+    docs = spark.createDataFrame(
+        [
+            # 14 words incl the two '-' bullets; both lines bulleted
+            (1, "- the cat sat\n- and that dog ran off with a bone today"),
+            # every line ends '...': ellipsis ratio 1.0; 3 '...' / 9 words
+            (2, "aaa bbb ...\nccc ddd ...\neee fff ..."),
+            # 60 words, all alpha, >=2 stopwords, no symbols
+            (3, " ".join(["the", "of", "and", "with", "word"] * 12)),
+        ],
+        "doc_id long, text string",
+    )
+    cols = TX.gopher_quality_rules("text")
+    out = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[v.alias(k) for k, v in cols.items()]
+        ).collect()
+    }
+    d1 = out[1]
+    assert d1["n_words"] == 14 and d1["bullet_ratio"] == 1.0
+    assert d1["ok_bullets"] == 0 and d1["ok_words"] == 0
+    # mean word length: 41 non-ws chars / 14 words, floor-HALF_UP 1e-4
+    import math
+
+    assert d1["mean_word_len"] == math.floor(41 / 14 * 1e4 + 0.5) / 1e4
+    d2 = out[2]
+    assert d2["ellipsis_ratio"] == 1.0 and d2["ok_ellipsis"] == 0
+    assert d2["symbol_ratio"] == math.floor(3 / 9 * 1e4 + 0.5) / 1e4
+    assert d2["ok_symbols"] == 0
+    # '...' tokens carry no alphabetic char: 6/9 alpha -> fails 80%
+    assert d2["ok_alpha"] == 0
+    d3 = out[3]
+    assert d3["n_words"] == 60 and d3["keep"] == 1
+    assert d3["alpha_ratio"] == 1.0 and d3["n_stop"] == 4
+
+
+def test_token_entropy_hand_computed_and_ordering(spark):
+    """Uniform-distribution docs hit norm_entropy 1.0; a doc repeating
+    one token concentrates mass and scores lower entropy than a uniform
+    doc of the same length; values replay the grid-pinned closed form."""
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),              # 8 distinct, uniform
+            (2, "x x x x x x x y"),              # concentrated
+            (3, " ".join(["u", "v", "w", "z", "q"] * 12)),  # 5x12 uniform
+            (4, "solo"),                          # dl=1 -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.token_entropy(docs, "text", "doc_id").collect()
+    }
+    assert out[1]["norm_entropy"] == 1.0 and out[1]["n_unique"] == 8
+    assert out[4]["entropy"] == 0.0 and out[4]["norm_entropy"] == 0.0
+    assert out[2]["entropy"] < out[1]["entropy"]
+    # closed form for doc 3: dl=60, five terms tf=12
+    s6 = 5 * math.floor(12 * math.log(12) * 1e6 + 0.5)
+    expected = math.floor((math.log(60) - s6 / 1e6 / 60) * 1e6 + 0.5) / 1e6
+    assert abs(out[3]["entropy"] - expected) < 1e-9
+    assert out[3]["dl"] == 60 and out[3]["n_unique"] == 5

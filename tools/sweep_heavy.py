@@ -134,6 +134,8 @@ DOCS_LIGHT_QUERIES = [
     "tfidf_scores",
     "bm25_scores",
     "lm_quality_nll",
+    "gopher_quality_filter",
+    "token_entropy",
     "vocabulary_top_terms",
     "benchmark_decontamination",
     "token_budget_mixture",
