@@ -138,6 +138,9 @@ HEADLINE = [
     # map-side-combinable shuffle — linear, job-free compile)
     "gopher_quality_filter",
     "token_entropy",
+    # round 10b: C4-style corpus-wide line dedup (keep-first-occurrence
+    # vote on 60-bit line fingerprints + per-doc reassembly)
+    "c4_line_dedup",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -2056,3 +2056,72 @@ def _apply_span_removals(
         "n_tokens_removed",
         "n_spans_removed",
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cross-corpus LINE dedup (Raffel et al. 2020, arXiv:1910.10683
+# §2.2): any line occurring more than once in the WHOLE corpus keeps only
+# its first occurrence; documents are reconstructed from their kept lines.
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame, text_col: str, id_col: str, sep: str = "\n"
+) -> DataFrame:
+    """Corpus-wide exact line deduplication with keep-first-occurrence
+    semantics — the C4 cleanup step that strips cross-site boilerplate
+    (nav bars, cookie banners, license headers) BEFORE document-level
+    dedup ever sees it. "First" is global lexicographic (id, position)
+    order, so the result is deterministic and independent of
+    partitioning.
+
+    Plan shape (three shuffles, all content-keyed, nothing quadratic):
+    posexplode(lines) → per-line 60-bit md5 fingerprint ``g`` (the
+    8-byte shuffle key; full strings never shuffle for the vote) →
+    map-side-combinable ``min(struct(id, pos))`` groupBy per g (the
+    boilerplate skew case — one line in millions of docs — collapses
+    in the combiner, so the hot key arrives at its reducer
+    pre-aggregated once per map partition) → equi-join winners back on
+    g (AQE splits any residual skewed partition) → per-document
+    reassembly via sorted collect_list. At 100 TB: shuffle volume is
+    lines×(g + id + pos) for the vote and the kept subset for
+    reassembly — linear, partitions bounded by docs-per-partition.
+
+    Returns (id, n_lines, n_kept, text_kept) — one row per input doc;
+    a doc whose every line lost (a pure copy) keeps n_kept=0 and
+    text_kept=''."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("g", _hash_long60(F.col("line")))
+    winners = lines.groupBy("g").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
+    )
+    kept = (
+        lines.join(winners, "g")
+        .where(
+            (F.col(f"w.{id_col}") == F.col(id_col))
+            & (F.col("w.pos") == F.col("pos"))
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).cast("long").alias("n_lines"),
+    )
+    return totals.join(kept, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )

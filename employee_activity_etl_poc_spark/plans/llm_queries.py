@@ -3322,3 +3322,104 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.token_entropy(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# C4-style corpus-wide line dedup (round 10b)
+# ---------------------------------------------------------------------------
+
+# Line-structured corpus with planted cross-doc duplication: every 3rd
+# doc carries a shared boilerplate header line (the hot-key skew case —
+# one line in a third of the corpus), every 7th doc is duplicated
+# verbatim at doc_id+100000 (pure-copy docs, which must come back with
+# n_kept=0).
+_BOILER_CORPUS_SQL = """
+      WITH lined AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN list_prepend('boilerplate cookie banner row', lns)
+                    ELSE lns END AS lns
+        FROM (SELECT doc_id,
+                [array_to_string(ws[i*8+1:i*8+8], ' ')
+                 for i in generate_series(0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1)] AS lns
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      ),
+      base AS (SELECT doc_id, array_to_string(lns, chr(10)) AS text FROM lined)
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 100000, text FROM base WHERE doc_id % 7 = 0
+"""
+
+
+def _with_boiler_lines(docs: DataFrame) -> DataFrame:
+    """documents as 8-token lines; %3 docs get a shared boilerplate
+    header line; %7 docs are duplicated verbatim at doc_id+100000."""
+    ws = F.split(F.col("text"), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+    )
+    lines = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.array(F.lit("boilerplate cookie banner row")), lines),
+    ).otherwise(lines)
+    base = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    copies = base.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return base.unionByName(copies)
+
+
+@register(
+    "c4_line_dedup",
+    f"""
+    WITH corpus AS ({_BOILER_CORPUS_SQL}),
+    l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+    lines AS (
+      SELECT doc_id,
+             unnest([struct_pack(pos := i - 1, line := ls[i])
+                     for i in generate_series(1, len(ls))],
+                    recursive := true)
+      FROM l
+    ),
+    fp AS (
+      SELECT doc_id, pos, line,
+             CAST('0x' || substr(md5(line), 1, 15) AS BIGINT) AS g
+      FROM lines
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS text_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT corpus.doc_id,
+           CAST(len(string_split(corpus.text, chr(10))) AS BIGINT) AS n_lines,
+           coalesce(n_kept, 0) AS n_kept,
+           coalesce(text_kept, '') AS text_kept
+    FROM corpus LEFT JOIN agg ON corpus.doc_id = agg.doc_id
+    """,
+    doc="C4-style corpus-wide line dedup (Raffel et al. 2020, "
+    "arXiv:1910.10683 §2.2 — dedup.line_dedup): any line occurring "
+    "more than once in the WHOLE corpus keeps only its first "
+    "occurrence in global (doc_id, position) order; documents are "
+    "reconstructed from their kept lines. The planted corpus covers "
+    "both hard cases: a boilerplate header shared by a third of the "
+    "corpus (the hot-key skew class — collapses in the map-side "
+    "combiner before the vote shuffle) and verbatim doc copies that "
+    "must come back empty (n_kept=0). Three content-keyed shuffles, "
+    "60-bit md5 line fingerprints as the vote key (full strings never "
+    "shuffle for the vote), nothing quadratic — the oracle replays "
+    "the identical fingerprints, keep-first rule and reassembly.",
+    tags=("llm", "dedup", "text", "scale"),
+)
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_boiler_lines(load(spark, sf_dir, "documents"))
+    return D.line_dedup(corpus, "text", "doc_id")

@@ -1716,3 +1716,45 @@ def test_semantic_incremental_union_equals_batch(spark):
     got = {(r["id_a"], r["id_b"]) for r in inc}
     for i in range(5):
         assert (i, 1000 + i) in got
+
+
+def test_line_dedup_keep_first_and_reconstruction(spark):
+    """C4 line dedup: the globally-first occurrence of each line wins
+    ((id, pos) lexicographic), a verbatim copy doc comes back empty,
+    shared boilerplate survives only in the lowest-id doc, and kept
+    lines reassemble in original position order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "boiler\nalpha one\nbeta two"),
+            (2, "boiler\ngamma three\nboiler"),   # in-doc repeat too
+            (3, "boiler\nalpha one\nbeta two"),    # pure copy of doc 1
+            (4, "delta four"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 is first everywhere: keeps all 3 lines in order
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["text_kept"] == "boiler\nalpha one\nbeta two"
+    # doc 2: 'boiler' lost to doc 1 (and its own pos-2 repeat loses to
+    # pos 0 which itself lost — only the globally-first copy survives)
+    assert out[2]["n_kept"] == 1 and out[2]["text_kept"] == "gamma three"
+    # doc 3 is a pure copy: everything lost
+    assert out[3]["n_kept"] == 0 and out[3]["text_kept"] == ""
+    # doc 4 untouched
+    assert out[4]["n_kept"] == 1 and out[4]["text_kept"] == "delta four"
+
+
+def test_line_dedup_partition_invariant(spark):
+    """The keep-first vote is global (id, pos) order, not partition
+    order: result identical under a different partitioning."""
+    rows = [(i, f"shared line\nunique {i} body") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = D.line_dedup(docs, "text", "doc_id")
+    b = D.line_dedup(docs.repartition(7, "doc_id"), "text", "doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    first = a.where(F.col("doc_id") == 0).collect()[0]
+    assert first["n_kept"] == 2  # doc 0 keeps the shared line
+    later = a.where(F.col("doc_id") == 5).collect()[0]
+    assert later["n_kept"] == 1 and later["text_kept"] == "unique 5 body"

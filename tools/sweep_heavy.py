@@ -72,6 +72,8 @@ QUERIES = [
     "dedup_cluster_summary",
     "dedup_clusters_alternating",
     "dedup_quality_keepers",
+    # line-level dedup (C4 keep-first-occurrence)
+    "c4_line_dedup",
     # span-level dedup
     "dedup_duplicated_spans",
     "dedup_span_removal_stats",
