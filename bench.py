@@ -141,6 +141,9 @@ HEADLINE = [
     # round 10b: C4-style corpus-wide line dedup (keep-first-occurrence
     # vote on 60-bit line fingerprints + per-doc reassembly)
     "c4_line_dedup",
+    # round 10b: DSIR hashed-ngram importance weights (B-row broadcast
+    # model, grid-pinned exact sums)
+    "dsir_importance_weights",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -3423,3 +3423,70 @@ def _with_boiler_lines(docs: DataFrame) -> DataFrame:
 def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_boiler_lines(load(spark, sf_dir, "documents"))
     return D.line_dedup(corpus, "text", "doc_id")
+
+
+@register(
+    "dsir_importance_weights",
+    """
+    WITH w AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS tgt,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, tgt,
+             unnest(list_concat(ws,
+               CASE WHEN len(ws) >= 2
+                    THEN [array_to_string(ws[i:i+1], ' ')
+                          for i in generate_series(1, len(ws) - 1)]
+                    ELSE [] END)) AS f
+      FROM w
+    ),
+    fb AS (
+      SELECT doc_id, tgt,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 1024 AS b
+      FROM feats
+    ),
+    db AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      FROM fb GROUP BY doc_id, b
+    ),
+    model AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS cr, CAST(sum(tgt) AS BIGINT) AS ct
+      FROM fb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+      FROM model
+    ),
+    scored AS (
+      SELECT doc_id, c,
+             CAST(floor(CAST(c AS DOUBLE)
+               * (ln((ct + 0.5) / (CAST(tt AS DOUBLE) + 0.5 * 1024))
+                  - ln((cr + 0.5) / (CAST(tr AS DOUBLE) + 0.5 * 1024)))
+               * 1000000 + 0.5) AS BIGINT) AS r6
+      FROM db JOIN model USING (b) CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+           CAST(sum(r6) AS BIGINT) / 1000000.0 AS logw
+    FROM scored GROUP BY doc_id
+    """,
+    doc="DSIR data-selection importance weights (Xie et al. 2023, "
+    "arXiv:2302.03169 — textops.dsir_importance): per-doc log "
+    "importance ln p̂/q̂ under hashed unigram+bigram bag-of-features "
+    "models, target = the lang='en' slice, raw = the whole corpus; "
+    "sampling ∝ exp(logw) tilts a raw crawl toward the target domain. "
+    "Features hash to 1024 buckets via the 60-bit md5 prefix, so the "
+    "model side is B rows and broadcasts at ANY corpus size; one "
+    "explode pass builds both models map-side-combined; totals attach "
+    "as a broadcast 1-row aggregate. Per-bucket contributions pin to "
+    "the 1e-6 grid before the exact bigint per-doc sum; add-0.5 "
+    "smoothing keeps never-in-target buckets finite. The oracle "
+    "replays hashing, smoothing, ln and the grid exactly.",
+    tags=("llm", "text", "sampling", "scale"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.dsir_importance(
+        docs, "text", "doc_id", target=F.col("lang") == "en"
+    )

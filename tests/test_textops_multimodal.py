@@ -284,3 +284,64 @@ def test_token_entropy_hand_computed_and_ordering(spark):
     expected = math.floor((math.log(60) - s6 / 1e6 / 60) * 1e6 + 0.5) / 1e6
     assert abs(out[3]["entropy"] - expected) < 1e-9
     assert out[3]["dl"] == 60 and out[3]["n_unique"] == 5
+
+
+def test_dsir_importance_tilts_toward_target(spark):
+    """DSIR: docs made of target-slice vocabulary score higher logw than
+    docs of off-target vocabulary, and the values replay the closed-form
+    hashed-ngram model (md5-bucket counts + add-0.5 smoothing + 1e-6
+    grid) computed independently in Python."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = [
+        (1, 1, "tgt alpha tgt beta"),
+        (2, 1, "tgt gamma tgt alpha"),
+        (3, 0, "raw delta raw epsilon"),
+        (4, 0, "raw zeta raw delta"),
+        (5, 0, "tgt alpha tgt beta"),   # raw doc with target-y content
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, tgt int, text string")
+    out = {
+        r["doc_id"]: r
+        for r in TX.dsir_importance(
+            docs, "text", "doc_id", target=F.col("tgt") == 1
+        ).collect()
+    }
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % 1024
+
+    def feats(text: str) -> list[int]:
+        ws = text.split(" ")
+        bi = [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        return [bucket(f) for f in ws + bi]
+
+    cr: Counter = Counter()
+    ct: Counter = Counter()
+    for _, tgt, text in rows:
+        for b in feats(text):
+            cr[b] += 1
+            if tgt:
+                ct[b] += 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    B, a = 1024, 0.5
+
+    def logw(text: str) -> float:
+        s6 = 0
+        for b, c in Counter(feats(text)).items():
+            contrib = c * (
+                math.log((ct[b] + a) / (tt + a * B))
+                - math.log((cr[b] + a) / (tr + a * B))
+            )
+            s6 += math.floor(contrib * 1e6 + 0.5)
+        return s6 / 1e6
+
+    for doc_id, _, text in rows:
+        assert abs(out[doc_id]["logw"] - logw(text)) < 1e-9, doc_id
+        assert out[doc_id]["n_feats"] == 2 * len(text.split()) - 1
+    # the tilt: pure-target content outranks pure-raw content, and the
+    # raw doc with target-y text (doc 5) ranks with the target docs
+    assert out[1]["logw"] > out[3]["logw"]
+    assert out[5]["logw"] == out[1]["logw"]

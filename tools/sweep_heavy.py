@@ -138,6 +138,7 @@ DOCS_LIGHT_QUERIES = [
     "lm_quality_nll",
     "gopher_quality_filter",
     "token_entropy",
+    "dsir_importance_weights",
     "vocabulary_top_terms",
     "benchmark_decontamination",
     "token_budget_mixture",
