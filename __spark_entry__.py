@@ -57,7 +57,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # lang_confusion_matrix precedent).
     "embedding_index_reload_topk",
     "embedding_pq_index_reload_topk",
-    "dedup_lsh_bucket_stats_sampled",
     # Round-10 NEW queries (never externally gated before — gate first):
     # BM25 retrieval scoring, the unigram-LM quality filter, SemDeDup
     # cluster-blocked semantic dedup (batch + incremental), the
@@ -69,10 +68,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # precedent); they keep their r8/r9 driver gates and sit right
     # after the boundary. embedding_ann_lsh / embedding_ann_ivf /
     # embedding_pq_topk / embedding_ivfpq_topk yielded likewise for the
-    # four second-session queries: their r10 change is only WHICH memo
+    # second-session queries: their r10 change is only WHICH memo
     # feeds the recall-gate baseline / residual train (lazily-split,
     # bit-identical md5-seeded state), hash-gated in-session at
     # sf0.001+sf0.01(+0.1), and they carry r9/r9/r8/r9 driver gates.
+    # dedup_lsh_bucket_stats_sampled yielded too: its r10 change is the
+    # one-slice local-relation eager frame (the event_row_numbers
+    # precedent, in-session hash-gated), r9 driver gate.
     "bm25_scores",
     "lm_quality_nll",
     "semantic_dedup_pairs",
@@ -80,6 +82,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gopher_quality_filter",
     "token_entropy",
     "c4_line_dedup",
+    "c4_line_dedup_incremental",
     "dsir_importance_weights",
     # Round-10 rotation part 2: ALL 39 queries whose last driver gate
     # was round 7 (judge r9 ask #5; the judge's own r9 sf0.01 sweep
@@ -130,6 +133,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_ann_ivf",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    "dedup_lsh_bucket_stats_sampled",
     "event_row_numbers",
     "event_row_numbers_distributed",
     "delta_roundtrip_stats",

@@ -144,6 +144,9 @@ HEADLINE = [
     # round 10b: DSIR hashed-ngram importance weights (B-row broadcast
     # model, grid-pinned exact sums)
     "dsir_importance_weights",
+    # round 10b: the incremental line-dedup store form (anti-join on the
+    # 8-byte fingerprint store; union==batch contract)
+    "c4_line_dedup_incremental",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

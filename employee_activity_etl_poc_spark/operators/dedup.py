@@ -2090,10 +2090,26 @@ def line_dedup(
     Returns (id, n_lines, n_kept, text_kept) — one row per input doc;
     a doc whose every line lost (a pure copy) keeps n_kept=0 and
     text_kept=''."""
-    lines = df.select(
+    lines = _exploded_lines(df, text_col, id_col, sep)
+    return _line_vote_and_reassemble(df, lines, text_col, id_col, sep)
+
+
+def _exploded_lines(
+    df: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """(id, pos, line, g): one row per line with its 60-bit fingerprint."""
+    return df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
     ).withColumn("g", _hash_long60(F.col("line")))
+
+
+def _line_vote_and_reassemble(
+    df: DataFrame, lines: DataFrame, text_col: str, id_col: str, sep: str
+) -> DataFrame:
+    """Shared tail of the batch and incremental forms: min(struct(id,pos))
+    vote per fingerprint over ``lines``, then per-doc reassembly over ALL
+    of ``df``'s docs (losing-everything docs come back n_kept=0)."""
     winners = lines.groupBy("g").agg(
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("w")
     )
@@ -2125,3 +2141,50 @@ def line_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
     )
+
+
+def line_store(
+    df: DataFrame, text_col: str, id_col: str, sep: str = "\n"
+) -> DataFrame:
+    """(g): the persistable line-fingerprint store for INCREMENTAL C4
+    line dedup — the distinct 60-bit fingerprints of every line ever
+    ingested. At 100 TB this is the table you checkpoint between ingest
+    batches: 8 bytes per distinct line, never re-derived from text.
+    After each batch, union the batch's store rows in (the caller's
+    one-line responsibility, same contract as
+    :func:`minhash_signature_table`)."""
+    return (
+        df.select(F.explode(F.split(F.col(text_col), sep)).alias("line"))
+        .select(_hash_long60(F.col("line")).alias("g"))
+        .distinct()
+    )
+
+
+def line_dedup_incremental(
+    store: DataFrame | None,
+    new: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Incremental :func:`line_dedup` for streaming/batched ingest: a
+    line seen in ANY earlier batch (fingerprint in ``store``) loses
+    everywhere in the new batch — by the keep-first rule its first
+    occurrence was already kept by the batch that introduced it; only
+    batch-internal lines run the (id, pos) vote. Per-batch cost is
+    O(|batch|) explode + one anti-join against the store + the vote —
+    the store side is never re-tokenized (the
+    :func:`duplicated token-span <minhash_incremental_pairs>` ingest
+    contract applied to lines).
+
+    With doc ids increasing across batches (the ingest contract shared
+    by every incremental store here), the union of per-batch outputs
+    equals the full-corpus batch operator's result exactly.
+
+    ``store`` is a (g) frame from :func:`line_store` (None ≡ empty —
+    the first batch). Returns the same (id, n_lines, n_kept, text_kept)
+    contract as :func:`line_dedup`."""
+    lines = _exploded_lines(new, text_col, id_col, sep)
+    if store is not None:
+        lines = lines.join(store.select("g"), "g", "left_anti")
+    return _line_vote_and_reassemble(new, lines, text_col, id_col, sep)

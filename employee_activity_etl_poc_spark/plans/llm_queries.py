@@ -20,7 +20,7 @@ from ..operators import similarity as SIM
 from ..operators import textops as TX
 from ..operators.sampling import cap_oracle_order_sql as _cap_order_sql
 from ..sources.readers import table_count
-from .registry import load, register
+from .registry import REGISTRY, load, register
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -3423,6 +3423,31 @@ def _with_boiler_lines(docs: DataFrame) -> DataFrame:
 def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _with_boiler_lines(load(spark, sf_dir, "documents"))
     return D.line_dedup(corpus, "text", "doc_id")
+
+
+@register(
+    "c4_line_dedup_incremental",
+    REGISTRY["c4_line_dedup"].oracle,
+    doc="Incremental C4 line dedup via the persistable fingerprint store "
+    "(dedup.line_store / line_dedup_incremental): batch 1 is the base "
+    "corpus, batch 2 the verbatim copies; each batch explodes ONLY "
+    "itself, anti-joins the 8-byte/line store, and runs the (id, pos) "
+    "vote batch-internally — the store is never re-tokenized. With doc "
+    "ids increasing across batches (the shared ingest contract), the "
+    "union of per-batch outputs equals the full-corpus batch operator "
+    "exactly — which is why this query's oracle IS c4_line_dedup's "
+    "full-corpus SQL. Per-batch cost at 100 TB: O(|batch|) explode + "
+    "one fingerprint anti-join.",
+    tags=("llm", "dedup", "text", "scale", "incremental"),
+)
+def c4_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_boiler_lines(load(spark, sf_dir, "documents"))
+    base = corpus.where(F.col("doc_id") < 100000)
+    copies = corpus.where(F.col("doc_id") >= 100000)
+    out1 = D.line_dedup_incremental(None, base, "text", "doc_id")
+    store1 = D.line_store(base, "text", "doc_id")
+    out2 = D.line_dedup_incremental(store1, copies, "text", "doc_id")
+    return out1.unionByName(out2)
 
 
 @register(

@@ -1758,3 +1758,34 @@ def test_line_dedup_partition_invariant(spark):
     assert first["n_kept"] == 2  # doc 0 keeps the shared line
     later = a.where(F.col("doc_id") == 5).collect()[0]
     assert later["n_kept"] == 1 and later["text_kept"] == "unique 5 body"
+
+
+def test_line_dedup_incremental_union_equals_batch(spark):
+    """The incremental ingest contract: with doc ids increasing across
+    batches, union of per-batch outputs == the full-corpus batch
+    operator; the first batch (empty store) IS the batch operator on
+    itself; a store hit loses everywhere in the new batch."""
+    b1 = spark.createDataFrame(
+        [(1, "boiler\nalpha one"), (2, "boiler\nbeta two")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "boiler\nalpha one\ngamma three"), (11, "gamma three\ndelta")],
+        "doc_id long, text string",
+    )
+    full = D.line_dedup(b1.unionByName(b2), "text", "doc_id")
+    out1 = D.line_dedup_incremental(None, b1, "text", "doc_id")
+    store1 = D.line_store(b1, "text", "doc_id")
+    out2 = D.line_dedup_incremental(store1, b2, "text", "doc_id")
+    inc = out1.unionByName(out2)
+    assert full.exceptAll(inc).count() == 0
+    assert inc.exceptAll(full).count() == 0
+    # doc 10: 'boiler' and 'alpha one' are store hits -> only the
+    # batch-new 'gamma three' survives (and wins over doc 11's copy)
+    r10 = {r["doc_id"]: r for r in out2.collect()}
+    assert r10[10]["n_kept"] == 1 and r10[10]["text_kept"] == "gamma three"
+    assert r10[11]["n_kept"] == 1 and r10[11]["text_kept"] == "delta"
+    # empty-store identity: first batch == batch operator on itself
+    batch1 = D.line_dedup(b1, "text", "doc_id")
+    assert batch1.exceptAll(out1).count() == 0
+    assert out1.exceptAll(batch1).count() == 0

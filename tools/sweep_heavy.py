@@ -72,8 +72,9 @@ QUERIES = [
     "dedup_cluster_summary",
     "dedup_clusters_alternating",
     "dedup_quality_keepers",
-    # line-level dedup (C4 keep-first-occurrence)
+    # line-level dedup (C4 keep-first-occurrence) + incremental store form
     "c4_line_dedup",
+    "c4_line_dedup_incremental",
     # span-level dedup
     "dedup_duplicated_spans",
     "dedup_span_removal_stats",
