@@ -10,6 +10,11 @@ batch, with cross-batch dedup and stable outputs.
 Batch lifecycle (run per arrival, e.g. inside ``foreachBatch``):
 
 1. exact-dup drop WITHIN the batch (cheapest first),
+1b. OPTIONAL C4 line cleaning (``line_dedup=True``): strip lines seen
+   in any earlier batch (cross-site boilerplate) and corpus-duplicate
+   lines within the batch against the persisted 8-byte/line
+   fingerprint store (``line_dedup_incremental``) BEFORE anything
+   downstream tokenizes; pages that lose every line drop here,
 2. near-dup drop: sign the batch, band-join against the persisted
    signature STORE ∪ batch (``minhash_incremental_pairs``) — per-batch
    cost O(|batch|), never O(corpus). Survivor policy: a pair spanning
@@ -67,6 +72,8 @@ class IngestBatchResult:
     ann_imbalance: float | None = None
     preflight_est_pairs: int | None = None
     preflight_est_docs: int | None = None
+    n_lines_removed: int = 0
+    n_line_dedup_dropped: int = 0
 
 
 class TemplateFloodError(RuntimeError):
@@ -116,6 +123,8 @@ def ingest_document_batch(
     lsh_preflight: bool = False,
     preflight_pairs_per_doc_bound: float = 64.0,
     preflight_sample_mod: int = 4,
+    line_dedup: bool = False,
+    line_sep: str = "\n",
 ) -> IngestBatchResult:
     """Run one arrival batch (columns: doc_id, text) through the pipeline.
 
@@ -160,6 +169,43 @@ def ingest_document_batch(
     n_arrived = batch.count()
     deduped = D.drop_exact_duplicates(batch, "text", "doc_id")
     n_after_exact = deduped.count()
+
+    # Optional C4-style line cleaning (Raffel et al. 2020 §2.2,
+    # incremental form): strip lines already seen in ANY earlier batch
+    # (cross-site boilerplate) and corpus-duplicate lines within the
+    # batch, BEFORE anything downstream tokenizes — the signatures, the
+    # pre-flight estimate, spans and the quality gate all see the
+    # cleaned text. A doc whose every line lost (a pure copy / pure
+    # boilerplate page) drops here. The line store mirrors the
+    # signature store's lifecycle: batch-keyed partitions, replay
+    # exclusion, 8 bytes per distinct line ever ingested (losers'
+    # lines too — later copies of a dropped line must still collide).
+    n_lines_removed = 0
+    n_line_dropped = 0
+    line_path = os.path.join(workdir, "linestore")
+    if line_dedup:
+        if os.path.isdir(line_path):
+            lstore = spark.read.parquet(line_path)
+            if batch_id is not None and "batch" in lstore.columns:
+                lstore = lstore.where(F.col("batch") != F.lit(batch_id))
+            lstore = lstore.select("g")
+        else:
+            lstore = None
+        cleaned_lines = D.line_dedup_incremental(
+            lstore, deduped, "text", "doc_id", sep=line_sep
+        )
+        agg = cleaned_lines.agg(
+            F.sum(F.col("n_lines") - F.col("n_kept")).alias("cut"),
+            F.sum((F.col("n_kept") == 0).cast("long")).alias("dropped"),
+        ).collect()[0]
+        n_lines_removed = int(agg["cut"] or 0)
+        n_line_dropped = int(agg["dropped"] or 0)
+        # the batch's store rows come from the PRE-clean text (every
+        # line seen, kept or cut), bound before `deduped` is rebound
+        line_rows = D.line_store(deduped, "text", "doc_id", sep=line_sep)
+        deduped = cleaned_lines.where(F.col("n_kept") > 0).select(
+            "doc_id", F.col("text_kept").alias("text")
+        )
 
     # Sampled LSH pre-flight (r8 judge ask #3, wired like the ANN
     # lifecycle hook): estimate the candidate-pair volume the minhash
@@ -291,6 +337,8 @@ def ingest_document_batch(
         # append ALL batch signatures (survivors AND losers): later copies
         # of a dropped doc must still find a collision partner in the store
         sigs.write.mode("append").parquet(store_path)
+        if line_dedup:
+            line_rows.write.mode("append").parquet(line_path)
         if span_dedup:
             D.gram_count_table(gated, "text", "doc_id", k=span_k).write.mode(
                 "append"
@@ -306,6 +354,10 @@ def ingest_document_batch(
         sigs.write.mode("overwrite").parquet(
             os.path.join(store_path, f"batch={batch_id}")
         )
+        if line_dedup:
+            line_rows.write.mode("overwrite").parquet(
+                os.path.join(line_path, f"batch={batch_id}")
+            )
         if span_dedup:
             D.gram_count_table(gated, "text", "doc_id", k=span_k).write.mode(
                 "overwrite"
@@ -349,6 +401,7 @@ def ingest_document_batch(
         n_arrived, n_after_exact, n_losers, n_after_quality,
         n_span_tokens_removed, ann_action, ann_imbalance,
         preflight_est_pairs, preflight_est_docs,
+        n_lines_removed, n_line_dropped,
     )
 
 

@@ -456,3 +456,43 @@ def test_ingest_pipeline_accepts_string_doc_ids(spark, tmp_path):
     assert "dup/near" not in ids
     store = spark.read.parquet(os.path.join(wd, "sigstore"))
     assert dict(store.dtypes)["doc"] == "string"
+
+
+def test_line_dedup_stage_strips_cross_batch_boilerplate(spark, tmp_path):
+    """line_dedup=True: batch-2 lines already in the line store are cut
+    before signing/quality; a page that loses every line drops entirely;
+    counts surface on the result; the store is batch-replay-safe."""
+    wd = str(tmp_path / "ingest_lines")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    body1 = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30))
+    body2 = " ".join(f"epsi{i} zeta{i} eta{i} theta{i}" for i in range(30))
+    b1 = mk([
+        (1, "boiler cookie banner\n" + body1),
+        (2, "boiler cookie banner\n" + body2),  # boiler line cut in-batch
+    ])
+    r1 = ingest_document_batch(spark, b1, wd, batch_id=0, line_dedup=True,
+                               min_quality=0.0, keep_langs=("unknown",))
+    assert r1.n_lines_removed == 1 and r1.n_line_dedup_dropped == 0
+    assert os.path.isdir(os.path.join(wd, "linestore"))
+    body3 = " ".join(f"iota{i} kappa{i} lam{i} mu{i}" for i in range(30))
+    b2 = mk([
+        (10, "boiler cookie banner\n" + body3),  # boiler cut via STORE
+        (11, "boiler cookie banner"),            # pure boilerplate page
+    ])
+    r2 = ingest_document_batch(spark, b2, wd, batch_id=1, line_dedup=True,
+                               min_quality=0.0, keep_langs=("unknown",))
+    # doc 10 loses its boiler line (store hit), keeps its body; doc 11
+    # loses everything and drops before signing
+    assert r2.n_lines_removed == 2 and r2.n_line_dedup_dropped == 1
+    assert r2.n_after_quality == 1
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    texts = [r["chunk_text"] for r in
+             shards.where(F.col("doc_id") == 10).collect()]
+    assert texts and all("boiler" not in t for t in texts)
+    # at-least-once replay of the MOST RECENT batch (the crash case the
+    # batch-keyed sinks exist for): its own store partition is excluded,
+    # so the replay sees exactly the pre-crash store and repeats itself
+    r2b = ingest_document_batch(spark, b2, wd, batch_id=1, line_dedup=True,
+                                min_quality=0.0, keep_langs=("unknown",))
+    assert r2b.n_lines_removed == 2 and r2b.n_line_dedup_dropped == 1
+    assert r2b.n_after_quality == 1
