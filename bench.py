@@ -147,6 +147,9 @@ HEADLINE = [
     # round 10b: the incremental line-dedup store form (anti-join on the
     # 8-byte fingerprint store; union==batch contract)
     "c4_line_dedup_incremental",
+    # round 10b: MMR diversified re-rank (exact shortlist + grouped-Arrow
+    # greedy; the recursive-CTE oracle replays the greedy exactly)
+    "embedding_mmr_rerank",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

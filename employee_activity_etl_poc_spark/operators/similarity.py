@@ -1896,3 +1896,133 @@ def embedding_incremental_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998)
+# ---------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    shortlist: int = 16,
+    lam: float = 0.7,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick, per query, the candidate
+    maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — relevance
+    traded against redundancy with the already-selected set. The
+    retrieval step a training-data pipeline runs when it wants k
+    RepresentativeS, not k near-copies of the best hit (hard-negative
+    mining, eval-set curation, dedup-aware retrieval).
+
+    Two stages, both bounded: (1) exact top-``shortlist`` per query via
+    :func:`brute_force_topk` (linear scan, the ANN stack swaps in at
+    scale); (2) per-query greedy over the shortlist — candidate ×
+    candidate sims are ``|Q|·m²`` rows via an equi-join on the query id
+    (JVM-side, the same zip_with cosine as stage 1, rounded to the
+    ``sim_decimals`` grid BEFORE any comparison so both engines see
+    identical doubles), then ONE grouped-Arrow pass
+    (``cogroup().applyInPandas``) runs the k-step greedy per query.
+    Nothing leaves Python but (query, rank, id, scores); at 100 TB the
+    greedy state is m rows per query, embarrassingly parallel across
+    queries.
+
+    Ties break to the smaller neighbor id on the EXACT rounded-double
+    score (identical IEEE arithmetic in the oracle). Returns
+    (query_id, rank, neighbor_id, relevance, mmr6) where ``mmr6`` is
+    the greedy score on the 1e-6 integer grid (floor-HALF_UP)."""
+    import math
+
+    import pandas as pd
+
+    rel = brute_force_topk(
+        corpus, queries, id_col, vec_col, k=shortlist,
+        sim_decimals=sim_decimals,
+    ).select("query_id", "neighbor_id", "sim")
+    # every frame below re-joins corpus-derived lineage; unique column
+    # names per side keep Spark's ambiguous-self-join check satisfied
+    cvec = _with_norm(corpus, vec_col, id_col, "_cnid", "cv", "cn")
+    cand = (
+        rel.select("query_id", F.col("neighbor_id").alias("nid"), "sim")
+        .join(cvec, F.col("nid") == F.col("_cnid"))
+        .drop("_cnid")
+    )
+    a = cand.select(
+        "query_id", F.col("nid").alias("a"),
+        F.col("cv").alias("va"), F.col("cn").alias("na"),
+    )
+    # fully renamed right side: cand-derived twice is a self-join, and
+    # Spark's ambiguous-self-join check rejects a shared join column
+    b = cand.select(
+        F.col("query_id").alias("_qb"), F.col("nid").alias("b"),
+        F.col("cv").alias("vb"), F.col("cn").alias("nb"),
+    )
+    cc = (
+        a.join(b, (F.col("query_id") == F.col("_qb")) & (F.col("a") < F.col("b")))
+        .select(
+            # renamed group key: cc derives FROM rel, so cogrouping the
+            # two on a same-named, same-attribute column trips the
+            # ambiguous-self-join check
+            F.col("query_id").alias("_ccq"), "a", "b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                sim_decimals,
+            ).alias("s"),
+        )
+    )
+    id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, rank int, neighbor_id {id_type}, "
+        "relevance double, mmr6 long"
+    )
+    lam_f = float(lam)
+
+    def greedy(rel_pdf: pd.DataFrame, cc_pdf: pd.DataFrame) -> pd.DataFrame:
+        if rel_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "rank", "neighbor_id", "relevance", "mmr6"]
+            )
+        qid = rel_pdf["query_id"].iloc[0]
+        rels = dict(zip(rel_pdf["neighbor_id"], rel_pdf["sim"]))
+        sims: dict = {}
+        for aa, bb, s in zip(cc_pdf["a"], cc_pdf["b"], cc_pdf["s"]):
+            sims[(aa, bb)] = s
+            sims[(bb, aa)] = s
+        selected: list = []
+        rows = []
+        # candidates iterated in ascending id order so an exact score tie
+        # resolves to the smaller id (matches the oracle's arg_min)
+        remaining = sorted(rels)
+        for rank in range(1, min(k, len(remaining) + len(selected)) + 1):
+            best = None
+            best_score = None
+            for d in remaining:
+                pen = max((sims.get((d, s2), 0.0) for s2 in selected),
+                          default=0.0)
+                score = lam_f * rels[d] - (1.0 - lam_f) * pen
+                if best_score is None or score > best_score:
+                    best, best_score = d, score
+            rows.append(
+                (qid, rank, best, rels[best],
+                 math.floor(best_score * 1e6 + 0.5))
+            )
+            selected.append(best)
+            remaining.remove(best)
+            if not remaining:
+                break
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "rank", "neighbor_id", "relevance", "mmr6"],
+        )
+
+    return (
+        rel.groupBy("query_id")
+        .cogroup(cc.groupBy("_ccq"))
+        .applyInPandas(lambda _k, l, r: greedy(l, r), out_schema)
+    )

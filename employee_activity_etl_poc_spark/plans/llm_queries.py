@@ -3515,3 +3515,84 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.dsir_importance(
         docs, "text", "doc_id", target=F.col("lang") == "en"
     )
+
+
+@register(
+    "embedding_mmr_rerank",
+    """
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+    sims AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    ),
+    cand AS (
+      SELECT qid, nid, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rn
+        FROM sims
+      ) WHERE rn <= 16
+    ),
+    cc AS (
+      SELECT x.qid, x.nid AS a, y.nid AS b,
+             round(list_cosine_similarity(ex.v, ey.v), 6) AS s
+      FROM cand x JOIN cand y ON x.qid = y.qid AND x.nid < y.nid
+      JOIN e ex ON ex.vec_id = x.nid
+      JOIN e ey ON ey.vec_id = y.nid
+    ),
+    mmr(qid, it, sel, nid, relevance, mmr6) AS (
+      SELECT qid, 1, [nid], nid, sim,
+             CAST(floor(0.7 * sim * 1000000 + 0.5) AS BIGINT)
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rn
+        FROM cand
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT m.qid, m.it + 1, list_append(m.sel, m.pk), m.pk,
+        (SELECT c.sim FROM cand c WHERE c.qid = m.qid AND c.nid = m.pk),
+        (SELECT CAST(floor((0.7 * c.sim - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+             SELECT max(s) FROM cc WHERE cc.qid = m.qid
+               AND ((cc.a = c.nid AND list_contains(m.sel, cc.b))
+                 OR (cc.b = c.nid AND list_contains(m.sel, cc.a)))
+           )) * 1000000 + 0.5) AS BIGINT)
+         FROM cand c WHERE c.qid = m.qid AND c.nid = m.pk)
+      FROM (
+        SELECT m0.*, (
+          SELECT (min(struct_pack(
+              sc := -(0.7 * c.sim - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+                SELECT max(s) FROM cc WHERE cc.qid = m0.qid
+                  AND ((cc.a = c.nid AND list_contains(m0.sel, cc.b))
+                    OR (cc.b = c.nid AND list_contains(m0.sel, cc.a))))),
+              n := c.nid))).n
+          FROM cand c
+          WHERE c.qid = m0.qid AND NOT list_contains(m0.sel, c.nid)
+        ) AS pk
+        FROM mmr m0 WHERE m0.it < 5
+      ) m
+    )
+    SELECT qid AS query_id, it AS rank, nid AS neighbor_id, relevance, mmr6
+    FROM mmr
+    """,
+    doc="MMR diversified top-5 re-rank over a 16-candidate exact "
+    "shortlist (Carbonell & Goldstein SIGIR'98 — "
+    "similarity.mmr_rerank, λ=0.7): greedily pick the candidate "
+    "maximizing λ·rel − (1−λ)·max-sim-to-selected, per query — k "
+    "REPRESENTATIVES instead of k near-copies of the best hit "
+    "(hard-negative mining, eval curation, dedup-aware retrieval). "
+    "Spark: exact top-m shortlist + |Q|·m² candidate-candidate sims "
+    "JVM-side (rounded to the 1e-6 grid BEFORE any comparison), then "
+    "one grouped-Arrow greedy per query (cogroup applyInPandas). The "
+    "oracle replays the greedy EXACTLY as a recursive CTE (list-state "
+    "selection, min(struct) argmax with the same smaller-id "
+    "tie-break, identical IEEE arithmetic on the rounded grid).",
+    tags=("llm", "similarity", "retrieval", "pandas-udf"),
+)
+def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.mmr_rerank(
+        emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding",
+        k=5, shortlist=16, lam=0.7,
+    )

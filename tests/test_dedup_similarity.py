@@ -1789,3 +1789,36 @@ def test_line_dedup_incremental_union_equals_batch(spark):
     batch1 = D.line_dedup(b1, "text", "doc_id")
     assert batch1.exceptAll(out1).count() == 0
     assert out1.exceptAll(batch1).count() == 0
+
+
+def test_mmr_rerank_diversifies_and_accepts_string_ids(spark):
+    """MMR: with two near-identical top hits, plain top-k ranks them 1-2
+    but MMR's rank 2 jumps to the distinct medium-relevance doc (the
+    redundancy penalty); id types flow from the input schema (the ANN
+    family contract); ranks are contiguous and mmr6 non-increasing."""
+    rows = [
+        ("q", [1.0, 0.0, 0.0, 0.0]),
+        ("top-a", [0.98, 0.199, 0.0, 0.0]),     # twin 1 (sim to q ~.98)
+        ("top-b", [0.98, 0.196, 0.031, 0.0]),   # twin 2, ~same rel
+        ("far-c", [0.7, -0.714, 0.0, 0.0]),     # distinct, medium rel
+        ("far-d", [0.5, 0.0, 0.866, 0.0]),      # more distinct, lower rel
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = SIM.mmr_rerank(
+        emb, emb.where(F.col("vec_id") == "q"), "vec_id", "embedding",
+        k=3, shortlist=4, lam=0.5,
+    ).collect()
+    assert dict((r["rank"], r) for r in out)  # one row per rank
+    by_rank = {r["rank"]: r for r in out}
+    assert sorted(by_rank) == [1, 2, 3]
+    assert by_rank[1]["neighbor_id"] in ("top-a", "top-b")
+    # plain top-k would put the other twin second; MMR penalizes it
+    assert by_rank[2]["neighbor_id"] in ("far-c", "far-d")
+    assert by_rank[1]["mmr6"] >= by_rank[2]["mmr6"] >= by_rank[3]["mmr6"]
+    assert isinstance(by_rank[1]["neighbor_id"], str)
+    # exact top-k (no diversity) for contrast: rank 2 IS the twin
+    plain = SIM.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == "q"), "vec_id", "embedding", k=2
+    ).collect()
+    plain_by_rank = {r["rnk"]: r["neighbor_id"] for r in plain}
+    assert set(plain_by_rank.values()) == {"top-a", "top-b"}

@@ -104,6 +104,7 @@ NESTED_LOOP_OK = {
         "a driver-side compare)"
     ),
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
+    "embedding_mmr_rerank": "shortlist stage: corpus × 8 broadcast queries (exact-baseline class); cc sims are an equi-join",
     "bm25_scores": "1-row broadcast avgdl aggregate cross-joined (r10)",
     "lm_quality_nll": "1-row broadcast T/V totals aggregate cross-joined (r10)",
     "dsir_importance_weights": "1-row broadcast Tt/Tr totals aggregate cross-joined (r10b)",

@@ -83,6 +83,7 @@ QUERIES = [
     # ANN / embedding stack
     "embedding_topk",
     "embedding_topk_vectorized",
+    "embedding_mmr_rerank",
     "embedding_quantized_topk",
     "embedding_near_dup",
     "semantic_dedup_pairs",
