@@ -78,6 +78,17 @@ HEAVY_ORACLE_QUERIES = [
     "bm25_scores",
     "lm_quality_nll",
     "semantic_dedup_pairs",
+    # r10b: the incremental SemDeDup gate shares the batch form's
+    # brute-force O(n²) oracle (it was registered after the first r10
+    # close — adding it here closes that gap), and the six
+    # second-session operators take the same sampled at-scale check
+    "semantic_dedup_incremental",
+    "gopher_quality_filter",
+    "token_entropy",
+    "c4_line_dedup",
+    "c4_line_dedup_incremental",
+    "dsir_importance_weights",
+    "embedding_mmr_rerank",
 ]
 
 
