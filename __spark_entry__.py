@@ -55,7 +55,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # but not the changed code paths; all were hash-gated in-session at
     # sf0.001+sf0.01 and keep their r8/r9 driver gates (the r9
     # lang_confusion_matrix precedent).
-    "embedding_pq_index_reload_topk",
     # Round-10 NEW queries (never externally gated before — gate first):
     # BM25 retrieval scoring, the unigram-LM quality filter, SemDeDup
     # cluster-blocked semantic dedup (batch + incremental), the
@@ -74,10 +73,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup_lsh_bucket_stats_sampled yielded too: its r10 change is the
     # one-slice local-relation eager frame (the event_row_numbers
     # precedent, in-session hash-gated), r9 driver gate.
-    # embedding_index_reload_topk yielded last (r9 driver gate;
-    # in-session hash-gated): of the two reload gates, the PQ one kept
-    # the slot because it carries the round's heavier plan change (the
-    # memoized residual-PQ train).
+    # embedding_index_reload_topk and finally embedding_pq_index_reload_topk
+    # yielded last (both r9 driver gates; both re-hash-gated in-session
+    # at sf0.001+sf0.01 after their r10 changes — the memo split and the
+    # memoized residual-PQ train, bit-identical md5-seeded state with
+    # reload-identity pytests): ELEVEN never-externally-gated queries
+    # outrank changed-plans for the 50 external slots this round.
     "bm25_scores",
     "lm_quality_nll",
     "semantic_dedup_pairs",
@@ -88,6 +89,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "c4_line_dedup_incremental",
     "dsir_importance_weights",
     "embedding_mmr_rerank",
+    "lm_quality_bigram_nll",
     # Round-10 rotation part 2: ALL 39 queries whose last driver gate
     # was round 7 (judge r9 ask #5; the judge's own r9 sf0.01 sweep
     # covered all 39, ALL OK — this makes the DRIVER gate current,
@@ -139,6 +141,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_topk",
     "dedup_lsh_bucket_stats_sampled",
     "embedding_index_reload_topk",
+    "embedding_pq_index_reload_topk",
     "event_row_numbers",
     "event_row_numbers_distributed",
     "delta_roundtrip_stats",

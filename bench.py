@@ -150,6 +150,9 @@ HEADLINE = [
     # round 10b: MMR diversified re-rank (exact shortlist + grouped-Arrow
     # greedy; the recursive-CTE oracle replays the greedy exactly)
     "embedding_mmr_rerank",
+    # round 10b: the interpolated bigram LM quality filter (transition
+    # model; content-keyed shuffle join — the model side is unbounded)
+    "lm_quality_bigram_nll",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -808,3 +808,84 @@ def dsir_importance(
             (F.sum("_r6") / F.lit(1e6)).alias("logw"),
         )
     )
+
+
+def bigram_nll(
+    df,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+    alpha: float = 0.5,
+):
+    """Per-document average NLL under an interpolated BIGRAM language
+    model trained on the corpus itself — the fuller-context sibling of
+    :func:`unigram_nll` (CCNet lineage; Jelinek-Mercer interpolation):
+    ``P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·P_uni(w₂)`` with the
+    add-``alpha`` smoothed unigram as the backoff, so unseen bigrams
+    stay finite. Catches locally-shuffled/templated text that fools a
+    unigram model (every token common, transitions improbable).
+
+    Plan: one bigram explode → per-(doc, w₁, w₂) counts; the bigram
+    model c₂ and context totals c₁ derive from THAT aggregate (no
+    second corpus pass); the unigram backoff reuses the
+    :func:`unigram_nll` model shape. Unlike the unigram model, the
+    bigram table is NOT vocabulary-bounded — at 100 TB it's a large
+    content-keyed frame, so scoring joins it with an ordinary shuffle
+    equi-join on (w₁, w₂) (AQE skew-splittable) instead of a
+    broadcast; c₁ and the unigram side stay broadcast-sized. Per-pair
+    contributions pin to the 1e-6 grid before the exact bigint per-doc
+    sum; floor-HALF_UP final average (the family's idiom).
+
+    Returns (id, n_bigrams, avg_nll); docs with < 2 tokens have no
+    bigram positions and are absent (same semantics in the oracle)."""
+    t = F.col(text_col)
+    ws = tokens(t)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    uni = term_frequencies(df, text_col, id_col).groupBy("term").agg(
+        F.sum("tf").cast("long").alias("cu")
+    )
+    totals = uni.agg(
+        F.sum("cu").cast("long").alias("t_total"),
+        F.count("*").cast("long").alias("v_size"),
+    )
+    p = (
+        F.lit(float(lam)) * F.col("c2").cast("double") / F.col("c1").cast("double")
+        + F.lit(1.0 - float(lam))
+        * (F.col("cu") + F.lit(alpha))
+        / (F.col("t_total").cast("double") + F.lit(alpha) * F.col("v_size"))
+    )
+    nll6 = F.floor(
+        -F.col("tf").cast("double") * F.log(p) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return (
+        pairs.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(uni.select(F.col("term").alias("w2"), "cu")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), F.col("tf"), nll6.alias("_n6"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                F.floor(F.sum("_n6") * F.lit(1.0) / F.sum("tf") + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("avg_nll"),
+        )
+    )

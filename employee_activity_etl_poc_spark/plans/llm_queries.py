@@ -3596,3 +3596,63 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 8), "vec_id", "embedding",
         k=5, shortlist=16, lam=0.7,
     )
+
+
+@register(
+    "lm_quality_bigram_nll",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    pairs AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1])
+                       for i in generate_series(1, len(ws) - 1)]) AS bg
+        FROM w WHERE len(ws) >= 2
+      ) GROUP BY doc_id, bg.w1, bg.w2
+    ),
+    c2 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c2 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    uni AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS cu
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(cu) AS BIGINT) AS t_total,
+             CAST(count(*) AS BIGINT) AS v_size
+      FROM uni
+    ),
+    scored AS (
+      SELECT doc_id, tf,
+        CAST(floor(-CAST(tf AS DOUBLE) * ln(
+            0.7 * CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+            + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+              * (cu + 0.5) / (CAST(t_total AS DOUBLE) + 0.5 * v_size)
+          ) * 1000000 + 0.5) AS BIGINT) AS n6
+      FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      JOIN uni ON uni.term = pairs.w2 CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      CAST(floor(CAST(sum(n6) AS BIGINT) * 1.0 / CAST(sum(tf) AS BIGINT)
+                 + 0.5) AS BIGINT) / 1000000.0 AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Per-document average NLL under an interpolated BIGRAM LM "
+    "trained on the corpus (textops.bigram_nll — the fuller-context "
+    "CCNet sibling of lm_quality_nll; Jelinek-Mercer λ=0.7 with the "
+    "add-0.5 unigram as backoff so unseen bigrams stay finite): "
+    "catches locally-shuffled/templated text whose every token is "
+    "common but whose TRANSITIONS are improbable. The bigram model is "
+    "NOT vocabulary-bounded, so scoring joins it with an ordinary "
+    "content-keyed shuffle equi-join (AQE-skew-splittable) — only c₁ "
+    "and the unigram backoff broadcast. Per-pair contributions pin to "
+    "the 1e-6 grid before the exact bigint per-doc sum; the (1−λ) "
+    "complement is CAST to DOUBLE in the oracle (the "
+    "embedding_mmr_rerank DECIMAL-folding lesson).",
+    tags=("llm", "text", "quality"),
+)
+def lm_quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.bigram_nll(docs, "text", "doc_id")

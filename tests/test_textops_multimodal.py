@@ -345,3 +345,41 @@ def test_dsir_importance_tilts_toward_target(spark):
     # raw doc with target-y text (doc 5) ranks with the target docs
     assert out[1]["logw"] > out[3]["logw"]
     assert out[5]["logw"] == out[1]["logw"]
+
+
+def test_bigram_nll_flags_shuffled_transitions(spark):
+    """The bigram LM separates what the unigram model cannot: two docs
+    with IDENTICAL token multisets score differently when one follows
+    the corpus's dominant transitions and the other shuffles them; and
+    the values replay the interpolated closed form."""
+    import math
+    from collections import Counter
+
+    rows = [(i, ("a b c " * 14).strip()) for i in range(1, 7)]  # a->b->c->a
+    rows.append((7, ("a b c " * 14).strip()))                   # natural
+    rows.append((8, ("c b a " * 14).strip()))                   # reversed cycle
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in TX.bigram_nll(docs, "text", "doc_id").collect()
+    }
+    # same unigram content, reversed transitions
+    uni = {r["doc_id"]: r for r in TX.unigram_nll(docs, "text", "doc_id").collect()}
+    assert uni[7]["avg_nll"] == uni[8]["avg_nll"]
+    assert out[8]["avg_nll"] > out[7]["avg_nll"]
+    assert out[7]["n_bigrams"] == 41
+    # closed-form replay for doc 7: corpus bigram counts
+    c2: Counter = Counter(); c1: Counter = Counter(); cu: Counter = Counter()
+    for _, text in rows:
+        ws = text.split(" ")
+        for x, y in zip(ws, ws[1:]):
+            c2[(x, y)] += 1; c1[x] += 1
+        for t in ws:
+            cu[t] += 1
+    T, V = sum(cu.values()), len(cu)
+    ws = rows[6][1].split(" ")
+    s6 = 0
+    for (x, y), tf in Counter(zip(ws, ws[1:])).items():
+        p = 0.7 * c2[(x, y)] / c1[x] + (1.0 - 0.7) * (cu[y] + 0.5) / (T + 0.5 * V)
+        s6 += math.floor(-tf * math.log(p) * 1e6 + 0.5)
+    expected = math.floor(s6 / 41 + 0.5) / 1e6
+    assert abs(out[7]["avg_nll"] - expected) < 1e-9

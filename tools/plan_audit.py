@@ -108,6 +108,7 @@ NESTED_LOOP_OK = {
     "bm25_scores": "1-row broadcast avgdl aggregate cross-joined (r10)",
     "lm_quality_nll": "1-row broadcast T/V totals aggregate cross-joined (r10)",
     "dsir_importance_weights": "1-row broadcast Tt/Tr totals aggregate cross-joined (r10b)",
+    "lm_quality_bigram_nll": "1-row broadcast T/V totals aggregate cross-joined (r10b)",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
     "dedup_lsh_bucket_stats": "1-row bucket aggregates assembled (2 modes)",
     "dedup_lsh_bucket_stats_sampled": (

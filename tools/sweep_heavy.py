@@ -138,6 +138,7 @@ DOCS_LIGHT_QUERIES = [
     "tfidf_scores",
     "bm25_scores",
     "lm_quality_nll",
+    "lm_quality_bigram_nll",
     "gopher_quality_filter",
     "token_entropy",
     "dsir_importance_weights",
