@@ -134,7 +134,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocabulary_top_terms",
     "wellness_kpis",
     # --- 50-query gate boundary ---
-    # previous rotations keep their relative order after the gated prefix
+    # previous rotations keep their relative order after the gated prefix.
+    # vocab_zipf_fit is the ONE new query without a slot (the prefix is
+    # exactly 11 never-gated + the 39-query r7-stale rotation): it sits
+    # first in line for r11, hash-gated in-session at sf0.001/0.01/0.1.
+    "vocab_zipf_fit",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "embedding_pq_topk",

@@ -153,6 +153,8 @@ HEADLINE = [
     # round 10b: the interpolated bigram LM quality filter (transition
     # model; content-keyed shuffle join — the model side is unbounded)
     "lm_quality_bigram_nll",
+    # round 10b: Zipf-exponent corpus-health fit (grid-pinned OLS)
+    "vocab_zipf_fit",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

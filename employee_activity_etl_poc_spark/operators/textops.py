@@ -889,3 +889,70 @@ def bigram_nll(
             ).alias("avg_nll"),
         )
     )
+
+
+def zipf_fit(df, text_col: str, id_col: str):
+    """Corpus-health profiling: the token frequency SPECTRUM (rank →
+    count, plus count-of-counts) and a closed-form least-squares fit of
+    the Zipf exponent ``s`` in ``ln count = c − s·ln rank`` — the
+    canonical sanity check on a crawled corpus (natural language sits
+    near s≈1; template floods, boilerplate and synthetic spam bend the
+    curve, which also shifts the Heaps-law vocabulary growth this
+    spectrum implies). Returns ONE row:
+    (v_size, t_total, slope_s, intercept_c, r2).
+
+    Plan: one token explode → vocabulary counts → rank by (count desc,
+    term) → five Σ-aggregates over (ln rank, ln count) → the OLS
+    closed form. Everything is linear and map-side combinable; the
+    regression inputs are per-term ``ln`` values pinned to the 1e-4
+    integer grid BEFORE the exact bigint Σs (the :func:`bm25_scores`
+    idiom — float summation order can never move the fit; 1e-4 keeps
+    the Σ(x·y) products inside int64 out to ~1e8 vocabulary terms,
+    where the 1e-6 grid would overflow), and the final statistics land
+    on the 1e-6 grid via floor-HALF_UP. The global rank window sorts
+    the VOCABULARY (not the corpus) — one sort of ~V rows."""
+    from pyspark.sql import Window
+
+    counts = term_frequencies(df, text_col, id_col).groupBy("term").agg(
+        F.sum("tf").cast("long").alias("c")
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    g4 = lambda x: F.floor(x * 1e4 + F.lit(0.5)).cast("long")  # noqa: E731
+    pts = ranked.select(
+        g4(F.log(F.col("r").cast("double"))).alias("x4"),
+        g4(F.log(F.col("c").cast("double"))).alias("y4"),
+        F.col("c"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("t_total"),
+        F.sum("x4").alias("sx"),
+        F.sum("y4").alias("sy"),
+        F.sum(F.col("x4") * F.col("y4")).alias("sxy"),
+        F.sum(F.col("x4") * F.col("x4")).alias("sxx"),
+        F.sum(F.col("y4") * F.col("y4")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx") / F.lit(1e4)
+    sy = F.col("sy") / F.lit(1e4)
+    sxy = F.col("sxy") / F.lit(1e8)
+    sxx = F.col("sxx") / F.lit(1e8)
+    syy = F.col("syy") / F.lit(1e8)
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    # degenerate spectra (single term -> varx 0; uniform counts ->
+    # vary 0) define slope/r2 as 0 instead of dividing by zero
+    slope = F.when(varx == 0.0, F.lit(0.0)).otherwise(cov / varx)
+    r2 = F.when((varx == 0.0) | (vary == 0.0), F.lit(0.0)).otherwise(
+        cov * cov / (varx * vary)
+    )
+    out6 = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.col("n").alias("v_size"),
+        F.col("t_total"),
+        out6(-slope).alias("slope_s"),
+        out6((sy - slope * sx) / n).alias("intercept_c"),
+        out6(r2).alias("r2"),
+    )

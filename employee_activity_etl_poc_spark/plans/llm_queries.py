@@ -3656,3 +3656,59 @@ def embedding_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.bigram_nll(docs, "text", "doc_id")
+
+
+@register(
+    "vocab_zipf_fit",
+    """
+    WITH counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM counts
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x4,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS y4,
+             c
+      FROM ranked
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS t_total,
+             CAST(sum(x4) AS BIGINT) AS sx4, CAST(sum(y4) AS BIGINT) AS sy4,
+             CAST(sum(x4 * y4) AS BIGINT) AS sxy8,
+             CAST(sum(x4 * x4) AS BIGINT) AS sxx8,
+             CAST(sum(y4 * y4) AS BIGINT) AS syy8
+      FROM pts
+    )
+    SELECT n AS v_size, t_total,
+      floor(-((sxy8 / 100000000.0 - (sx4 / 10000.0) * (sy4 / 10000.0) / CAST(n AS DOUBLE))
+              / (sxx8 / 100000000.0 - (sx4 / 10000.0) * (sx4 / 10000.0) / CAST(n AS DOUBLE)))
+            * 1000000 + 0.5) / 1000000.0 AS slope_s,
+      floor(((sy4 / 10000.0
+              - ((sxy8 / 100000000.0 - (sx4 / 10000.0) * (sy4 / 10000.0) / CAST(n AS DOUBLE))
+                 / (sxx8 / 100000000.0 - (sx4 / 10000.0) * (sx4 / 10000.0) / CAST(n AS DOUBLE)))
+                * (sx4 / 10000.0)) / CAST(n AS DOUBLE))
+            * 1000000 + 0.5) / 1000000.0 AS intercept_c,
+      floor(((sxy8 / 100000000.0 - (sx4 / 10000.0) * (sy4 / 10000.0) / CAST(n AS DOUBLE))
+             * (sxy8 / 100000000.0 - (sx4 / 10000.0) * (sy4 / 10000.0) / CAST(n AS DOUBLE))
+             / ((sxx8 / 100000000.0 - (sx4 / 10000.0) * (sx4 / 10000.0) / CAST(n AS DOUBLE))
+                * (syy8 / 100000000.0 - (sy4 / 10000.0) * (sy4 / 10000.0) / CAST(n AS DOUBLE))))
+            * 1000000 + 0.5) / 1000000.0 AS r2
+    FROM agg
+    """,
+    doc="Corpus-health profiling (textops.zipf_fit): token frequency "
+    "spectrum + closed-form OLS fit of the Zipf exponent s in "
+    "ln count = c − s·ln rank (natural language sits near s≈1; "
+    "template floods and synthetic spam bend the curve). Regression "
+    "inputs pin to the 1e-4 integer grid before exact bigint Σs — the "
+    "fit can never move with float summation order, and the grid "
+    "keeps Σ(x·y) inside int64 out to ~1e8 vocabulary terms. The rank "
+    "window sorts the VOCABULARY, not the corpus. One row out.",
+    tags=("llm", "text", "profiling"),
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.zipf_fit(docs, "text", "doc_id")

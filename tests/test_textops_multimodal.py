@@ -383,3 +383,38 @@ def test_bigram_nll_flags_shuffled_transitions(spark):
         s6 += math.floor(-tf * math.log(p) * 1e6 + 0.5)
     expected = math.floor(s6 / 41 + 0.5) / 1e6
     assert abs(out[7]["avg_nll"] - expected) < 1e-9
+
+
+def test_zipf_fit_recovers_known_exponent(spark):
+    """A synthetic corpus built with counts c(r) = round(1000 / r)
+    (exact Zipf s=1) fits slope ~1 with high r²; a uniform-frequency
+    corpus fits slope ~0. Values replay the closed-form OLS on the
+    1e-4 grid."""
+    import math
+
+    terms = [f"t{i:03d}" for i in range(1, 41)]
+    zipf_text = " ".join(
+        " ".join([t] * max(1, round(1000 / r)))
+        for r, t in enumerate(terms, start=1)
+    )
+    uni_text = " ".join(" ".join([t] * 25) for t in terms)
+    zdf = spark.createDataFrame([(1, zipf_text)], "doc_id long, text string")
+    udf_ = spark.createDataFrame([(1, uni_text)], "doc_id long, text string")
+    z = TX.zipf_fit(zdf, "text", "doc_id").collect()[0]
+    u = TX.zipf_fit(udf_, "text", "doc_id").collect()[0]
+    assert z["v_size"] == 40 and u["v_size"] == 40
+    assert 0.9 < z["slope_s"] < 1.1 and z["r2"] > 0.97
+    assert abs(u["slope_s"]) < 0.05
+    # closed-form replay for the zipf corpus
+    xs, ys = [], []
+    for r, t in enumerate(terms, start=1):
+        c = max(1, round(1000 / r))
+        xs.append(math.floor(math.log(r) * 1e4 + 0.5) / 1e4)
+        ys.append(math.floor(math.log(c) * 1e4 + 0.5) / 1e4)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    expected = math.floor(-slope * 1e6 + 0.5) / 1e6
+    assert abs(z["slope_s"] - expected) < 2e-6

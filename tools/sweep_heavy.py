@@ -143,6 +143,7 @@ DOCS_LIGHT_QUERIES = [
     "token_entropy",
     "dsir_importance_weights",
     "vocabulary_top_terms",
+    "vocab_zipf_fit",
     "benchmark_decontamination",
     "token_budget_mixture",
     "documents_domain_cap",
