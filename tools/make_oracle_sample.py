@@ -80,7 +80,7 @@ HEAVY_ORACLE_QUERIES = [
     "semantic_dedup_pairs",
     # r10b: the incremental SemDeDup gate shares the batch form's
     # brute-force O(n²) oracle (it was registered after the first r10
-    # close — adding it here closes that gap), and the six
+    # close — adding it here closes that gap), and the eight
     # second-session operators take the same sampled at-scale check
     "semantic_dedup_incremental",
     "gopher_quality_filter",
@@ -89,6 +89,8 @@ HEAVY_ORACLE_QUERIES = [
     "c4_line_dedup_incremental",
     "dsir_importance_weights",
     "embedding_mmr_rerank",
+    "lm_quality_bigram_nll",
+    "vocab_zipf_fit",
 ]
 
 
