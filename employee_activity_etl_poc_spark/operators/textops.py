@@ -643,13 +643,30 @@ def gopher_quality_rules(
     def _grid4(x: Column) -> Column:
         return F.floor(x * 10000 + F.lit(0.5)) / 10000
 
+    # Zero-word guard (r10 advice): an empty / whitespace-only document
+    # has n_words = 0, and non-ANSI Spark division would NULL every
+    # per-word ratio (while an IEEE engine yields nan/inf) — exactly the
+    # garbage doc a quality filter must REJECT, loudly and portably. All
+    # per-word ratios short-circuit to 0.0 and their rules to fail, so
+    # keep = 0 deterministically in both engines. (n_lines needs no
+    # guard: split("") is [""], so it is always >= 1.)
+    empty = n_words == 0
+
+    def _per_word_flag(flag: Column) -> Column:
+        return F.when(empty, F.lit(False)).otherwise(flag)
+
+    def _per_word_ratio(x: Column) -> Column:
+        return F.when(empty, F.lit(0.0)).otherwise(_grid4(x))
+
     ok = {
         "ok_words": (n_words >= min_words) & (n_words <= max_words),
-        "ok_mean_wl": (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
-        "ok_symbols": (n_sym / n_words) <= max_symbol_ratio,
+        "ok_mean_wl": _per_word_flag(
+            (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+        ),
+        "ok_symbols": _per_word_flag((n_sym / n_words) <= max_symbol_ratio),
         "ok_bullets": (n_bullet / n_lines) <= max_bullet_ratio,
         "ok_ellipsis": (n_ellipsis / n_lines) <= max_ellipsis_ratio,
-        "ok_alpha": (n_alpha / n_words) >= min_alpha_ratio,
+        "ok_alpha": _per_word_flag((n_alpha / n_words) >= min_alpha_ratio),
         "ok_stops": n_stop >= min_stop_hits,
     }
     keep = None
@@ -657,11 +674,11 @@ def gopher_quality_rules(
         keep = flag if keep is None else (keep & flag)
     out: dict[str, Column] = {
         "n_words": n_words,
-        "mean_word_len": _grid4(mean_wl),
-        "symbol_ratio": _grid4(n_sym / n_words),
+        "mean_word_len": _per_word_ratio(mean_wl),
+        "symbol_ratio": _per_word_ratio(n_sym / n_words),
         "bullet_ratio": _grid4(n_bullet / n_lines),
         "ellipsis_ratio": _grid4(n_ellipsis / n_lines),
-        "alpha_ratio": _grid4(n_alpha / n_words),
+        "alpha_ratio": _per_word_ratio(n_alpha / n_words),
         "n_stop": n_stop,
     }
     for name, flag in ok.items():

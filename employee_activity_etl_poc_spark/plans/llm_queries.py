@@ -3236,18 +3236,22 @@ def _with_planted_lines(docs: DataFrame) -> DataFrame:
       FROM feats
     )
     SELECT doc_id, n_words,
-      floor(n_word_chars / n_words * 10000 + 0.5) / 10000 AS mean_word_len,
-      floor(n_sym / n_words * 10000 + 0.5) / 10000 AS symbol_ratio,
+      CASE WHEN n_words = 0 THEN 0.0 ELSE
+        floor(n_word_chars / n_words * 10000 + 0.5) / 10000 END AS mean_word_len,
+      CASE WHEN n_words = 0 THEN 0.0 ELSE
+        floor(n_sym / n_words * 10000 + 0.5) / 10000 END AS symbol_ratio,
       floor(n_bullet / n_lines * 10000 + 0.5) / 10000 AS bullet_ratio,
       floor(n_ellipsis / n_lines * 10000 + 0.5) / 10000 AS ellipsis_ratio,
-      floor(n_alpha / n_words * 10000 + 0.5) / 10000 AS alpha_ratio,
+      CASE WHEN n_words = 0 THEN 0.0 ELSE
+        floor(n_alpha / n_words * 10000 + 0.5) / 10000 END AS alpha_ratio,
       n_stop,
       CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS ok_words,
-      CAST(n_word_chars / n_words >= 3.0 AND n_word_chars / n_words <= 10.0 AS INT) AS ok_mean_wl,
-      CAST(n_sym / n_words <= 0.1 AS INT) AS ok_symbols,
+      CAST(n_words > 0 AND n_word_chars / n_words >= 3.0
+           AND n_word_chars / n_words <= 10.0 AS INT) AS ok_mean_wl,
+      CAST(n_words > 0 AND n_sym / n_words <= 0.1 AS INT) AS ok_symbols,
       CAST(n_bullet / n_lines <= 0.9 AS INT) AS ok_bullets,
       CAST(n_ellipsis / n_lines <= 0.3 AS INT) AS ok_ellipsis,
-      CAST(n_alpha / n_words >= 0.8 AS INT) AS ok_alpha,
+      CAST(n_words > 0 AND n_alpha / n_words >= 0.8 AS INT) AS ok_alpha,
       CAST(n_stop >= 2 AS INT) AS ok_stops,
       CAST(n_words >= 50 AND n_words <= 100000
            AND n_word_chars / n_words >= 3.0 AND n_word_chars / n_words <= 10.0
@@ -3331,8 +3335,14 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Line-structured corpus with planted cross-doc duplication: every 3rd
 # doc carries a shared boilerplate header line (the hot-key skew case —
 # one line in a third of the corpus), every 7th doc is duplicated
-# verbatim at doc_id+100000 (pure-copy docs, which must come back with
-# n_kept=0).
+# verbatim at doc_id + OFF (pure-copy docs, which must come back with
+# n_kept=0). OFF is DERIVED from the corpus — the smallest power of 10
+# above max(doc_id), via digit count ('1' || one '0' per digit of
+# max+1: exact integer string arithmetic, no float pow, identical in
+# both engines) — so copy ids can never collide with real ids at ANY
+# scale factor (r10 advice: a fixed +100000 silently collided once
+# replicated sweep fixtures passed 100k docs, merging copy rows into
+# real docs and erasing the n_kept=0 test class).
 _BOILER_CORPUS_SQL = """
       WITH lined AS (
         SELECT doc_id,
@@ -3344,16 +3354,41 @@ _BOILER_CORPUS_SQL = """
                  for i in generate_series(0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1)] AS lns
               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
       ),
-      base AS (SELECT doc_id, array_to_string(lns, chr(10)) AS text FROM lined)
+      base AS (SELECT doc_id, array_to_string(lns, chr(10)) AS text FROM lined),
+      off AS (
+        SELECT CAST('1' || repeat('0', length(CAST(max(doc_id) + 1 AS VARCHAR)))
+                    AS BIGINT) AS o
+        FROM documents
+      )
       SELECT doc_id, text FROM base
       UNION ALL
-      SELECT doc_id + 100000, text FROM base WHERE doc_id % 7 = 0
+      SELECT doc_id + o AS doc_id, text FROM base, off WHERE doc_id % 7 = 0
 """
 
 
-def _with_boiler_lines(docs: DataFrame) -> DataFrame:
-    """documents as 8-token lines; %3 docs get a shared boilerplate
-    header line; %7 docs are duplicated verbatim at doc_id+100000."""
+def _boiler_doc_offset(docs: DataFrame) -> DataFrame:
+    """1-row broadcastable frame with the verbatim-copy id offset: the
+    smallest power of 10 above max(doc_id), via digit count — exact
+    integer string arithmetic (no float pow), replayed identically by
+    the oracle's ``off`` CTE. Guarantees off > max(doc_id), so planted
+    copy ids cannot collide with real ids at any scale factor."""
+    return docs.agg(F.max("doc_id").alias("_mx")).select(
+        F.concat(
+            F.lit("1"),
+            F.repeat(F.lit("0"), F.length((F.col("_mx") + 1).cast("string"))),
+        )
+        .cast("long")
+        .alias("_off")
+    )
+
+
+def _with_boiler_lines(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(base, copies): documents as 8-token lines; %3 docs get a shared
+    boilerplate header line; %7 docs are duplicated verbatim at
+    doc_id + the corpus-derived offset (see :func:`_boiler_doc_offset`).
+    Returned as two frames so the incremental form batches on lineage
+    (base = batch 1, copies = batch 2) instead of an id threshold that
+    would mislabel real docs at large scale factors."""
     ws = F.split(F.col("text"), " ")
     n_lines = F.ceil(F.size(ws) / F.lit(8.0)).cast("int")
     lines = F.transform(
@@ -3365,10 +3400,12 @@ def _with_boiler_lines(docs: DataFrame) -> DataFrame:
         F.concat(F.array(F.lit("boilerplate cookie banner row")), lines),
     ).otherwise(lines)
     base = docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    copies = base.where(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 100000
+    copies = (
+        base.where(F.col("doc_id") % 7 == 0)
+        .crossJoin(F.broadcast(_boiler_doc_offset(docs)))
+        .select((F.col("doc_id") + F.col("_off")).alias("doc_id"), "text")
     )
-    return base.unionByName(copies)
+    return base, copies
 
 
 @register(
@@ -3421,8 +3458,8 @@ def _with_boiler_lines(docs: DataFrame) -> DataFrame:
     tags=("llm", "dedup", "text", "scale"),
 )
 def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _with_boiler_lines(load(spark, sf_dir, "documents"))
-    return D.line_dedup(corpus, "text", "doc_id")
+    base, copies = _with_boiler_lines(load(spark, sf_dir, "documents"))
+    return D.line_dedup(base.unionByName(copies), "text", "doc_id")
 
 
 @register(
@@ -3441,9 +3478,7 @@ def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "text", "scale", "incremental"),
 )
 def c4_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _with_boiler_lines(load(spark, sf_dir, "documents"))
-    base = corpus.where(F.col("doc_id") < 100000)
-    copies = corpus.where(F.col("doc_id") >= 100000)
+    base, copies = _with_boiler_lines(load(spark, sf_dir, "documents"))
     out1 = D.line_dedup_incremental(None, base, "text", "doc_id")
     store1 = D.line_store(base, "text", "doc_id")
     out2 = D.line_dedup_incremental(store1, copies, "text", "doc_id")
@@ -3572,6 +3607,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS pk
         FROM mmr m0 WHERE m0.it < 5
       ) m
+      -- candidate set exhausted (shortlist < k): stop like the Python
+      -- greedy's break instead of emitting NULL-extended rows (r10 advice)
+      WHERE m.pk IS NOT NULL
     )
     SELECT qid AS query_id, it AS rank, nid AS neighbor_id, relevance, mmr6
     FROM mmr

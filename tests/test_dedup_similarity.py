@@ -1808,7 +1808,9 @@ def test_mmr_rerank_diversifies_and_accepts_string_ids(spark):
         emb, emb.where(F.col("vec_id") == "q"), "vec_id", "embedding",
         k=3, shortlist=4, lam=0.5,
     ).collect()
-    assert dict((r["rank"], r) for r in out)  # one row per rank
+    # one row per rank: 3 rows, 3 distinct ranks
+    assert len(out) == 3
+    assert len({r["rank"] for r in out}) == 3
     by_rank = {r["rank"]: r for r in out}
     assert sorted(by_rank) == [1, 2, 3]
     assert by_rank[1]["neighbor_id"] in ("top-a", "top-b")
@@ -1822,3 +1824,77 @@ def test_mmr_rerank_diversifies_and_accepts_string_ids(spark):
     ).collect()
     plain_by_rank = {r["rnk"]: r["neighbor_id"] for r in plain}
     assert set(plain_by_rank.values()) == {"top-a", "top-b"}
+
+
+def test_mmr_oracle_terminates_when_shortlist_smaller_than_k(spark, tmp_path):
+    """Registry-oracle parity on the exhausted-candidate edge: with only
+    4 vectors total, every query's candidate set (3 < k=5) runs dry
+    before rank 5. The Spark greedy breaks out of its loop; the oracle's
+    recursive CTE must stop identically (the ``pk IS NOT NULL`` guard —
+    r10 advice) instead of emitting NULL-extended rows up to it=5."""
+    import duckdb
+
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+    from tools.check_oracle import normalize
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.9, 0.1, 0.0], 0),
+            (2, [0.0, 1.0, 0.0], 1),
+            (3, [0.0, 0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+    sdf = REGISTRY["embedding_mmr_rerank"].fn(spark, sf_dir).toPandas()
+    # 4 queries (vec_id < 8) x 3 candidates each — greedy stops at 3
+    assert len(sdf) == 12
+    assert sdf["neighbor_id"].notna().all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    odf = con.execute(REGISTRY["embedding_mmr_rerank"].oracle).fetchdf()
+    assert normalize(sdf) == normalize(odf)
+
+
+def test_c4_fixture_copy_offset_never_collides_with_real_ids(spark, tmp_path):
+    """The planted verbatim-copy ids are corpus-derived (smallest power
+    of 10 above max(doc_id)), so a corpus already holding ids past the
+    old fixed +100000 offset can no longer silently merge copy rows into
+    real docs (r10 advice): every doc_id stays unique, the pure-copy
+    class keeps its n_kept=0 invariant, and Spark/oracle parity holds."""
+    import duckdb
+
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+    from tools.check_oracle import normalize
+
+    ids = list(range(7)) + [99998, 99999, 100000, 100001, 100002, 100100]
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i}", "en", "s", 10) for i in ids],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    sdf = REGISTRY["c4_line_dedup"].fn(spark, sf_dir).toPandas()
+    # offset = 10^len('100101') = 1000000 > every real id: no collisions
+    assert sdf["doc_id"].is_unique
+    n_copies = sum(1 for i in ids if i % 7 == 0)
+    assert len(sdf) == len(ids) + n_copies
+    copies = sdf[sdf["doc_id"] >= 1_000_000]
+    assert len(copies) == n_copies
+    # the documented pure-copy invariant survives: every copy loses all lines
+    assert (copies["n_kept"] == 0).all() and (copies["text_kept"] == "").all()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(REGISTRY["c4_line_dedup"].oracle).fetchdf()
+    assert normalize(sdf) == normalize(odf)
+    # incremental form no longer splits batches on an id threshold
+    idf = REGISTRY["c4_line_dedup_incremental"].fn(spark, sf_dir).toPandas()
+    assert normalize(idf) == normalize(sdf)

@@ -257,6 +257,31 @@ def test_gopher_rules_hand_computed(spark):
     assert d3["alpha_ratio"] == 1.0 and d3["n_stop"] == 4
 
 
+def test_gopher_rules_empty_doc_rejected_not_null(spark):
+    """Zero-word documents (empty / whitespace-only) must come back
+    keep=0 with 0.0 per-word ratios — NOT NULL (the non-ANSI divide-by-
+    zero trap): a quality filter's clearest reject class is exactly the
+    doc that would otherwise NULL its way through the gate (r10 advice)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "\n\n")],
+        "doc_id long, text string",
+    )
+    cols = TX.gopher_quality_rules("text")
+    out = docs.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["n_words"] == 0
+        assert r["keep"] == 0  # rejected, not NULL
+        for c in ("mean_word_len", "symbol_ratio", "alpha_ratio"):
+            assert r[c] == 0.0
+        for c in ("ok_words", "ok_mean_wl", "ok_symbols", "ok_alpha"):
+            assert r[c] == 0
+        # no column may be NULL — every flag and ratio is decided
+        assert all(v is not None for v in r.asDict().values())
+
+
 def test_token_entropy_hand_computed_and_ordering(spark):
     """Uniform-distribution docs hit norm_entropy 1.0; a doc repeating
     one token concentrates mass and scores lower entropy than a uniform
