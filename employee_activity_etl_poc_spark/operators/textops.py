@@ -973,3 +973,191 @@ def zipf_fit(df, text_col: str, id_col: str):
         out6((sy - slope * sx) / n).alias("intercept_c"),
         out6(r2).alias("r2"),
     )
+
+
+def quality_classifier(
+    df,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    n_buckets: int = 1024,
+    iters: int = 3,
+    lr: float = 10.0,
+    persist: bool = True,
+):
+    """CCNet/fastText-style supervised linear quality classifier,
+    trained IN-ENGINE (Wenzek et al. 2020, arXiv:1911.00359 §4.3 use a
+    fastText linear model over n-grams; here: logistic regression over
+    DSIR's hashed unigram+bigram bag — the :func:`dsir_importance`
+    feature substrate, L1-normalized). The missing member of the
+    filter stack: rules (Gopher), corpus LM perplexity (unigram/bigram
+    NLL) and importance weights (DSIR) are all UNsupervised — this
+    learns from a labeled slice and scores the whole corpus.
+
+    Training is ``iters`` full-batch gradient steps from w=0 (NOT
+    per-row SGD: full-batch is order-independent, so the result is
+    partition- and cluster-layout-invariant — the determinism the
+    oracle gate needs). Plan shape: ONE feature explode builds a
+    per-doc sparse feature array (≤ ``n_buckets`` entries/doc, so the
+    frame is O(docs) with a hard per-row bound), persisted once; each
+    step is then (a) a row-wise margin/sigmoid/residual projection
+    with the B-long weight vector embedded as a plan LITERAL — no
+    join, no shuffle — and (b) one map-side-combinable explode→groupBy
+    for the B-row gradient, collected (bounded: ``n_buckets`` bigint
+    rows) into the next step's literal. Per step O(corpus) work, no
+    corpus-sized shuffle, broadcast-sized state — the standard
+    broadcast-weight-vector shape that holds at 100 TB.
+
+    All arithmetic lives on the 1e-6 integer grid: margins pin
+    per-feature terms to the grid before exact bigint sums, the
+    sigmoid output pins to the grid, and weight updates are
+    floor-HALF_UP of ``lr·grad/N`` in grid units — every step replays
+    bit-identically in the DuckDB oracle (exp on identical gridded
+    doubles, the ln precedent; bigint sums are order-independent so
+    the array form and the oracle's relational form agree exactly).
+
+    Returns (id, label, n_feats, score, pred): ``score`` = final
+    sigmoid on the 1e-6 grid, ``pred`` = score >= 0.5. Docs with no
+    features (empty text) score at the learned bias. Weights are NOT
+    regularized — ``iters`` is small and features are L1-normalized;
+    callers selecting a corpus should threshold ``score`` (CCNet
+    keeps the head/middle of the score distribution)."""
+    import math
+
+    t = F.col(text_col)
+    ws = tokens(t)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.array_join(F.slice(ws, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # label rides the explode (doc-constant, so grouping by it is free —
+    # the dsir _tgt pattern) and explode_outer keeps NULL/featureless
+    # docs alive as a NULL-bucket row, so NO post-hoc join is needed to
+    # re-attach them: every input doc reaches xa in one pass
+    feats = df.select(
+        F.col(id_col),
+        label.cast("int").alias("_y"),
+        F.explode_outer(F.concat(ws, bigrams)).alias("_f"),
+    ).select(
+        id_col,
+        "_y",
+        (F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
+         % n_buckets).alias("_b"),
+    )
+    doc_bucket = feats.groupBy(id_col, "_y", "_b").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    # per-doc sparse feature array: (_b, _x6) with x6 the L1-normalized
+    # count on the 1e-6 grid (exact long/long -> double division,
+    # identical IEEE in both engines); the NULL-bucket row (featureless
+    # doc) is dropped from the array and from _nf
+    raw = F.filter("_raw", lambda s: s["_b"].isNotNull())
+    xa = doc_bucket.groupBy(id_col, "_y").agg(
+        F.collect_list(F.struct("_b", "_c")).alias("_raw"),
+    ).select(
+        id_col,
+        "_y",
+        F.aggregate(
+            raw, F.lit(0).cast("long"), lambda acc, s: acc + s["_c"]
+        ).alias("_nf"),
+        raw.alias("_raw"),
+    ).select(
+        id_col,
+        "_y",
+        "_nf",
+        F.transform(
+            "_raw",
+            lambda s: F.struct(
+                s["_b"].alias("_b"),
+                F.floor(s["_c"] * F.lit(1e6) / F.col("_nf") + F.lit(0.5))
+                .cast("long")
+                .alias("_x6"),
+            ),
+        ).alias("_fs"),
+    )
+    # the persisted per-doc frame backs every training pass AND the
+    # returned scoring plan; ``persist=False`` hands lifecycle to a
+    # caller that manages its own checkpoint (per-micro-batch use,
+    # where an unmanaged cache would accumulate one frame per call —
+    # the remove_duplicated_spans contract)
+    if persist:
+        xa = xa.persist()
+    n_docs = xa.count()
+
+    def _resid6(w6: list[int], b6: int) -> Column:
+        """y·1e6 − sigmoid6(margin) under literal weights, row-wise."""
+        warr = F.lit(w6)
+        m6 = (
+            F.aggregate(
+                "_fs",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc
+                + F.floor(
+                    s["_x6"]
+                    * F.element_at(warr, s["_b"].cast("int") + 1)
+                    / F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
+            + F.lit(int(b6))
+        )
+        p6 = F.floor(
+            F.lit(1e6) / (F.lit(1.0) + F.exp(-m6 / F.lit(1e6))) + F.lit(0.5)
+        ).cast("long")
+        return F.col("_y") * F.lit(1000000) - p6
+
+    w6 = [0] * n_buckets
+    b6 = 0
+    for _ in range(iters):
+        scored = xa.select(id_col, "_fs", _resid6(w6, b6).alias("_r6"))
+        # weight AND bias gradients in ONE pass: a sentinel feature
+        # (_b=-1, _x6=1e6) appended per doc makes the bias row exact —
+        # floor(r6·1e6/1e6 + 0.5) = r6 for integer r6, so the -1 bucket
+        # accumulates Σ_i r6_i, the bias gradient. Explode the (bounded)
+        # feature arrays, map-side-combinable groupBy on _b, collect
+        # B+1 bigint rows.
+        sentinel = F.array(
+            F.struct(
+                F.lit(-1).cast("long").alias("_b"),
+                F.lit(1000000).cast("long").alias("_x6"),
+            )
+        )
+        agg = (
+            scored.select(
+                F.col("_r6"),
+                F.explode(F.concat("_fs", sentinel)).alias("_s"),
+            )
+            .groupBy(F.col("_s._b").alias("_b"))
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("_r6") * F.col("_s._x6") / F.lit(1e6)
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("_g6")
+            )
+            .collect()
+        )
+        for row in agg:
+            step = int(math.floor(float(lr) * row["_g6"] / n_docs + 0.5))
+            if row["_b"] == -1:
+                b6 += step
+            else:
+                w6[row["_b"]] += step
+    final = xa.select(
+        F.col(id_col),
+        F.col("_y").alias("label"),
+        F.col("_nf").alias("n_feats"),
+        (F.col("_y") * F.lit(1000000) - _resid6(w6, b6)).alias("_p6"),
+    )
+    out = final.select(
+        F.col(id_col),
+        "label",
+        "n_feats",
+        (F.col("_p6") / F.lit(1e6)).alias("score"),
+        (F.col("_p6") >= F.lit(500000)).cast("int").alias("pred"),
+    )
+    return out

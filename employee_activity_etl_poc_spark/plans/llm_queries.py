@@ -3750,3 +3750,152 @@ def lm_quality_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.zipf_fit(docs, "text", "doc_id")
+
+
+@register(
+    "quality_classifier_scores",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(ws,
+               CASE WHEN len(ws) >= 2
+                    THEN [array_to_string(ws[i:i+1], ' ')
+                          for i in generate_series(1, len(ws) - 1)]
+                    ELSE [] END)) AS f
+      FROM w
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 1024 AS b
+      FROM feats
+    ),
+    db AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+      FROM fb GROUP BY doc_id, b
+    ),
+    nf AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nf FROM db GROUP BY doc_id),
+    x AS (
+      SELECT db.doc_id, b,
+             CAST(floor(c * 1000000 / nf + 0.5) AS BIGINT) AS x6
+      FROM db JOIN nf ON db.doc_id = nf.doc_id
+    ),
+    y AS (SELECT doc_id, CAST(lang = 'en' AS INT) AS y FROM documents),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    -- iteration 1 from w=0, bias=0: every margin is 0, so
+    -- sigmoid6(0) = floor(1e6/(1+exp(0)) + 0.5) = 500000 exactly
+    r1 AS (SELECT doc_id, CAST(y * 1000000 - 500000 AS BIGINT) AS r6 FROM y),
+    g1 AS (
+      SELECT b, CAST(sum(CAST(floor(r6 * x6 / 1000000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS g6
+      FROM r1 JOIN x USING (doc_id) GROUP BY b
+    ),
+    w1 AS (SELECT b, CAST(floor(10.0 * g6 / n + 0.5) AS BIGINT) AS w6 FROM g1, nn),
+    b1 AS (
+      SELECT CAST(floor(10.0 * sum(r6) / (SELECT n FROM nn) + 0.5) AS BIGINT) AS b6
+      FROM r1
+    ),
+    m2 AS (
+      SELECT y.doc_id, coalesce(s.s6, 0) + b1.b6 AS m6
+      FROM y LEFT JOIN (
+        SELECT doc_id,
+               CAST(sum(CAST(floor(x6 * w6 / 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s6
+        FROM x JOIN w1 USING (b) GROUP BY doc_id
+      ) s ON y.doc_id = s.doc_id CROSS JOIN b1
+    ),
+    r2 AS (
+      SELECT m2.doc_id,
+             CAST(y * 1000000
+               - CAST(floor(1000000.0 / (1.0 + exp(-(m6) / 1000000.0)) + 0.5)
+                      AS BIGINT) AS BIGINT) AS r6
+      FROM m2 JOIN y USING (doc_id)
+    ),
+    g2 AS (
+      SELECT b, CAST(sum(CAST(floor(r6 * x6 / 1000000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS g6
+      FROM r2 JOIN x USING (doc_id) GROUP BY b
+    ),
+    w2 AS (
+      SELECT b, w1.w6 + CAST(floor(10.0 * g6 / n + 0.5) AS BIGINT) AS w6
+      FROM g2 JOIN w1 USING (b), nn
+    ),
+    b2 AS (
+      SELECT b1.b6 + CAST(floor(10.0 * (SELECT sum(r6) FROM r2)
+                                / (SELECT n FROM nn) + 0.5) AS BIGINT) AS b6
+      FROM b1
+    ),
+    m3 AS (
+      SELECT y.doc_id, coalesce(s.s6, 0) + b2.b6 AS m6
+      FROM y LEFT JOIN (
+        SELECT doc_id,
+               CAST(sum(CAST(floor(x6 * w6 / 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s6
+        FROM x JOIN w2 USING (b) GROUP BY doc_id
+      ) s ON y.doc_id = s.doc_id CROSS JOIN b2
+    ),
+    r3 AS (
+      SELECT m3.doc_id,
+             CAST(y * 1000000
+               - CAST(floor(1000000.0 / (1.0 + exp(-(m6) / 1000000.0)) + 0.5)
+                      AS BIGINT) AS BIGINT) AS r6
+      FROM m3 JOIN y USING (doc_id)
+    ),
+    g3 AS (
+      SELECT b, CAST(sum(CAST(floor(r6 * x6 / 1000000.0 + 0.5) AS BIGINT))
+                     AS BIGINT) AS g6
+      FROM r3 JOIN x USING (doc_id) GROUP BY b
+    ),
+    w3 AS (
+      SELECT b, w2.w6 + CAST(floor(10.0 * g6 / n + 0.5) AS BIGINT) AS w6
+      FROM g3 JOIN w2 USING (b), nn
+    ),
+    b3 AS (
+      SELECT b2.b6 + CAST(floor(10.0 * (SELECT sum(r6) FROM r3)
+                                / (SELECT n FROM nn) + 0.5) AS BIGINT) AS b6
+      FROM b2
+    ),
+    m4 AS (
+      SELECT y.doc_id, coalesce(s.s6, 0) + b3.b6 AS m6
+      FROM y LEFT JOIN (
+        SELECT doc_id,
+               CAST(sum(CAST(floor(x6 * w6 / 1000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS s6
+        FROM x JOIN w3 USING (b) GROUP BY doc_id
+      ) s ON y.doc_id = s.doc_id CROSS JOIN b3
+    ),
+    scored AS (
+      SELECT m4.doc_id,
+             CAST(floor(1000000.0 / (1.0 + exp(-(m6) / 1000000.0)) + 0.5)
+                  AS BIGINT) AS p6
+      FROM m4
+    )
+    SELECT y.doc_id, y AS label, coalesce(nf.nf, 0) AS n_feats,
+           p6 / 1000000.0 AS score, CAST(p6 >= 500000 AS INT) AS pred
+    FROM y JOIN scored ON y.doc_id = scored.doc_id
+    LEFT JOIN nf ON y.doc_id = nf.doc_id
+    """,
+    doc="Supervised linear quality classifier trained IN-ENGINE (CCNet, "
+    "Wenzek et al. 2020 arXiv:1911.00359 §4.3 — "
+    "textops.quality_classifier): logistic regression over the DSIR "
+    "hashed unigram+bigram feature substrate (1024 buckets, "
+    "L1-normalized), label = the lang='en' slice, 3 full-batch "
+    "gradient steps from w=0, lr=10. Completes the filter-stack "
+    "lineage: rules (Gopher) -> LM perplexity (unigram/bigram NLL) -> "
+    "importance weights (DSIR) -> LEARNED classifier. Full-batch (not "
+    "SGD) so training is partition- and order-invariant; per step one "
+    "B-row broadcast join + map-side-combinable groupBys, the weight "
+    "vector collected (bounded: 1024 bigint rows) and re-broadcast as "
+    "a one-slice local relation — O(corpus) per step, no corpus-sized "
+    "state, the shape that holds at 100 TB. All arithmetic on the "
+    "1e-6 integer grid (margins/sigmoid/updates floor-HALF_UP, exact "
+    "bigint sums); the oracle unrolls the identical three iterations "
+    "as CTEs. exp() on identical gridded doubles is oracle-stable "
+    "(the ln precedent).",
+    tags=("llm", "text", "quality", "filter", "ml"),
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.quality_classifier(
+        docs, "text", "doc_id", label=F.col("lang") == "en"
+    )

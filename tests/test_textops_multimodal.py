@@ -443,3 +443,46 @@ def test_zipf_fit_recovers_known_exponent(spark):
     slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
     expected = math.floor(-slope * 1e6 + 0.5) / 1e6
     assert abs(z["slope_s"] - expected) < 2e-6
+
+
+def test_quality_classifier_learns_separable_toy(spark):
+    """Two disjoint vocabularies, labels aligned with them: after the
+    3 full-batch steps the positive-class docs must score strictly above
+    every negative-class doc and preds must match labels (the filter
+    genuinely learns — it is not a pass-through)."""
+    pos = [(i, "good clean prose text", 1) for i in range(10)]
+    neg = [(100 + i, "spam junk noise garbage", 0) for i in range(10)]
+    docs = spark.createDataFrame(
+        pos + neg, "doc_id long, text string, y int"
+    )
+    out = TX.quality_classifier(
+        docs, "text", "doc_id", label=F.col("y") == 1, lr=50.0
+    ).collect()
+    assert len(out) == 20
+    lo = max(r["score"] for r in out if r["label"] == 0)
+    hi = min(r["score"] for r in out if r["label"] == 1)
+    assert hi > lo
+    assert all(r["pred"] == r["label"] for r in out)
+    # scores live on the 1e-6 grid
+    for r in out:
+        assert abs(r["score"] * 1e6 - round(r["score"] * 1e6)) < 1e-6
+
+
+def test_quality_classifier_partition_invariant_and_featureless(spark):
+    """Full-batch training is order/partition-invariant: training on a
+    repartitioned input yields bit-identical scores. A NULL-text doc
+    still comes out (n_feats=0, scored at the learned bias)."""
+    rows = [(i, f"alpha{i % 3} beta common words here", i % 2) for i in range(12)]
+    rows.append((99, None, 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    a = TX.quality_classifier(
+        docs, "text", "doc_id", label=F.col("y") == 1
+    ).collect()
+    b = TX.quality_classifier(
+        docs.repartition(7, "doc_id"), "text", "doc_id",
+        label=F.col("y") == 1,
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    null_doc = [r for r in a if r["doc_id"] == 99]
+    assert len(null_doc) == 1 and null_doc[0]["n_feats"] == 0
+    assert null_doc[0]["score"] is not None

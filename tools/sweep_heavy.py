@@ -142,6 +142,7 @@ DOCS_LIGHT_QUERIES = [
     "gopher_quality_filter",
     "token_entropy",
     "dsir_importance_weights",
+    "quality_classifier_scores",
     "vocabulary_top_terms",
     "vocab_zipf_fit",
     "benchmark_decontamination",
