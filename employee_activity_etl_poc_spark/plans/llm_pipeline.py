@@ -86,13 +86,15 @@ class TemplateFloodError(RuntimeError):
     the workdir state has changed when this propagates."""
 
 
-def _recover_sigstore(store_path: str) -> None:
-    """Startup recovery for a crash mid-way through
-    :func:`prune_signature_store`'s write-then-swap: a leftover
-    ``__pre_prune`` backup either replaces a missing store (crash between
-    the two moves) or is discarded (crash after the swap, before cleanup);
-    an incomplete ``__pruning`` staging dir is always discarded (the prune
-    simply re-runs)."""
+def _recover_store(store_path: str) -> None:
+    """Startup recovery for a crash mid-way through a store prune's
+    write-then-swap (:func:`prune_signature_store` /
+    :func:`prune_line_store` / :func:`prune_gram_store` — all three
+    persistent stores share the protocol): a leftover ``__pre_prune``
+    backup either replaces a missing store (crash between the two moves)
+    or is discarded (crash after the swap, before cleanup); an incomplete
+    ``__pruning`` staging dir is always discarded (the prune simply
+    re-runs)."""
     import shutil
 
     backup = store_path + "__pre_prune"
@@ -164,7 +166,7 @@ def ingest_document_batch(
     """
     store_path = os.path.join(workdir, "sigstore")
     shards_path = os.path.join(workdir, "shards")
-    _recover_sigstore(store_path)
+    _recover_store(store_path)
 
     n_arrived = batch.count()
     deduped = D.drop_exact_duplicates(batch, "text", "doc_id")
@@ -184,6 +186,7 @@ def ingest_document_batch(
     n_line_dropped = 0
     line_path = os.path.join(workdir, "linestore")
     if line_dedup:
+        _recover_store(line_path)
         if os.path.isdir(line_path):
             lstore = spark.read.parquet(line_path)
             if batch_id is not None and "batch" in lstore.columns:
@@ -288,6 +291,7 @@ def ingest_document_batch(
     n_span_tokens_removed = 0
     gram_path = os.path.join(workdir, "gramstore")
     if span_dedup:
+        _recover_store(gram_path)
         if os.path.isdir(gram_path):
             gstore = spark.read.parquet(gram_path)
             if batch_id is not None and "batch" in gstore.columns:
@@ -422,7 +426,7 @@ def prune_signature_store(
     (microseconds) where ``sigstore/`` does not exist, and a crash between
     the moves strands the store at ``sigstore__pre_prune``. Both cases are
     handled: the ingest path and this function call
-    :func:`_recover_sigstore` first, which restores a stranded backup and
+    :func:`_recover_store` first, which restores a stranded backup and
     discards incomplete staging output — so a crashed prune never loses
     data and simply re-runs. (A reader outside this module racing the swap
     on a shared filesystem should retry on missing-path; plain local/HDFS
@@ -440,15 +444,38 @@ def prune_signature_store(
     deduped — prune only past the horizon where re-ingest is impossible
     (or where re-admitting ancient content is acceptable). Returns the
     retained row count."""
+    return _prune_store(
+        spark,
+        os.path.join(workdir, "sigstore"),
+        lambda df: df.where(keep).select("doc", "hs", "sig"),
+        target_rows_per_file,
+    )
+
+
+def _prune_store(
+    spark: SparkSession,
+    store_path: str,
+    transform,
+    target_rows_per_file: int,
+) -> int:
+    """Shared write-then-swap retention/compaction for the three
+    persistent ingest stores (signatures, line fingerprints, gram
+    counts): read the store, apply ``transform`` (retention predicate +
+    final data columns — NO ``batch`` column in the output), rewrite
+    into right-sized files via a staging dir, swap atomically-enough
+    (see :func:`prune_signature_store`'s swap-atomicity note; crashes
+    recover via :func:`_recover_store`). Batch-partitioned stores
+    compact into a single ``batch=-1`` partition so the layout stays
+    partition-discoverable and later per-batch writes/replay pruning
+    keep working. Returns the retained row count."""
     import math
     import shutil
 
-    store_path = os.path.join(workdir, "sigstore")
-    _recover_sigstore(store_path)
+    _recover_store(store_path)
     batch_layout = any(
         f.startswith("batch=") for f in os.listdir(store_path)
     )
-    kept = spark.read.parquet(store_path).where(keep).select("doc", "hs", "sig")
+    kept = transform(spark.read.parquet(store_path))
     n = kept.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     staging = store_path + "__pruning"
@@ -459,6 +486,85 @@ def prune_signature_store(
     shutil.move(staging, store_path)
     shutil.rmtree(backup)
     return n
+
+
+def prune_line_store(
+    spark: SparkSession,
+    workdir: str,
+    keep=None,
+    target_rows_per_file: int = 50_000_000,
+) -> int:
+    """Retention + compaction for the incremental C4 line-fingerprint
+    store — at 100 TB the distinct-line table is the LARGEST store in
+    the system (one 8-byte row per distinct line ever ingested, losers'
+    lines included), so it needs the same lifecycle the signature store
+    has had since r3. ``keep`` is a Column predicate over the store's
+    columns — ``(g)`` plus ``batch`` on the streaming layout, so the
+    practical retention axis is age: ``F.col("batch") >= horizon_epoch``
+    (``None`` keeps everything = pure compaction). Compaction also
+    DEDUPLICATES fingerprints: each batch appends its own distinct-g
+    set, so a line seen in k batches holds k rows until pruned —
+    ``distinct()`` here reclaims that space without changing any
+    anti-join's result.
+
+    The policy trade mirrors :func:`prune_signature_store`: a pruned
+    line is no longer a collision partner, so its NEXT occurrence is
+    re-admitted (kept once more) rather than cut. After a compaction the
+    surviving rows live in ``batch=-1`` and can no longer be
+    age-pruned individually — compact at a coarser cadence than you
+    prune. Returns the retained fingerprint count."""
+
+    def _transform(df: DataFrame) -> DataFrame:
+        if keep is not None:
+            df = df.where(keep)
+        return df.select("g").distinct()
+
+    return _prune_store(
+        spark,
+        os.path.join(workdir, "linestore"),
+        _transform,
+        target_rows_per_file,
+    )
+
+
+def prune_gram_store(
+    spark: SparkSession,
+    workdir: str,
+    keep=None,
+    min_count: int | None = None,
+    target_rows_per_file: int = 50_000_000,
+) -> int:
+    """Retention + compaction for the duplicated-span gram-count store
+    (the :func:`..operators.dedup.remove_duplicated_spans_incremental`
+    state). Compaction merges the per-batch count fragments —
+    ``sum(n) GROUP BY g`` — which is exactly what every read replays
+    today, so a compacted store also makes each subsequent batch's
+    read-side aggregate cheaper. Retention axes: ``keep`` (a predicate
+    over the MERGED (g, n) rows, applied after the sum) and/or
+    ``min_count`` — dropping singleton grams (``min_count=2``) is the
+    high-leverage policy, since a k-gram with total count 1 can never
+    mark a duplicated span until seen again.
+
+    The policy trade: pruning a gram forgets its history — the next
+    occurrence counts from 1 again, so a span that WOULD have crossed
+    the duplication threshold is re-admitted once more (the
+    :func:`prune_signature_store` re-admission contract, applied to
+    spans). Returns the retained gram count."""
+
+    def _transform(df: DataFrame) -> DataFrame:
+        merged = df.groupBy("g").agg(F.sum("n").cast("long").alias("n"))
+        if min_count is not None:
+            merged = merged.where(F.col("n") >= min_count)
+        if keep is not None:
+            merged = merged.where(keep)
+        return merged.select("g", "n")
+
+    return _prune_store(
+        spark,
+        os.path.join(workdir, "gramstore"),
+        _transform,
+        target_rows_per_file,
+    )
 
 
 def stream_document_ingest(
