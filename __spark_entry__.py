@@ -37,63 +37,88 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Explicit gate ordering: the driver's correctness harness verifies a
-# PREFIX of this dict (50 queries in round 1), so the queries that most
-# need an external correctness signal go first — the LLM-pipeline surface
-# (dedup / similarity / text / multimodal), the domain-ETL composites, and
-# every plan changed this round — followed by a representative slice of the
-# relational catalog. Everything else keeps registration order after them.
+# PREFIX of this dict (50 queries), so the queries that most need an
+# external correctness signal go first.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation part 1: every plan changed this round — the
-    # one-slice local-relation helper (localrel.local_df) replacing the
-    # per-query probe/LUT/offset createDataFrame sites (both reload
-    # gates, the four recall-gated ANN paths, the two LSH monitors'
-    # eager returns, contiguous-id offsets, the jar-free Delta empty
-    # frame), plus the lazily-split reload-gate memo (recall-only gates
-    # no longer pay a train; the PQ gate's residual codebook fit is
-    # memoized — bit-identical md5-seeded state). embedding_topk /
-    # _vectorized / near_dup / incremental / quantized share the files
-    # but not the changed code paths; all were hash-gated in-session at
-    # sf0.001+sf0.01 and keep their r8/r9 driver gates (the r9
-    # lang_confusion_matrix precedent).
-    # Round-10 NEW queries (never externally gated before — gate first):
-    # BM25 retrieval scoring, the unigram-LM quality filter, SemDeDup
-    # cluster-blocked semantic dedup (batch + incremental), the
-    # Gopher/MassiveText rule-set filter, and unigram token entropy.
-    # event_row_numbers(+_distributed), delta_roundtrip_stats and
-    # dedup_lsh_bucket_stats yielded their prefix slots to these: their
-    # only r10 change is the one-slice local-relation frame, hash-gated
-    # in-session at sf0.001+sf0.01 (the lang_confusion_matrix
-    # precedent); they keep their r8/r9 driver gates and sit right
-    # after the boundary. embedding_ann_lsh / embedding_ann_ivf /
-    # embedding_pq_topk / embedding_ivfpq_topk yielded likewise for the
-    # second-session queries: their r10 change is only WHICH memo
-    # feeds the recall-gate baseline / residual train (lazily-split,
-    # bit-identical md5-seeded state), hash-gated in-session at
-    # sf0.001+sf0.01(+0.1), and they carry r9/r9/r8/r9 driver gates.
-    # dedup_lsh_bucket_stats_sampled yielded too: its r10 change is the
-    # one-slice local-relation eager frame (the event_row_numbers
-    # precedent, in-session hash-gated), r9 driver gate.
-    # embedding_index_reload_topk and finally embedding_pq_index_reload_topk
-    # yielded last (both r9 driver gates; both re-hash-gated in-session
-    # at sf0.001+sf0.01 after their r10 changes — the memo split and the
-    # memoized residual-PQ train, bit-identical md5-seeded state with
-    # reload-identity pytests): ELEVEN never-externally-gated queries
-    # outrank changed-plans for the 50 external slots this round.
+    # Round-11 rotation (judge r10 ask #1): vocab_zipf_fit leads — the
+    # ONE query of 146 never driver-gated (judge-verified green r10);
+    # then the five changed-this-round slots:
+    #   quality_classifier_scores — NEW (in-engine logistic-regression
+    #     quality filter), never externally gated;
+    #   c4_line_dedup / c4_line_dedup_incremental — fixture changed
+    #     (corpus-derived copy offset replaces the colliding +100000,
+    #     r10 advice #1): output ids/hashes changed, re-hash-gated
+    #     in-session at sf0.001/0.01/0.1;
+    #   gopher_quality_filter — plan changed (zero-word guard, r10
+    #     advice #3; fixture output identical, re-hash-gated);
+    #   embedding_mmr_rerank — ORACLE changed (recursive-arm
+    #     termination guard, r10 advice #2; fixture output identical,
+    #     re-hash-gated + a shortlist<k parity pytest);
+    # then ALL 44 queries whose last driver gate is r8 (judge ask #1) —
+    # after this round nothing is staler than r9. dedup_cluster_summary
+    # and dedup_clusters_alternating changed plan this round too (the
+    # convergence-loop AQE/fan-out pin, judge ask #6 — output hashes
+    # bit-identical) and are already in the 44.
+    "vocab_zipf_fit",
+    "quality_classifier_scores",
+    "c4_line_dedup",
+    "c4_line_dedup_incremental",
+    "gopher_quality_filter",
+    "embedding_mmr_rerank",
+    "benchmark_decontamination",
+    "brand_volume",
+    "dedup_cluster_summary",
+    "dedup_clusters_alternating",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dedup_minhash_df_pruned",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "dedup_ngram_blocked",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "delta_roundtrip_stats",
+    "documents_domain_cap",
+    "documents_sequence_packing",
+    "embedding_incremental_near_dup",
+    "embedding_near_dup",
+    "embedding_quantized_topk",
+    "embedding_topk",
+    "error_in_signup_window_by_user",
+    "event_type_user_grouping_sets",
+    "event_value_kll",
+    "event_value_tdigest",
+    "events_bloom_pruned_building",
+    "events_cms_daily_range",
+    "events_distinct_users_hll",
+    "events_heavy_hitter_users",
+    "events_hourly_gapfilled",
+    "events_json_props_stats",
+    "events_robust_outliers",
+    "events_snapshot_diff",
+    "events_theta_distinct_algebra",
+    "events_trailing_hour_sum",
+    "events_user_cms_counts",
+    "fuzzy_decontamination",
+    "large_order_customers",
+    "order_priority_check",
+    "order_revenue_cube",
+    "pricing_summary",
+    "pricing_summary_sql",
+    "promo_revenue_share",
+    "regional_supplier_volume",
+    "revenue_by_segment",
+    "text_repetition",
+    # --- 50-query gate boundary ---
+    # previous rotations keep their relative order after the gated
+    # prefix (r10-gated first, then the r9-gated block, then older).
     "bm25_scores",
     "lm_quality_nll",
     "semantic_dedup_pairs",
     "semantic_dedup_incremental",
-    "gopher_quality_filter",
     "token_entropy",
-    "c4_line_dedup",
-    "c4_line_dedup_incremental",
     "dsir_importance_weights",
-    "embedding_mmr_rerank",
     "lm_quality_bigram_nll",
-    # Round-10 rotation part 2: ALL 39 queries whose last driver gate
-    # was round 7 (judge r9 ask #5; the judge's own r9 sf0.01 sweep
-    # covered all 39, ALL OK — this makes the DRIVER gate current,
-    # after which nothing is staler than r8).
     "activity_gold_enrichment",
     "cdc_apply_snapshot",
     "cdc_envelope_roundtrip",
@@ -133,12 +158,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "user_qualification",
     "vocabulary_top_terms",
     "wellness_kpis",
-    # --- 50-query gate boundary ---
-    # previous rotations keep their relative order after the gated prefix.
-    # vocab_zipf_fit is the ONE new query without a slot (the prefix is
-    # exactly 11 never-gated + the 39-query r7-stale rotation): it sits
-    # first in line for r11, hash-gated in-session at sf0.001/0.01/0.1.
-    "vocab_zipf_fit",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "embedding_pq_topk",
@@ -148,7 +167,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pq_index_reload_topk",
     "event_row_numbers",
     "event_row_numbers_distributed",
-    "delta_roundtrip_stats",
     "dedup_lsh_bucket_stats",
     "text_quality",
     "lang_id_heuristic",
@@ -190,49 +208,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "table_row_counts",
     "text_compression_ratio",
     "time_features",
-    "text_repetition",
-    "benchmark_decontamination",
-    "fuzzy_decontamination",
-    "embedding_quantized_topk",
-    "brand_volume",
-    "dedup_cluster_summary",
-    "dedup_clusters_alternating",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dedup_minhash_df_pruned",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",
-    "dedup_ngram_blocked",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "documents_domain_cap",
-    "documents_sequence_packing",
-    "embedding_topk",
-    "error_in_signup_window_by_user",
-    "event_type_user_grouping_sets",
-    "event_value_kll",
-    "event_value_tdigest",
-    "events_bloom_pruned_building",
-    "events_cms_daily_range",
-    "events_distinct_users_hll",
-    "events_heavy_hitter_users",
-    "events_hourly_gapfilled",
-    "events_json_props_stats",
-    "events_robust_outliers",
-    "events_snapshot_diff",
-    "events_theta_distinct_algebra",
-    "events_trailing_hour_sum",
-    "events_user_cms_counts",
-    "large_order_customers",
-    "order_priority_check",
-    "order_revenue_cube",
-    "pricing_summary",
-    "pricing_summary_sql",
-    "promo_revenue_share",
-    "regional_supplier_volume",
-    "revenue_by_segment",
-    "embedding_near_dup",
-    "embedding_incremental_near_dup",
 )
 
 
