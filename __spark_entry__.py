@@ -51,9 +51,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     in-session at sf0.001/0.01/0.1;
     #   gopher_quality_filter — plan changed (zero-word guard, r10
     #     advice #3; fixture output identical, re-hash-gated);
-    #   embedding_mmr_rerank — ORACLE changed (recursive-arm
-    #     termination guard, r10 advice #2; fixture output identical,
-    #     re-hash-gated + a shortlist<k parity pytest);
+    #   ccnet_perplexity_buckets — NEW (CCNet head/middle/tail
+    #     per-language perplexity terciles), never externally gated;
     # then ALL 44 queries whose last driver gate is r8 (judge ask #1) —
     # after this round nothing is staler than r9. dedup_cluster_summary
     # and dedup_clusters_alternating changed plan this round too (the
@@ -64,7 +63,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "c4_line_dedup",
     "c4_line_dedup_incremental",
     "gopher_quality_filter",
-    "embedding_mmr_rerank",
+    "ccnet_perplexity_buckets",
     "benchmark_decontamination",
     "brand_volume",
     "dedup_cluster_summary",
@@ -110,6 +109,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_by_segment",
     "text_repetition",
     # --- 50-query gate boundary ---
+    # embedding_mmr_rerank yielded its changed-plan slot to the NEW
+    # ccnet_perplexity_buckets (never-gated outranks changed-plan —
+    # the r10 precedent): its r11 change is ORACLE-only (the
+    # recursive-arm termination guard), its fixture output is
+    # unchanged, it was re-hash-gated in-session at sf0.001/0.01 and
+    # carries a shortlist<k parity pytest plus its r10 driver gate.
+    # First in line for r12.
+    "embedding_mmr_rerank",
     # previous rotations keep their relative order after the gated
     # prefix (r10-gated first, then the r9-gated block, then older).
     "bm25_scores",

@@ -155,6 +155,14 @@ HEADLINE = [
     "lm_quality_bigram_nll",
     # round 10b: Zipf-exponent corpus-health fit (grid-pinned OLS)
     "vocab_zipf_fit",
+    # round 11: the learned quality filter — logistic regression over
+    # hashed n-gram features trained in-engine (3 full-batch steps;
+    # the cost IS 3 training epochs + one feature-build pass, so this
+    # is expected to sit at the top of the per-query table)
+    "quality_classifier_scores",
+    # round 11: CCNet head/middle/tail per-language perplexity terciles
+    # (NLL pass + one language-keyed window shuffle)
+    "ccnet_perplexity_buckets",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -1161,3 +1161,58 @@ def quality_classifier(
         (F.col("_p6") >= F.lit(500000)).cast("int").alias("pred"),
     )
     return out
+
+
+def perplexity_buckets(
+    df,
+    text_col: str,
+    id_col: str,
+    lang_col: str,
+):
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    LREC'20 §4.4) — the SELECTION step that consumes the LM quality
+    filter: within each language, rank documents by their
+    :func:`unigram_nll` and split into exact terciles; CCNet trains on
+    head+middle and drops the tail (``keep`` = bucket < 2). Per-language
+    ranking matters — absolute perplexity is not comparable across
+    languages, which is why a global threshold over-filters low-resource
+    ones.
+
+    Plan: the NLL pass (one explode + broadcast model join), then ONE
+    window shuffle keyed by language (rank + per-language count in the
+    same window partition — no second pass, no join against quantile
+    cutpoints). Exact terciles, not approximate percentiles: the
+    bucket boundary is ``floor((rank-1)·3 / n_lang)`` on the
+    deterministic (avg_nll, id) order — avg_nll is already on the 1e-6
+    grid, so the order and every bucket replay exactly in the oracle.
+    At 100 TB a language is a large window partition but the window
+    computes rank+count in one sort pass; skew across languages is the
+    shuffle's only hazard (the biggest language bounds the longest
+    partition — the same bound any per-language percentile has).
+
+    Returns (id, lang, dl, avg_nll, bucket, bucket_label, keep)."""
+    from pyspark.sql import Window
+
+    nll = unigram_nll(df, text_col, id_col)
+    scored = df.select(F.col(id_col), F.col(lang_col).alias("lang")).join(
+        nll, id_col
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("avg_nll"), F.col(id_col))
+    wn = Window.partitionBy("lang")
+    rn = F.row_number().over(w)
+    n_lang = F.count("*").over(wn)
+    bucket = F.floor((rn - 1) * 3 / n_lang).cast("int")
+    label = (
+        F.when(bucket == 0, "head")
+        .when(bucket == 1, "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        F.col(id_col),
+        "lang",
+        "dl",
+        "avg_nll",
+        bucket.alias("bucket"),
+        label.alias("bucket_label"),
+        (bucket < 2).cast("int").alias("keep"),
+    )

@@ -3899,3 +3899,67 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_classifier(
         docs, "text", "doc_id", label=F.col("lang") == "en"
     )
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    """
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    counts AS (SELECT term, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t_total,
+             CAST(count(*) AS BIGINT) AS v_size
+      FROM counts
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.tf,
+             CAST(floor(
+               -(CAST(tf AS DOUBLE))
+               * ln((c + 0.5) / (t_total + 0.5 * v_size))
+               * 1000000 + 0.5) AS BIGINT) AS nll6
+      FROM tf JOIN counts USING (term) CROSS JOIN tot
+    ),
+    nll AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+             CAST(floor(CAST(sum(nll6) AS BIGINT) * 1.0 / CAST(sum(tf) AS BIGINT)
+                        + 0.5) AS BIGINT) / 1000000.0 AS avg_nll
+      FROM scored GROUP BY doc_id
+    ),
+    j AS (
+      SELECT d.doc_id, d.lang, nll.dl, nll.avg_nll
+      FROM documents d JOIN nll ON d.doc_id = nll.doc_id
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS nl
+      FROM j
+    )
+    SELECT doc_id, lang, dl, avg_nll,
+      CAST(floor((rn - 1) * 3 / nl) AS INT) AS bucket,
+      CASE CAST(floor((rn - 1) * 3 / nl) AS INT)
+        WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket_label,
+      CAST(floor((rn - 1) * 3 / nl) < 2 AS INT) AS keep
+    FROM r
+    """,
+    doc="CCNet's head/middle/tail perplexity bucketing (Wenzek et al. "
+    "LREC'20 §4.4 — textops.perplexity_buckets): the SELECTION step "
+    "that consumes the LM quality filter — rank documents by unigram "
+    "avg NLL WITHIN each language, split into exact terciles, keep "
+    "head+middle. Per-language ranking is the point: absolute "
+    "perplexity is not comparable across languages, so a global "
+    "threshold over-filters low-resource ones. One NLL pass (explode "
+    "+ broadcast model join) + ONE language-keyed window shuffle "
+    "(rank and per-language count in the same sort pass — no "
+    "quantile-cutpoint join). Exact terciles on the deterministic "
+    "(avg_nll, doc_id) order; avg_nll is grid-pinned, so order and "
+    "buckets replay exactly in the oracle.",
+    tags=("llm", "text", "quality", "sampling"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.perplexity_buckets(docs, "text", "doc_id", "lang")

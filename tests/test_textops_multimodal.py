@@ -486,3 +486,33 @@ def test_quality_classifier_partition_invariant_and_featureless(spark):
     null_doc = [r for r in a if r["doc_id"] == 99]
     assert len(null_doc) == 1 and null_doc[0]["n_feats"] == 0
     assert null_doc[0]["score"] is not None
+
+
+def test_perplexity_buckets_exact_terciles_per_lang(spark):
+    """Buckets are exact per-language terciles on (avg_nll, doc_id)
+    order: each language splits 2/2/2 regardless of the other
+    language's perplexity range (the cross-language comparability point
+    of per-lang ranking), keep = head+middle only."""
+    rows = []
+    # 6 'en' docs with increasing repetition (higher NLL = rarer terms)
+    for i in range(6):
+        rows.append((i, " ".join(f"en{i}w{j}" for j in range(4)) + " the the", "en"))
+    # 6 'fr' docs sharing a disjoint vocabulary
+    for i in range(6):
+        rows.append((100 + i, " ".join(f"fr{i}w{j}" for j in range(4)) + " le le", "fr"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = TX.perplexity_buckets(docs, "text", "doc_id", "lang").collect()
+    assert len(out) == 12
+    from collections import Counter
+
+    by_lang = Counter((r["lang"], r["bucket"]) for r in out)
+    for lang in ("en", "fr"):
+        assert by_lang[(lang, 0)] == 2
+        assert by_lang[(lang, 1)] == 2
+        assert by_lang[(lang, 2)] == 2
+    for r in out:
+        assert r["keep"] == (1 if r["bucket"] < 2 else 0)
+        assert r["bucket_label"] == {0: "head", 1: "middle", 2: "tail"}[r["bucket"]]
+    # within a language, buckets are monotone in avg_nll
+    en = sorted((r["avg_nll"], r["doc_id"], r["bucket"]) for r in out if r["lang"] == "en")
+    assert [b for _, _, b in en] == sorted(b for _, _, b in en)
