@@ -49,8 +49,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     (corpus-derived copy offset replaces the colliding +100000,
     #     r10 advice #1): output ids/hashes changed, re-hash-gated
     #     in-session at sf0.001/0.01/0.1;
-    #   gopher_quality_filter — plan changed (zero-word guard, r10
-    #     advice #3; fixture output identical, re-hash-gated);
+    #   quality_classifier_reload_scores — NEW (weight-artifact
+    #     lifecycle gate: train, save, reload, score), never gated;
     #   ccnet_perplexity_buckets — NEW (CCNet head/middle/tail
     #     per-language perplexity terciles), never externally gated;
     # then ALL 44 queries whose last driver gate is r8 (judge ask #1) —
@@ -62,7 +62,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_classifier_scores",
     "c4_line_dedup",
     "c4_line_dedup_incremental",
-    "gopher_quality_filter",
+    "quality_classifier_reload_scores",
     "ccnet_perplexity_buckets",
     "benchmark_decontamination",
     "brand_volume",
@@ -109,13 +109,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_by_segment",
     "text_repetition",
     # --- 50-query gate boundary ---
-    # embedding_mmr_rerank yielded its changed-plan slot to the NEW
-    # ccnet_perplexity_buckets (never-gated outranks changed-plan —
-    # the r10 precedent): its r11 change is ORACLE-only (the
-    # recursive-arm termination guard), its fixture output is
-    # unchanged, it was re-hash-gated in-session at sf0.001/0.01 and
-    # carries a shortlist<k parity pytest plus its r10 driver gate.
-    # First in line for r12.
+    # gopher_quality_filter and embedding_mmr_rerank yielded their
+    # changed-plan slots to NEW never-gated queries (the r10
+    # precedent: never-gated outranks changed-plan). Both changes are
+    # behavior-preserving on the fixture and re-hash-gated in-session
+    # at sf0.001/0.01/0.1: gopher's is the zero-word guard (r10 advice
+    # #3; fixture has no empty docs, output identical + an empty-doc
+    # pytest), mmr's is ORACLE-only (recursive-arm termination guard,
+    # r10 advice #2, shortlist<k parity pytest). Both keep their r10
+    # driver gates and sit first in line for r12.
+    "gopher_quality_filter",
     "embedding_mmr_rerank",
     # previous rotations keep their relative order after the gated
     # prefix (r10-gated first, then the r9-gated block, then older).

@@ -163,6 +163,9 @@ HEADLINE = [
     # round 11: CCNet head/middle/tail per-language perplexity terciles
     # (NLL pass + one language-keyed window shuffle)
     "ccnet_perplexity_buckets",
+    # round 11: classifier-model artifact lifecycle (train, save, reload,
+    # score from a fresh feature pass under the reloaded weights)
+    "quality_classifier_reload_scores",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -975,6 +975,66 @@ def zipf_fit(df, text_col: str, id_col: str):
     )
 
 
+def _classifier_feature_frame(
+    df, text_col: str, id_col: str, label: Column, n_buckets: int
+):
+    """(id, _y, _nf, _fs): the per-doc sparse hashed-feature frame both
+    training and artifact-reload scoring consume. The label rides the
+    explode (doc-constant, so grouping by it is free — the dsir _tgt
+    pattern) and explode_outer keeps NULL/featureless docs alive as a
+    NULL-bucket row, so NO post-hoc join is needed to re-attach them:
+    every input doc reaches the frame in one pass. _x6 is the
+    L1-normalized count on the 1e-6 grid (exact long/long -> double
+    division, identical IEEE in both engines); the NULL-bucket row is
+    dropped from the array and from _nf."""
+    t = F.col(text_col)
+    ws = tokens(t)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.array_join(F.slice(ws, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col),
+        label.cast("int").alias("_y"),
+        F.explode_outer(F.concat(ws, bigrams)).alias("_f"),
+    ).select(
+        id_col,
+        "_y",
+        (F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
+         % n_buckets).alias("_b"),
+    )
+    doc_bucket = feats.groupBy(id_col, "_y", "_b").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    raw = F.filter("_raw", lambda s: s["_b"].isNotNull())
+    return doc_bucket.groupBy(id_col, "_y").agg(
+        F.collect_list(F.struct("_b", "_c")).alias("_raw"),
+    ).select(
+        id_col,
+        "_y",
+        F.aggregate(
+            raw, F.lit(0).cast("long"), lambda acc, s: acc + s["_c"]
+        ).alias("_nf"),
+        raw.alias("_raw"),
+    ).select(
+        id_col,
+        "_y",
+        "_nf",
+        F.transform(
+            "_raw",
+            lambda s: F.struct(
+                s["_b"].alias("_b"),
+                F.floor(s["_c"] * F.lit(1e6) / F.col("_nf") + F.lit(0.5))
+                .cast("long")
+                .alias("_x6"),
+            ),
+        ).alias("_fs"),
+    )
+
+
 def quality_classifier(
     df,
     text_col: str,
@@ -984,6 +1044,7 @@ def quality_classifier(
     iters: int = 3,
     lr: float = 10.0,
     persist: bool = True,
+    model_out: dict | None = None,
 ):
     """CCNet/fastText-style supervised linear quality classifier,
     trained IN-ENGINE (Wenzek et al. 2020, arXiv:1911.00359 §4.3 use a
@@ -1024,60 +1085,7 @@ def quality_classifier(
     keeps the head/middle of the score distribution)."""
     import math
 
-    t = F.col(text_col)
-    ws = tokens(t)
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.array_join(F.slice(ws, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    # label rides the explode (doc-constant, so grouping by it is free —
-    # the dsir _tgt pattern) and explode_outer keeps NULL/featureless
-    # docs alive as a NULL-bucket row, so NO post-hoc join is needed to
-    # re-attach them: every input doc reaches xa in one pass
-    feats = df.select(
-        F.col(id_col),
-        label.cast("int").alias("_y"),
-        F.explode_outer(F.concat(ws, bigrams)).alias("_f"),
-    ).select(
-        id_col,
-        "_y",
-        (F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
-         % n_buckets).alias("_b"),
-    )
-    doc_bucket = feats.groupBy(id_col, "_y", "_b").agg(
-        F.count("*").cast("long").alias("_c")
-    )
-    # per-doc sparse feature array: (_b, _x6) with x6 the L1-normalized
-    # count on the 1e-6 grid (exact long/long -> double division,
-    # identical IEEE in both engines); the NULL-bucket row (featureless
-    # doc) is dropped from the array and from _nf
-    raw = F.filter("_raw", lambda s: s["_b"].isNotNull())
-    xa = doc_bucket.groupBy(id_col, "_y").agg(
-        F.collect_list(F.struct("_b", "_c")).alias("_raw"),
-    ).select(
-        id_col,
-        "_y",
-        F.aggregate(
-            raw, F.lit(0).cast("long"), lambda acc, s: acc + s["_c"]
-        ).alias("_nf"),
-        raw.alias("_raw"),
-    ).select(
-        id_col,
-        "_y",
-        "_nf",
-        F.transform(
-            "_raw",
-            lambda s: F.struct(
-                s["_b"].alias("_b"),
-                F.floor(s["_c"] * F.lit(1e6) / F.col("_nf") + F.lit(0.5))
-                .cast("long")
-                .alias("_x6"),
-            ),
-        ).alias("_fs"),
-    )
+    xa = _classifier_feature_frame(df, text_col, id_col, label, n_buckets)
     # the persisted per-doc frame backs every training pass AND the
     # returned scoring plan; ``persist=False`` hands lifecycle to a
     # caller that manages its own checkpoint (per-micro-batch use,
@@ -1147,20 +1155,62 @@ def quality_classifier(
                 b6 += step
             else:
                 w6[row["_b"]] += step
-    final = xa.select(
+    if model_out is not None:
+        # exact integer grid units — parquet round-trips them bit-exactly
+        model_out["w6"] = list(w6)
+        model_out["b6"] = int(b6)
+        model_out["n_buckets"] = int(n_buckets)
+    return _classifier_score_frame(xa, id_col, w6, b6)
+
+
+def _classifier_score_frame(xa, id_col: str, w6: list[int], b6: int):
+    """(id, label, n_feats, score, pred) under GIVEN grid-unit weights —
+    shared by training (final pass) and by artifact-reload scoring."""
+    warr = F.lit(w6)
+    m6 = (
+        F.aggregate(
+            "_fs",
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.floor(
+                s["_x6"]
+                * F.element_at(warr, s["_b"].cast("int") + 1)
+                / F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        + F.lit(int(b6))
+    )
+    p6 = F.floor(
+        F.lit(1e6) / (F.lit(1.0) + F.exp(-m6 / F.lit(1e6))) + F.lit(0.5)
+    ).cast("long")
+    return xa.select(
         F.col(id_col),
         F.col("_y").alias("label"),
         F.col("_nf").alias("n_feats"),
-        (F.col("_y") * F.lit(1000000) - _resid6(w6, b6)).alias("_p6"),
+        (p6 / F.lit(1e6)).alias("score"),
+        (p6 >= F.lit(500000)).cast("int").alias("pred"),
     )
-    out = final.select(
-        F.col(id_col),
-        "label",
-        "n_feats",
-        (F.col("_p6") / F.lit(1e6)).alias("score"),
-        (F.col("_p6") >= F.lit(500000)).cast("int").alias("pred"),
+
+
+def score_quality_classifier(
+    df,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    w6: list[int],
+    b6: int,
+):
+    """Score a corpus under an ALREADY-TRAINED weight vector (e.g. one
+    reloaded from a :mod:`..operators.model_store` artifact) — the
+    train-once / score-many path a 100 TB pipeline actually runs: one
+    feature pass + a row-wise projection, no training actions, no
+    persist. ``label`` rides along for evaluation parity with
+    :func:`quality_classifier` output columns."""
+    xa = _classifier_feature_frame(
+        df, text_col, id_col, label, n_buckets=len(w6)
     )
-    return out
+    return _classifier_score_frame(xa, id_col, w6, b6)
 
 
 def perplexity_buckets(

@@ -3963,3 +3963,51 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.perplexity_buckets(docs, "text", "doc_id", "lang")
+
+
+@register(
+    "quality_classifier_reload_scores",
+    "SELECT q.*, CAST(1 AS INT) AS reload_identical FROM ("
+    + REGISTRY["quality_classifier_scores"].oracle
+    + ") q",
+    doc="Classifier-model artifact lifecycle under the value-hash gate "
+    "(operators/model_store — the index_store contract applied to the "
+    "learned quality filter): train once, save the grid-unit weight "
+    "vector + bias as a parquet artifact, load it back, and score the "
+    "corpus from a FRESH feature pass under the RELOADED weights — "
+    "the train-once / score-many path a later session runs. "
+    "reload_identical rides the rows pinned TRUE by the oracle: "
+    "weights are exact 1e-6-grid bigints, so the round-trip must be "
+    "bit-exact (a float-tolerant store cannot pass), and the scores "
+    "hash-match the fresh-trained quality_classifier_scores exactly "
+    "(the oracle IS that query's SQL). Load rejects truncated or "
+    "bucket-count-mismatched artifacts loudly.",
+    tags=("llm", "text", "quality", "ml", "scale"),
+)
+def quality_classifier_reload_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.model_store import load_classifier, save_classifier
+
+    docs = load(spark, sf_dir, "documents")
+    model: dict = {}
+    # training pass (fills model with the exact grid-unit weights);
+    # the returned frame is discarded — this gate scores via the
+    # ARTIFACT, not the in-session model
+    TX.quality_classifier(
+        docs, "text", "doc_id", label=F.col("lang") == "en",
+        persist=False, model_out=model,
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_qc_model_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    save_classifier(spark, path, model["w6"], model["b6"])
+    w6, b6 = load_classifier(spark, path)
+    identical = w6 == model["w6"] and b6 == model["b6"]
+    return TX.score_quality_classifier(
+        docs, "text", "doc_id", label=F.col("lang") == "en", w6=w6, b6=b6
+    ).withColumn("reload_identical", F.lit(bool(identical)).cast("int"))

@@ -516,3 +516,46 @@ def test_perplexity_buckets_exact_terciles_per_lang(spark):
     # within a language, buckets are monotone in avg_nll
     en = sorted((r["avg_nll"], r["doc_id"], r["bucket"]) for r in out if r["lang"] == "en")
     assert [b for _, _, b in en] == sorted(b for _, _, b in en)
+
+
+def test_classifier_model_store_roundtrip_and_guards(spark, tmp_path):
+    """Weight artifact lifecycle: grid-unit weights round-trip
+    bit-exactly through parquet; scoring under the reloaded weights
+    equals the fresh-trained output exactly; truncated/foreign
+    artifacts are rejected loudly."""
+    import pytest as _pytest
+
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        load_classifier,
+        save_classifier,
+    )
+
+    rows = [(i, f"alpha{i % 4} beta common words here there", i % 2) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    model: dict = {}
+    fresh = TX.quality_classifier(
+        docs, "text", "doc_id", label=F.col("y") == 1, model_out=model
+    ).collect()
+    assert len(model["w6"]) == 1024 and isinstance(model["b6"], int)
+    path = str(tmp_path / "qc_model")
+    save_classifier(spark, path, model["w6"], model["b6"])
+    w6, b6 = load_classifier(spark, path)
+    assert w6 == model["w6"] and b6 == model["b6"]  # bit-exact ints
+    scored = TX.score_quality_classifier(
+        docs, "text", "doc_id", label=F.col("y") == 1, w6=w6, b6=b6
+    ).collect()
+    assert sorted(map(tuple, scored)) == sorted(map(tuple, fresh))
+    # foreign parquet (no sentinels) rejected
+    bad = str(tmp_path / "not_a_model")
+    spark.range(3).selectExpr("id AS b", "id AS w6").write.parquet(bad)
+    with _pytest.raises(ValueError, match="sentinel"):
+        load_classifier(spark, bad)
+    # truncated artifact (weight rows missing) rejected
+    trunc = str(tmp_path / "truncated")
+    from employee_activity_etl_poc_spark.localrel import local_df
+
+    local_df(
+        spark, [(-2, 1024), (-1, 0), (0, 5)], "b long, w6 long"
+    ).write.parquet(trunc)
+    with _pytest.raises(ValueError, match="truncated"):
+        load_classifier(spark, trunc)

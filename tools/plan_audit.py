@@ -67,6 +67,7 @@ PLAN_BUILD_JOBS_OK = {
     "events_bloom_pruned_building": "bloom filter aggregated driver-side, pushed as a scan filter literal",
     "tfidf_scores": "df.count() is the IDF numerator literal",
     "quality_classifier_scores": "in-engine model fit: per-step gradient collects (B=1024 bigint rows) ARE the training; weights ship as plan literals (r11)",
+    "quality_classifier_reload_scores": "full model-artifact lifecycle: train, save, reload — the gate IS the side effect (r11)",
     "dedup_minhash_df_pruned": "document-frequency prune: frequent-shingle set materialized before the anti-join",
     # r10 measured null, RESOLVED r11 (judge ask #6): plain AQE-OFF in
     # the CC convergence rounds cut bookkeeping jobs (28->20 / 24->9 /

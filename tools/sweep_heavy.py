@@ -143,6 +143,7 @@ DOCS_LIGHT_QUERIES = [
     "token_entropy",
     "dsir_importance_weights",
     "quality_classifier_scores",
+    "quality_classifier_reload_scores",
     "ccnet_perplexity_buckets",
     "vocabulary_top_terms",
     "vocab_zipf_fit",
