@@ -3965,6 +3965,28 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.perplexity_buckets(docs, "text", "doc_id", "lang")
 
 
+def _qc_trained_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Memoized trained quality-classifier weights per fixture: the
+    full-batch fit on the immutable fixture is deterministic end to end
+    (exact grid-unit integers — the _reload_gate_cents justification),
+    so the artifact-lifecycle gate trains once per fixture/process and
+    every later run only pays save/load + the fresh scoring pass."""
+    m = _gate_memo(sf_dir)
+    if "qc_model" not in m:
+        docs = load(spark, sf_dir, "documents")
+        model: dict = {}
+        # persist=False: this gate discards the returned scoring plan
+        # (it scores via the ARTIFACT), so a cached feature frame would
+        # just linger — the one-time memoized fit eats the per-epoch
+        # feature recompute instead
+        TX.quality_classifier(
+            docs, "text", "doc_id", label=F.col("lang") == "en",
+            persist=False, model_out=model,
+        )
+        m["qc_model"] = model
+    return m["qc_model"]
+
+
 @register(
     "quality_classifier_reload_scores",
     "SELECT q.*, CAST(1 AS INT) AS reload_identical FROM ("
@@ -3992,14 +4014,7 @@ def quality_classifier_reload_scores(spark: SparkSession, sf_dir: str) -> DataFr
     from ..operators.model_store import load_classifier, save_classifier
 
     docs = load(spark, sf_dir, "documents")
-    model: dict = {}
-    # training pass (fills model with the exact grid-unit weights);
-    # the returned frame is discarded — this gate scores via the
-    # ARTIFACT, not the in-session model
-    TX.quality_classifier(
-        docs, "text", "doc_id", label=F.col("lang") == "en",
-        persist=False, model_out=model,
-    )
+    model = _qc_trained_model(spark, sf_dir)
     path = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_qc_model_{os.path.basename(sf_dir.rstrip('/'))}",
