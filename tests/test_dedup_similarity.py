@@ -1898,3 +1898,33 @@ def test_c4_fixture_copy_offset_never_collides_with_real_ids(spark, tmp_path):
     # incremental form no longer splits batches on an id threshold
     idf = REGISTRY["c4_line_dedup_incremental"].fn(spark, sf_dir).toPandas()
     assert normalize(idf) == normalize(sdf)
+
+
+def test_convergence_loop_restores_session_confs(spark):
+    """The CC loops pin AQE off and resize the shuffle fan-out for the
+    duration of the bounded convergence loop (the r11 bookkeeping-job
+    trim); the session values MUST come back — including on the raise
+    path — or every later query in the session runs mis-configured."""
+    conf = spark.conf
+    prev_aqe = conf.get("spark.sql.adaptive.enabled")
+    prev_parts = conf.get("spark.sql.shuffle.partitions")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r["node"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert conf.get("spark.sql.shuffle.partitions") == prev_parts
+    # raise path: a long chain with max_iter=1 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        D.connected_components(chain, max_iter=1)
+    assert conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert conf.get("spark.sql.shuffle.partitions") == prev_parts
+    alt = {r["node"]: r["component"]
+           for r in D.connected_components_alternating(pairs).collect()}
+    assert alt == out
+    assert conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert conf.get("spark.sql.shuffle.partitions") == prev_parts
