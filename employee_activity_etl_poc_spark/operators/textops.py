@@ -978,15 +978,22 @@ def zipf_fit(df, text_col: str, id_col: str):
 def _classifier_feature_frame(
     df, text_col: str, id_col: str, label: Column, n_buckets: int
 ):
-    """(id, _y, _nf, _fs): the per-doc sparse hashed-feature frame both
-    training and artifact-reload scoring consume. The label rides the
-    explode (doc-constant, so grouping by it is free — the dsir _tgt
-    pattern) and explode_outer keeps NULL/featureless docs alive as a
-    NULL-bucket row, so NO post-hoc join is needed to re-attach them:
-    every input doc reaches the frame in one pass. _x6 is the
-    L1-normalized count on the 1e-6 grid (exact long/long -> double
-    division, identical IEEE in both engines); the NULL-bucket row is
-    dropped from the array and from _nf."""
+    """(x, y): the hashed-feature substrate both training and
+    artifact-reload scoring consume, in LONG form —
+    x = one row per (id, _b, _x6) with _x6 the L1-normalized count on
+    the 1e-6 grid (exact long/long -> double division, identical IEEE
+    in both engines), y = one row per doc (id, _y, _nf).
+
+    Long form, NOT per-doc struct arrays: every step over it is an
+    unsafe-row hash aggregate or a codegen'd projection — spillable,
+    bounded per-task memory at ANY corpus size. The first r11 cut used
+    collect_list feature arrays and died of object-aggregation heap
+    pressure at 5M docs (GCLocker OOM at both 128 and 512 shuffle
+    partitions): ~700-struct arrays per doc are JVM objects the
+    aggregation buffer cannot spill. The label rides the explode
+    (doc-constant — the dsir _tgt pattern) and explode_outer keeps
+    NULL/featureless docs alive as a NULL-bucket row, so no post-hoc
+    join re-attaches them."""
     t = F.col(text_col)
     ws = tokens(t)
     bigrams = F.when(
@@ -1009,30 +1016,93 @@ def _classifier_feature_frame(
     doc_bucket = feats.groupBy(id_col, "_y", "_b").agg(
         F.count("*").cast("long").alias("_c")
     )
-    raw = F.filter("_raw", lambda s: s["_b"].isNotNull())
-    return doc_bucket.groupBy(id_col, "_y").agg(
-        F.collect_list(F.struct("_b", "_c")).alias("_raw"),
-    ).select(
+    from pyspark.sql import Window
+
+    nf = F.sum(
+        F.when(F.col("_b").isNotNull(), F.col("_c")).otherwise(F.lit(0))
+    ).over(Window.partitionBy(id_col))
+    with_nf = doc_bucket.select(
+        id_col, "_y", "_b", "_c", nf.cast("long").alias("_nf")
+    )
+    x = with_nf.where(F.col("_b").isNotNull()).select(
         id_col,
-        "_y",
-        F.aggregate(
-            raw, F.lit(0).cast("long"), lambda acc, s: acc + s["_c"]
-        ).alias("_nf"),
-        raw.alias("_raw"),
-    ).select(
+        "_b",
+        F.floor(F.col("_c") * F.lit(1e6) / F.col("_nf") + F.lit(0.5))
+        .cast("long")
+        .alias("_x6"),
+    )
+    y = with_nf.groupBy(id_col, "_y").agg(
+        F.max("_nf").cast("long").alias("_nf")
+    )
+    return x, y
+
+
+def _classifier_margins(x, y, id_col: str, w6: list[int], b6: int):
+    """(id, _y, _nf, _m6): grid-unit margins under literal weights —
+    a codegen'd element_at projection over long-form x, one spillable
+    groupBy(id), one id-keyed join back to y (featureless docs land at
+    the bias). w6 all-zero short-circuits to the bias literal."""
+    if not any(w6):
+        return y.select(
+            id_col, "_y", "_nf", F.lit(int(b6)).cast("long").alias("_m6")
+        )
+    warr = F.lit(w6)
+    per = x.select(
+        F.col(id_col),
+        F.floor(
+            F.col("_x6")
+            * F.element_at(warr, F.col("_b").cast("int") + 1)
+            / F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("_t6"),
+    )
+    sums = per.groupBy(id_col).agg(F.sum("_t6").cast("long").alias("_s6"))
+    return y.join(sums, id_col, "left").select(
         id_col,
         "_y",
         "_nf",
-        F.transform(
-            "_raw",
-            lambda s: F.struct(
-                s["_b"].alias("_b"),
-                F.floor(s["_c"] * F.lit(1e6) / F.col("_nf") + F.lit(0.5))
-                .cast("long")
-                .alias("_x6"),
-            ),
-        ).alias("_fs"),
+        (F.coalesce(F.col("_s6"), F.lit(0)) + F.lit(int(b6))).alias("_m6"),
     )
+
+
+def _sigmoid6(m6: Column) -> Column:
+    return F.floor(
+        F.lit(1e6) / (F.lit(1.0) + F.exp(-m6 / F.lit(1e6))) + F.lit(0.5)
+    ).cast("long")
+
+
+def _classifier_score_frame(x, y, id_col: str, w6: list[int], b6: int):
+    """(id, label, n_feats, score, pred) under GIVEN grid-unit weights —
+    shared by training (final pass) and by artifact-reload scoring."""
+    m = _classifier_margins(x, y, id_col, w6, b6)
+    p6 = _sigmoid6(F.col("_m6"))
+    return m.select(
+        F.col(id_col),
+        F.col("_y").alias("label"),
+        F.col("_nf").alias("n_feats"),
+        (p6 / F.lit(1e6)).alias("score"),
+        (p6 >= F.lit(500000)).cast("int").alias("pred"),
+    )
+
+
+def score_quality_classifier(
+    df,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    w6: list[int],
+    b6: int,
+):
+    """Score a corpus under an ALREADY-TRAINED weight vector (e.g. one
+    reloaded from a :mod:`..operators.model_store` artifact) — the
+    train-once / score-many path a 100 TB pipeline actually runs: one
+    feature pass + a codegen'd projection, no training actions, no
+    persist. ``label`` rides along for evaluation parity with
+    :func:`quality_classifier` output columns."""
+    x, y = _classifier_feature_frame(
+        df, text_col, id_col, label, n_buckets=len(w6)
+    )
+    return _classifier_score_frame(x, y, id_col, w6, b6)
 
 
 def quality_classifier(
@@ -1058,15 +1128,18 @@ def quality_classifier(
     Training is ``iters`` full-batch gradient steps from w=0 (NOT
     per-row SGD: full-batch is order-independent, so the result is
     partition- and cluster-layout-invariant — the determinism the
-    oracle gate needs). Plan shape: ONE feature explode builds a
-    per-doc sparse feature array (≤ ``n_buckets`` entries/doc, so the
-    frame is O(docs) with a hard per-row bound), persisted once; each
-    step is then (a) a row-wise margin/sigmoid/residual projection
-    with the B-long weight vector embedded as a plan LITERAL — no
-    join, no shuffle — and (b) one map-side-combinable explode→groupBy
-    for the B-row gradient, collected (bounded: ``n_buckets`` bigint
-    rows) into the next step's literal. Per step O(corpus) work, no
-    corpus-sized shuffle, broadcast-sized state — the standard
+    oracle gate needs). Plan shape: ONE feature explode builds the
+    LONG-form (id, bucket, x6) frame (persisted once — compact
+    columnar longs; see :func:`_classifier_feature_frame` for why NOT
+    per-doc struct arrays); each step is then (a) a codegen'd
+    element_at projection against the B-long weight vector embedded as
+    a constant-folded plan LITERAL + one spillable groupBy(id) for
+    margins, and (b) one map-side-combinable groupBy(_b) for the
+    B-row gradient, collected (bounded: ``n_buckets`` bigint rows)
+    into the next step's literal — the bias gradient rides the same
+    pass via a sentinel feature row (_b=-1, _x6=1e6) per doc, whose
+    grid term is exactly the residual. Per step O(corpus) work in
+    unsafe-row aggregates only, broadcast-sized state — the
     broadcast-weight-vector shape that holds at 100 TB.
 
     All arithmetic lives on the 1e-6 integer grid: margins pin
@@ -1074,76 +1147,51 @@ def quality_classifier(
     sigmoid output pins to the grid, and weight updates are
     floor-HALF_UP of ``lr·grad/N`` in grid units — every step replays
     bit-identically in the DuckDB oracle (exp on identical gridded
-    doubles, the ln precedent; bigint sums are order-independent so
-    the array form and the oracle's relational form agree exactly).
+    doubles, the ln precedent; bigint sums are order-independent).
 
-    Returns (id, label, n_feats, score, pred): ``score`` = final
-    sigmoid on the 1e-6 grid, ``pred`` = score >= 0.5. Docs with no
-    features (empty text) score at the learned bias. Weights are NOT
-    regularized — ``iters`` is small and features are L1-normalized;
-    callers selecting a corpus should threshold ``score`` (CCNet
-    keeps the head/middle of the score distribution)."""
+    Returns (id, label, n_feats, score, pred); ``model_out`` (a dict,
+    optional) receives the exact trained weights {w6, b6, n_buckets}
+    for artifact persistence (:mod:`..operators.model_store`).
+    ``persist=False`` hands the feature-frame lifecycle to a caller
+    that manages its own checkpoint (per-micro-batch use — the
+    remove_duplicated_spans contract). Weights are NOT regularized —
+    ``iters`` is small and features are L1-normalized; callers
+    selecting a corpus should threshold ``score`` (CCNet keeps the
+    head/middle of the score distribution)."""
     import math
 
-    xa = _classifier_feature_frame(df, text_col, id_col, label, n_buckets)
-    # the persisted per-doc frame backs every training pass AND the
-    # returned scoring plan; ``persist=False`` hands lifecycle to a
-    # caller that manages its own checkpoint (per-micro-batch use,
-    # where an unmanaged cache would accumulate one frame per call —
-    # the remove_duplicated_spans contract)
+    x, y = _classifier_feature_frame(df, text_col, id_col, label, n_buckets)
     if persist:
-        xa = xa.persist()
-    n_docs = xa.count()
-
-    def _resid6(w6: list[int], b6: int) -> Column:
-        """y·1e6 − sigmoid6(margin) under literal weights, row-wise."""
-        warr = F.lit(w6)
-        m6 = (
-            F.aggregate(
-                "_fs",
-                F.lit(0).cast("long"),
-                lambda acc, s: acc
-                + F.floor(
-                    s["_x6"]
-                    * F.element_at(warr, s["_b"].cast("int") + 1)
-                    / F.lit(1e6)
-                    + F.lit(0.5)
-                ).cast("long"),
-            )
-            + F.lit(int(b6))
-        )
-        p6 = F.floor(
-            F.lit(1e6) / (F.lit(1.0) + F.exp(-m6 / F.lit(1e6))) + F.lit(0.5)
-        ).cast("long")
-        return F.col("_y") * F.lit(1000000) - p6
+        x = x.persist()
+        y = y.persist()
+    n_docs = y.count()
+    # sentinel feature rides the gradient pass only: its grid term
+    # floor(r6·1e6/1e6 + 0.5) = r6 exactly, so bucket -1 accumulates
+    # Σ_i r6_i — the bias gradient — in the same job
+    sentinel = y.select(
+        F.col(id_col),
+        F.lit(-1).cast("long").alias("_b"),
+        F.lit(1000000).cast("long").alias("_x6"),
+    )
+    grad_in = x.unionByName(sentinel)
 
     w6 = [0] * n_buckets
     b6 = 0
     for _ in range(iters):
-        scored = xa.select(id_col, "_fs", _resid6(w6, b6).alias("_r6"))
-        # weight AND bias gradients in ONE pass: a sentinel feature
-        # (_b=-1, _x6=1e6) appended per doc makes the bias row exact —
-        # floor(r6·1e6/1e6 + 0.5) = r6 for integer r6, so the -1 bucket
-        # accumulates Σ_i r6_i, the bias gradient. Explode the (bounded)
-        # feature arrays, map-side-combinable groupBy on _b, collect
-        # B+1 bigint rows.
-        sentinel = F.array(
-            F.struct(
-                F.lit(-1).cast("long").alias("_b"),
-                F.lit(1000000).cast("long").alias("_x6"),
-            )
+        m = _classifier_margins(x, y, id_col, w6, b6)
+        r = m.select(
+            F.col(id_col),
+            (F.col("_y") * F.lit(1000000) - _sigmoid6(F.col("_m6"))).alias(
+                "_r6"
+            ),
         )
         agg = (
-            scored.select(
-                F.col("_r6"),
-                F.explode(F.concat("_fs", sentinel)).alias("_s"),
-            )
-            .groupBy(F.col("_s._b").alias("_b"))
+            grad_in.join(r, id_col)
+            .groupBy("_b")
             .agg(
                 F.sum(
                     F.floor(
-                        F.col("_r6") * F.col("_s._x6") / F.lit(1e6)
-                        + F.lit(0.5)
+                        F.col("_r6") * F.col("_x6") / F.lit(1e6) + F.lit(0.5)
                     ).cast("long")
                 ).alias("_g6")
             )
@@ -1160,57 +1208,7 @@ def quality_classifier(
         model_out["w6"] = list(w6)
         model_out["b6"] = int(b6)
         model_out["n_buckets"] = int(n_buckets)
-    return _classifier_score_frame(xa, id_col, w6, b6)
-
-
-def _classifier_score_frame(xa, id_col: str, w6: list[int], b6: int):
-    """(id, label, n_feats, score, pred) under GIVEN grid-unit weights —
-    shared by training (final pass) and by artifact-reload scoring."""
-    warr = F.lit(w6)
-    m6 = (
-        F.aggregate(
-            "_fs",
-            F.lit(0).cast("long"),
-            lambda acc, s: acc
-            + F.floor(
-                s["_x6"]
-                * F.element_at(warr, s["_b"].cast("int") + 1)
-                / F.lit(1e6)
-                + F.lit(0.5)
-            ).cast("long"),
-        )
-        + F.lit(int(b6))
-    )
-    p6 = F.floor(
-        F.lit(1e6) / (F.lit(1.0) + F.exp(-m6 / F.lit(1e6))) + F.lit(0.5)
-    ).cast("long")
-    return xa.select(
-        F.col(id_col),
-        F.col("_y").alias("label"),
-        F.col("_nf").alias("n_feats"),
-        (p6 / F.lit(1e6)).alias("score"),
-        (p6 >= F.lit(500000)).cast("int").alias("pred"),
-    )
-
-
-def score_quality_classifier(
-    df,
-    text_col: str,
-    id_col: str,
-    label: Column,
-    w6: list[int],
-    b6: int,
-):
-    """Score a corpus under an ALREADY-TRAINED weight vector (e.g. one
-    reloaded from a :mod:`..operators.model_store` artifact) — the
-    train-once / score-many path a 100 TB pipeline actually runs: one
-    feature pass + a row-wise projection, no training actions, no
-    persist. ``label`` rides along for evaluation parity with
-    :func:`quality_classifier` output columns."""
-    xa = _classifier_feature_frame(
-        df, text_col, id_col, label, n_buckets=len(w6)
-    )
-    return _classifier_score_frame(xa, id_col, w6, b6)
+    return _classifier_score_frame(x, y, id_col, w6, b6)
 
 
 def perplexity_buckets(
