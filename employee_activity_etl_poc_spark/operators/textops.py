@@ -1113,7 +1113,7 @@ def quality_classifier(
     n_buckets: int = 1024,
     iters: int = 3,
     lr: float = 10.0,
-    persist: bool = True,
+    persist: bool | str = True,
     model_out: dict | None = None,
 ):
     """CCNet/fastText-style supervised linear quality classifier,
@@ -1208,6 +1208,12 @@ def quality_classifier(
         model_out["w6"] = list(w6)
         model_out["b6"] = int(b6)
         model_out["n_buckets"] = int(n_buckets)
+    if persist == "train":
+        # cache carried the fit only: drop it now — the returned scoring
+        # plan recomputes the feature pass once (the artifact-lifecycle
+        # gate's shape: it discards this plan and scores via the store)
+        x.unpersist()
+        y.unpersist()
     return _classifier_score_frame(x, y, id_col, w6, b6)
 
 

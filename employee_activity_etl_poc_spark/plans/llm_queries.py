@@ -3975,13 +3975,13 @@ def _qc_trained_model(spark: SparkSession, sf_dir: str) -> dict:
     if "qc_model" not in m:
         docs = load(spark, sf_dir, "documents")
         model: dict = {}
-        # persist=False: this gate discards the returned scoring plan
-        # (it scores via the ARTIFACT), so a cached feature frame would
-        # just linger — the one-time memoized fit eats the per-epoch
-        # feature recompute instead
+        # persist="train": cache the feature frame for the fit, drop it
+        # before returning — this gate discards the returned scoring
+        # plan (it scores via the ARTIFACT), so a lingering cache would
+        # just leak
         TX.quality_classifier(
             docs, "text", "doc_id", label=F.col("lang") == "en",
-            persist=False, model_out=model,
+            persist="train", model_out=model,
         )
         m["qc_model"] = model
     return m["qc_model"]
