@@ -110,6 +110,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_by_segment",
     "text_repetition",
     # --- 50-query gate boundary ---
+    # semantic_dedup_incremental also changed plan this round (its
+    # multi-GB block table now rides the per-fixture memo so warm
+    # re-runs reuse ONE persisted frame — the 2M-vector decade thrashed
+    # two duplicate cache entries before; output hash-verified
+    # in-session at sf0.001/0.01, r10 driver gate kept).
     # gopher_quality_filter and embedding_mmr_rerank yielded their
     # changed-plan slots to NEW never-gated queries (the r10
     # precedent: never-gated outranks changed-plan). Both changes are
