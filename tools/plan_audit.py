@@ -115,6 +115,9 @@ NESTED_LOOP_OK = {
     "embedding_mmr_rerank": "shortlist stage: corpus × 8 broadcast queries (exact-baseline class); cc sims are an equi-join",
     "bm25_scores": "1-row broadcast avgdl aggregate cross-joined (r10)",
     "lm_quality_nll": "1-row broadcast T/V totals aggregate cross-joined (r10)",
+    "ccnet_perplexity_buckets": "1-row broadcast T/V totals aggregate cross-joined (the unigram-NLL substrate, r11)",
+    "c4_line_dedup": "1-row broadcast copy-offset aggregate cross-joined onto the planted-copy fixture slice (corpus-derived offset, r11)",
+    "c4_line_dedup_incremental": "same 1-row copy-offset aggregate (fixture lineage shared with the batch form, r11)",
     "dsir_importance_weights": "1-row broadcast Tt/Tr totals aggregate cross-joined (r10b)",
     "lm_quality_bigram_nll": "1-row broadcast T/V totals aggregate cross-joined (r10b)",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
