@@ -121,7 +121,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # behavior-preserving on the fixture and re-hash-gated in-session
     # at sf0.001/0.01/0.1: gopher's is the zero-word guard (r10 advice
     # #3; fixture has no empty docs, output identical + an empty-doc
-    # pytest), mmr's is ORACLE-only (recursive-arm termination guard,
+    # pytest) plus the two-stage project-once split (the fused form
+    # re-evaluated the tokenize HOFs per guard branch — bench-flagged
+    # 2.0x, recovered), mmr's is ORACLE-only (recursive-arm termination guard,
     # r10 advice #2, shortlist<k parity pytest). Both keep their r10
     # driver gates and sit first in line for r12.
     "gopher_quality_filter",

@@ -585,8 +585,54 @@ def _occurrences(text: Column, needle: str) -> Column:
     ).cast("long")
 
 
-def gopher_quality_rules(
+def gopher_quality_counts(
     text: Column | str,
+    stopwords: tuple[str, ...] = None,
+) -> dict[str, Column]:
+    """The raw integer counts the Gopher rule set derives from —
+    project these ONCE, then apply :func:`gopher_quality_from_counts`
+    to the projected columns. Splitting the rule set into two selects
+    is not cosmetic: the fused form inlines the tokenize/filter HOFs
+    into every ratio, flag, AND the r11 zero-word guard, and HOF
+    lambdas block Catalyst subexpression elimination (the r8 lang_id
+    lesson) — the guard alone doubled the benched query (0.75 -> 1.5 s
+    at sf0.1) until this split."""
+    if stopwords is None:
+        stopwords = GOPHER_STOPWORDS
+    t = F.col(text) if isinstance(text, str) else text
+    # words: split on space or newline (lines are space-joined internally)
+    ws = F.filter(F.split(t, r"[ \n]"), lambda w: w != "")
+    lines = F.split(t, "\n")
+    return {
+        "n_words": F.size(ws).cast("long"),
+        "n_word_chars": F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+        "n_alpha": F.size(
+            F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))
+        ).cast("long"),
+        "n_sym": _occurrences(t, "#") + _occurrences(t, "..."),
+        "n_lines": F.size(lines).cast("long"),
+        "n_bullet": F.size(
+            F.filter(
+                lines,
+                lambda l: l.startswith(_BULLETS[0])
+                | l.startswith(_BULLETS[1])
+                | l.startswith(_BULLETS[2]),
+            )
+        ).cast("long"),
+        "n_ellipsis": F.size(
+            F.filter(lines, lambda l: l.endswith("..."))
+        ).cast("long"),
+        "n_stop": F.size(
+            F.array_intersect(
+                F.array_distinct(ws), F.array([F.lit(s) for s in stopwords])
+            )
+        ).cast("long"),
+    }
+
+
+def gopher_quality_from_counts(
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_wl: float = 3.0,
@@ -596,61 +642,36 @@ def gopher_quality_rules(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_ratio: float = 0.8,
     min_stop_hits: int = 2,
-    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
 ) -> dict[str, Column]:
-    """The Gopher/MassiveText document-level quality rule set as pure
-    column expressions over (possibly multi-line) text: word-count
-    bounds, mean-word-length bounds, the '#'/'...' symbol-to-word ratio,
-    bullet-start and ellipsis-end line ratios, the fraction of words
-    containing an alphabetic character, and the two-distinct-stopwords
-    rule. Returns metric AND flag columns (flags as ints so the
-    cross-engine value hash is type-stable); ``keep`` is the AND of all
-    seven rules.
+    """Ratios + rule flags over PROJECTED :func:`gopher_quality_counts`
+    columns (each count evaluated once, every derived expression cheap
+    long arithmetic). ``keep`` is the AND of all seven rules.
+
+    Zero-word guard (r10 advice): an empty / whitespace-only document
+    has n_words = 0, and non-ANSI Spark division would NULL every
+    per-word ratio (while an IEEE engine yields nan/inf) — exactly the
+    garbage doc a quality filter must REJECT, loudly and portably. All
+    per-word ratios short-circuit to 0.0 and their rules to fail, so
+    keep = 0 deterministically in both engines. (n_lines needs no
+    guard: split("") is [""], so it is always >= 1.)
 
     All ratios are exact-int / exact-int divisions — bit-identical
     doubles in any IEEE engine, so the threshold comparisons (and the
     floor-HALF_UP 1e-4 grid used for the emitted ratios) replay exactly
-    in the DuckDB oracle. Linear, no shuffles, whole-stage codegen."""
-    t = F.col(text) if isinstance(text, str) else text
-    # words: split on space or newline (lines are space-joined internally)
-    ws = F.filter(F.split(t, r"[ \n]"), lambda w: w != "")
-    n_words = F.size(ws).cast("long")
-    n_word_chars = F.aggregate(
-        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-    )
+    in the DuckDB oracle."""
+    n_words = F.col("n_words")
+    n_word_chars = F.col("n_word_chars")
+    n_alpha = F.col("n_alpha")
+    n_sym = F.col("n_sym")
+    n_lines = F.col("n_lines")
+    n_bullet = F.col("n_bullet")
+    n_ellipsis = F.col("n_ellipsis")
+    n_stop = F.col("n_stop")
     mean_wl = n_word_chars / n_words
-    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
-    n_sym = _occurrences(t, "#") + _occurrences(t, "...")
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines).cast("long")
-    n_bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: l.startswith(_BULLETS[0])
-            | l.startswith(_BULLETS[1])
-            | l.startswith(_BULLETS[2]),
-        )
-    ).cast("long")
-    n_ellipsis = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast(
-        "long"
-    )
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(ws), F.array([F.lit(s) for s in stopwords])
-        )
-    ).cast("long")
+    empty = n_words == 0
 
     def _grid4(x: Column) -> Column:
         return F.floor(x * 10000 + F.lit(0.5)) / 10000
-
-    # Zero-word guard (r10 advice): an empty / whitespace-only document
-    # has n_words = 0, and non-ANSI Spark division would NULL every
-    # per-word ratio (while an IEEE engine yields nan/inf) — exactly the
-    # garbage doc a quality filter must REJECT, loudly and portably. All
-    # per-word ratios short-circuit to 0.0 and their rules to fail, so
-    # keep = 0 deterministically in both engines. (n_lines needs no
-    # guard: split("") is [""], so it is always >= 1.)
-    empty = n_words == 0
 
     def _per_word_flag(flag: Column) -> Column:
         return F.when(empty, F.lit(False)).otherwise(flag)
@@ -686,6 +707,25 @@ def gopher_quality_rules(
     out["keep"] = keep.cast("int")
     return out
 
+
+def gopher_quality_rules(
+    df,
+    text_col: str,
+    id_col: str,
+    stopwords: tuple[str, ...] = None,
+    **thresholds,
+) -> "DataFrame":
+    """The Gopher/MassiveText document-level quality rule set (word
+    count / mean word length / symbol / bullet / ellipsis / alphabetic
+    / stopword rules) as the two-stage project-once pipeline: one
+    select projects the raw counts, a second derives ratios + flags
+    (see :func:`gopher_quality_counts` for why the fused single-select
+    form was retired). Returns (id, n_words, ratios..., ok_*, keep)."""
+    counts = gopher_quality_counts(text_col, stopwords=stopwords)
+    derived = gopher_quality_from_counts(**thresholds)
+    return df.select(
+        F.col(id_col), *[v.alias(k) for k, v in counts.items()]
+    ).select(F.col(id_col), *[v.alias(k) for k, v in derived.items()])
 
 def token_entropy(df, text_col: str, id_col: str):
     """Per-document Shannon entropy (nats) of the document's own unigram

@@ -3287,11 +3287,8 @@ def _with_planted_lines(docs: DataFrame) -> DataFrame:
 )
 def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_planted_lines(load(spark, sf_dir, "documents"))
-    cols = TX.gopher_quality_rules("text", stopwords=_GOPHER_STOPS)
-    return docs.select(
-        "doc_id",
-        *[v.alias(k) for k, v in cols.items()],
-    )
+    return TX.gopher_quality_rules(docs, "text", "doc_id",
+                                   stopwords=_GOPHER_STOPS)
 
 
 @register(

@@ -232,12 +232,9 @@ def test_gopher_rules_hand_computed(spark):
         ],
         "doc_id long, text string",
     )
-    cols = TX.gopher_quality_rules("text")
     out = {
         r["doc_id"]: r
-        for r in docs.select(
-            "doc_id", *[v.alias(k) for k, v in cols.items()]
-        ).collect()
+        for r in TX.gopher_quality_rules(docs, "text", "doc_id").collect()
     }
     d1 = out[1]
     assert d1["n_words"] == 14 and d1["bullet_ratio"] == 1.0
@@ -266,10 +263,7 @@ def test_gopher_rules_empty_doc_rejected_not_null(spark):
         [(1, ""), (2, "   "), (3, "\n\n")],
         "doc_id long, text string",
     )
-    cols = TX.gopher_quality_rules("text")
-    out = docs.select(
-        "doc_id", *[v.alias(k) for k, v in cols.items()]
-    ).collect()
+    out = TX.gopher_quality_rules(docs, "text", "doc_id").collect()
     assert len(out) == 3
     for r in out:
         assert r["n_words"] == 0
