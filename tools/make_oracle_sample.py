@@ -91,6 +91,13 @@ HEAVY_ORACLE_QUERIES = [
     "embedding_mmr_rerank",
     "lm_quality_bigram_nll",
     "vocab_zipf_fit",
+    # r11: the learned quality filter (trains on the sampled corpus
+    # identically in both engines — the oracle unrolls the same three
+    # gradient steps), its weight-artifact gate (same oracle + the
+    # pinned reload flag), and the per-language perplexity terciles
+    "quality_classifier_scores",
+    "quality_classifier_reload_scores",
+    "ccnet_perplexity_buckets",
 ]
 
 
