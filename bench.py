@@ -350,13 +350,25 @@ def main() -> None:
         "cold_runs_per_query": 3,
         "cold_stat": "median",
         "drift_anchor": {
-            "r7_same_commit_rebench_drift": 0.079,
+            "r12_same_commit_rebench_drift": 0.419,
+            "r12_same_commit_median_query_drift": 0.291,
             "note": (
-                "r7 pinned-commit protocol: re-benching the EXACT r6 "
-                "commit on the r7-idle machine measured +7.9% ambient "
-                "drift; per-query deltas inside the min/max spread in "
-                "BENCH_DETAILS.json cold_spread are noise, not plan "
-                "changes (SCALE.md)"
+                "r12 pinned-commit protocol (judge r11 ask #1): the "
+                "EXACT r10-close commit (92b0b13, the "
+                "bench_history/r10.json 85.3s measurement), re-benched "
+                "TWICE on the r12-open idle machine, measured 120.98s "
+                "(+41.9%, per-query median 1.29x, IQR [1.09,1.57]) and "
+                "25 minutes later 104.31s (+22.3%, median 1.23x) on "
+                "identical code and plans — the ambient envelope is "
+                "large AND swings 16% between back-to-back same-commit "
+                "runs (full evidence: ANCHOR_r12.json). The r11 "
+                "close-to-close 1.13x(sf0.1)/1.18x(sf1) band sits "
+                "inside this measured same-commit envelope: machine "
+                "state, not plan drift. Per-query deltas inside the "
+                "IQR (or the cold_spread min/max) are noise; rows "
+                "beyond it get idle median-of-3 pins "
+                "(BENCH_REMEASURED.json). Supersedes the r7 +7.9% "
+                "anchor (SCALE.md)"
             ),
         },
     }
