@@ -103,6 +103,138 @@ def token_budget_mixture(
     )
 
 
+def token_budget_mixture_unimax(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    tokens_col: str,
+    budget: int,
+    epoch_cap: float = 1.0,
+    temperature: float | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """UniMax mixture sampling (Chung et al. 2023, arXiv:2304.09151):
+    allocate a total token ``budget`` across strata (languages) as
+    UNIFORMLY as possible subject to a per-stratum epoch cap — the
+    multilingual-pretraining policy :func:`token_budget_mixture`'s
+    hand-set per-stratum weights don't express. Low-resource languages
+    contribute up to ``epoch_cap`` epochs of their full supply; the
+    budget they can't absorb redistributes uniformly over the rest
+    (exact water-filling, not a renormalization heuristic).
+
+    The allocation is the classic water-fill with a CLOSED FORM over the
+    |strata|-row totals frame: sort strata by capacity ascending — the
+    capped set is then a PREFIX — and stratum ``i`` caps iff
+    ``cap_i * n_remaining_i + prefix_cap_{i-1} <= budget`` (i.e. the
+    uniform level computed with ``i`` still uncapped would already
+    exceed its capacity). One window over |strata| rows (languages — a
+    handful; the single-partition window is deliberate), then the
+    per-stratum fraction joins back broadcast and rows are kept by key
+    hash (:func:`keyed_sample` semantics: partition-invariant,
+    replayable, leak-safe).
+
+    Engine-exact by construction (the hash-gate requirement): token
+    totals, capacities (``floor(epoch_cap*1e6+0.5)`` grid units × total)
+    and the prefix sums stay in EXACT bigints; the only doubles are the
+    final level division and ``alloc/total``, each a single division of
+    identical exact integers in both engines, and the resulting fraction
+    is pinned to the 1e-6 grid before the hash comparison.
+
+    ``temperature`` (optional) generalizes the uniform target to
+    temperature sampling: the uncapped share of the remaining budget is
+    proportional to ``total^(1/temperature)`` instead of equal
+    (UniMax is the temperature→∞ limit). The weighted path runs the
+    same prefix closed-form sorted by ``capacity/weight`` but carries
+    double weights (``pow`` is not bit-pinned across engines — use the
+    default uniform policy where an external replay must hash-match).
+
+    Adds ``sample_fraction`` for auditability. Strata with zero token
+    supply get fraction 0.0 (nothing to sample)."""
+    from pyspark.sql import Window
+
+    grid = F.lit(1_000_000)
+    cap6u = int(float(epoch_cap) * 1e6 + 0.5)  # epoch cap in 1e-6 grid units
+    totals = df.groupBy(strata_col).agg(
+        F.sum(F.col(tokens_col)).cast("long").alias("_tot")
+    )
+    if temperature is None:
+        base = totals.select(
+            strata_col,
+            "_tot",
+            (F.lit(cap6u) * F.col("_tot")).alias("_cap6"),  # exact bigint
+            F.lit(1.0).alias("_w"),
+            # sort key = capacity/weight; weight is 1 → the exact bigint
+            (F.lit(cap6u) * F.col("_tot")).alias("_key"),
+        )
+    else:
+        # temperature path: weight ∝ total^(1/τ); doubles from here on
+        w = F.pow(F.col("_tot").cast("double"), 1.0 / float(temperature))
+        base = totals.select(
+            strata_col,
+            "_tot",
+            (F.lit(cap6u) * F.col("_tot")).alias("_cap6"),
+            w.alias("_w"),
+            (F.lit(cap6u) * F.col("_tot") / w).alias("_key"),
+        )
+    order = [F.col("_key").asc(), F.col(strata_col).asc()]
+    w_pre = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    w_suf = Window.orderBy(*order).rowsBetween(0, Window.unboundedFollowing)
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    # budget in grid-token units, bigint (explicit long: int32 literals
+    # would overflow at real budgets). int64/1e6 bounds the exact path at
+    # ~9.2e12 tokens per stratum (~35 TB of text per language at 4 B/tok);
+    # a corpus past that should carry the cap on a coarser grid.
+    b6 = F.lit(int(budget)).cast("long") * grid.cast("long")
+    lev = (
+        base.withColumn(
+            "_p6_prev",
+            F.coalesce(F.sum("_cap6").over(w_pre), F.lit(0).cast("long")),
+        )
+        .withColumn("_w_suff", F.sum("_w").over(w_suf))
+        .withColumn(
+            "_cond",
+            # uniform-policy _w is exactly 1.0, so _cap6/_w * _w_suff is
+            # cap6 * n_remaining — an exact integer-valued double
+            (
+                F.col("_cap6") / F.col("_w") * F.col("_w_suff")
+                + F.col("_p6_prev")
+                <= b6.cast("double")
+            ).cast("int"),
+        )
+        # water-fill capping is monotone along the sort order; the
+        # running min makes that a structural guarantee against float
+        # edge cases on the temperature path
+        .withColumn("_capped", F.min("_cond").over(w_run))
+    )
+    scalars = lev.agg(
+        F.sum(
+            F.when(F.col("_capped") == 1, F.col("_cap6")).otherwise(F.lit(0))
+        ).cast("long").alias("_p6_k"),
+        F.sum(
+            F.when(F.col("_capped") == 0, F.col("_w")).otherwise(F.lit(0.0))
+        ).alias("_w_un"),
+    )
+    level = F.when(
+        F.col("_w_un") > 0,
+        (b6.cast("double") - F.col("_p6_k")) / F.col("_w_un"),
+    ).otherwise(F.lit(0.0))
+    alloc6 = F.when(F.col("_capped") == 1, F.col("_cap6").cast("double")) \
+        .otherwise(level * F.col("_w"))
+    frac_raw = F.when(
+        F.col("_tot") > 0,
+        F.least(F.lit(1.0), alloc6 / (F.col("_tot") * grid).cast("double")),
+    ).otherwise(F.lit(0.0))
+    fracs = lev.crossJoin(F.broadcast(scalars)).select(
+        strata_col,
+        (F.floor(frac_raw * grid + F.lit(0.5)) / grid).alias(
+            "sample_fraction"
+        ),
+    )
+    return df.join(F.broadcast(fracs), strata_col).where(
+        uniform(salt, F.col(key_col)) < F.col("sample_fraction")
+    )
+
+
 def weighted_sample_per_stratum(
     df: DataFrame,
     key_col: str,

@@ -566,6 +566,130 @@ def test_token_budget_mixture_hits_targets(spark, sf_dir):
         assert target * 0.5 <= got[lang][0] <= target * 1.7, (lang, got[lang], target)
 
 
+def _unimax_reference(supplies, budget, epoch_cap=1.0, temperature=None):
+    """Closed-form water-fill replay in plain Python (the pytest oracle
+    for token_budget_mixture_unimax's allocation): sort strata by
+    capacity/weight ascending, cap the prefix whose capacity the uniform
+    level exceeds, spread the rest. Returns {stratum: fraction} on the
+    1e-6 grid, mirroring the operator's integer-grid arithmetic."""
+    import math
+
+    cap6u = int(epoch_cap * 1e6 + 0.5)
+    rows = []
+    for s, tot in supplies.items():
+        w = 1.0 if temperature is None else tot ** (1.0 / temperature)
+        cap6 = cap6u * tot
+        rows.append((cap6 / w, s, tot, cap6, w))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    b6 = budget * 1_000_000
+    p6_prev, w_suff = 0, sum(r[4] for r in rows)
+    capped, p6_k, w_un = {}, 0, 0.0
+    still = True
+    for _key, s, tot, cap6, w in rows:
+        still = still and (cap6 / w * w_suff + p6_prev <= b6)
+        capped[s] = still
+        if still:
+            p6_k += cap6
+        else:
+            w_un += w
+        p6_prev += cap6
+        w_suff -= w
+    level = (b6 - p6_k) / w_un if w_un > 0 else 0.0
+    out = {}
+    for _key, s, tot, cap6, w in rows:
+        alloc6 = cap6 if capped[s] else level * w
+        frac = min(1.0, alloc6 / (tot * 1e6)) if tot > 0 else 0.0
+        out[s] = math.floor(frac * 1e6 + 0.5) / 1e6
+    return out
+
+
+def test_token_budget_mixture_unimax_closed_form(spark):
+    """The operator's fractions equal the hand-computed water-fill on a
+    frame with known supplies: the smallest language caps at a full
+    epoch (everything kept), its unabsorbed budget redistributes
+    UNIFORMLY over the rest — the property per-stratum weights can't
+    express — and total sampled tokens ≈ budget."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        token_budget_mixture_unimax,
+    )
+
+    # supplies: rare=600, mid=6000, big=30000 tokens (id-derived, exact)
+    docs = spark.range(610).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 10, "rare")
+        .when(F.col("id") < 110, "mid")
+        .otherwise("big")
+        .alias("lang"),
+        F.when(F.col("id") < 10, 60)
+        .when(F.col("id") < 110, 60)
+        .otherwise(60)
+        .alias("n_tok"),
+    )
+    supplies = {"rare": 600, "mid": 6000, "big": 30000}
+    budget = 12000
+    ref = _unimax_reference(supplies, budget)
+    out = token_budget_mixture_unimax(
+        docs, "doc_id", "lang", "n_tok", budget=budget
+    )
+    got = {
+        r["lang"]: r["f"]
+        for r in out.groupBy("lang")
+        .agg(F.min("sample_fraction").alias("f"))
+        .collect()
+    }
+    assert got == ref
+    # rare caps at one epoch; mid and big get the SAME uniform level
+    # (12000-600)/2 = 5700 tokens each -> fractions 0.95 and 0.19
+    assert ref["rare"] == 1.0
+    assert ref["mid"] == 0.95 and ref["big"] == 0.19
+    # fraction column rides every kept row identically
+    assert out.select("lang", "sample_fraction").distinct().count() == 3
+
+
+def test_token_budget_mixture_unimax_epoch_cap_and_temperature(spark):
+    """epoch_cap < 1 bounds every stratum's fraction; the temperature
+    path matches the same Python water-fill with weights tot^(1/tau)."""
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        token_budget_mixture_unimax,
+    )
+
+    docs = spark.range(130).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 30, "lo").otherwise("hi").alias("lang"),
+        F.lit(50).alias("n_tok"),
+    )
+    supplies = {"lo": 1500, "hi": 5000}
+    capped = token_budget_mixture_unimax(
+        docs, "doc_id", "lang", "n_tok", budget=100000, epoch_cap=0.4
+    )
+    fr = {
+        r["lang"]: r["f"]
+        for r in capped.groupBy("lang")
+        .agg(F.min("sample_fraction").alias("f"))
+        .collect()
+    }
+    assert fr == _unimax_reference(supplies, 100000, epoch_cap=0.4)
+    assert all(abs(v - 0.4) < 1e-9 for v in fr.values())  # cap binds both
+
+    temp = token_budget_mixture_unimax(
+        docs, "doc_id", "lang", "n_tok", budget=3000, temperature=2.0
+    )
+    fr_t = {
+        r["lang"]: r["f"]
+        for r in temp.groupBy("lang")
+        .agg(F.min("sample_fraction").alias("f"))
+        .collect()
+    }
+    ref_t = _unimax_reference(supplies, 3000, temperature=2.0)
+    assert set(fr_t) == set(ref_t)
+    for s in ref_t:
+        assert abs(fr_t[s] - ref_t[s]) <= 1e-6, (s, fr_t[s], ref_t[s])
+
+
 def test_keyed_sample_repartition_invariant(spark, sf_dir):
     from employee_activity_etl_poc_spark.operators.sampling import keyed_sample
     from employee_activity_etl_poc_spark.sources.readers import load_table

@@ -98,6 +98,10 @@ HEAVY_ORACLE_QUERIES = [
     "quality_classifier_scores",
     "quality_classifier_reload_scores",
     "ccnet_perplexity_buckets",
+    # r12: UniMax mixture sampling — the water-fill allocation and the
+    # keyed-hash sample replay identically on the sampled corpus (the
+    # capped set just resolves against the sample's own supplies)
+    "token_budget_mixture_unimax",
 ]
 
 

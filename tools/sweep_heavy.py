@@ -149,6 +149,7 @@ DOCS_LIGHT_QUERIES = [
     "vocab_zipf_fit",
     "benchmark_decontamination",
     "token_budget_mixture",
+    "token_budget_mixture_unimax",
     "documents_domain_cap",
     "documents_sequence_packing",
     "documents_shard_stats",
