@@ -24,15 +24,42 @@ from pyspark.sql import SparkSession
 
 from ..localrel import local_df
 
-__all__ = ["save_classifier", "load_classifier"]
+__all__ = [
+    "save_classifier",
+    "load_classifier",
+    "load_classifier_artifact",
+    "N_PROFILE_BUCKETS",
+]
+
+# score-distribution profile resolution: fixed deciles of [0, 1] —
+# coarse enough that the profile is 10 bigint rows, fine enough that a
+# drifted corpus moves visible mass between buckets
+N_PROFILE_BUCKETS = 10
 
 
 def save_classifier(
-    spark: SparkSession, path: str, w6: list[int], b6: int
+    spark: SparkSession,
+    path: str,
+    w6: list[int],
+    b6: int,
+    score_profile: list[int] | None = None,
 ) -> None:
     """Write the grid-unit weight vector + bias as a parquet artifact
-    (one slice — driver-sized by construction: B+2 bigint rows)."""
+    (one slice — driver-sized by construction: B+2 bigint rows).
+
+    ``score_profile`` (optional): the TRAINING-TIME score distribution
+    as ``N_PROFILE_BUCKETS`` decile counts — the reference histogram
+    :func:`..plans.model_lifecycle.refresh_classifier_if_drifted`
+    monitors PSI against. Stored as rows ``b = -3 - i`` (below the two
+    sentinel rows, so pre-profile readers ignore them)."""
     rows = [(-2, len(w6)), (-1, int(b6))]
+    if score_profile is not None:
+        if len(score_profile) != N_PROFILE_BUCKETS:
+            raise ValueError(
+                f"score_profile must have {N_PROFILE_BUCKETS} decile "
+                f"counts, got {len(score_profile)}"
+            )
+        rows += [(-3 - i, int(c)) for i, c in enumerate(score_profile)]
     rows += [(i, int(v)) for i, v in enumerate(w6)]
     local_df(spark, rows, "b long, w6 long").write.mode("overwrite").parquet(
         path
@@ -43,6 +70,15 @@ def load_classifier(spark: SparkSession, path: str) -> tuple[list[int], int]:
     """(w6, b6) exactly as saved. Raises on a truncated/foreign artifact
     (missing sentinel rows or a weight count that disagrees with the
     recorded feature-space size)."""
+    art = load_classifier_artifact(spark, path)
+    return art["w6"], art["b6"]
+
+
+def load_classifier_artifact(spark: SparkSession, path: str) -> dict:
+    """Full artifact: ``{w6, b6, score_profile}`` — ``score_profile`` is
+    the stored decile histogram, or ``None`` on a pre-profile artifact.
+    Same truncation/foreign-artifact rejection as :func:`load_classifier`
+    (which delegates here), plus a partial-profile check."""
     rows = {r["b"]: r["w6"] for r in spark.read.parquet(path).collect()}
     if -2 not in rows or -1 not in rows:
         raise ValueError(
@@ -57,4 +93,16 @@ def load_classifier(spark: SparkSession, path: str) -> tuple[list[int], int]:
             f"classifier artifact at {path} records {n} buckets but "
             f"holds {n_present} weight rows — truncated or mixed artifact"
         )
-    return w6, int(rows[-1])
+    profile = None
+    if -3 in rows:
+        missing = [
+            i for i in range(N_PROFILE_BUCKETS) if (-3 - i) not in rows
+        ]
+        if missing:
+            raise ValueError(
+                f"classifier artifact at {path} holds a partial score "
+                f"profile (missing deciles {missing}) — truncated or "
+                "mixed artifact"
+            )
+        profile = [int(rows[-3 - i]) for i in range(N_PROFILE_BUCKETS)]
+    return {"w6": w6, "b6": int(rows[-1]), "score_profile": profile}

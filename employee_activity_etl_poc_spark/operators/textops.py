@@ -1192,9 +1192,16 @@ def quality_classifier(
     Returns (id, label, n_feats, score, pred); ``model_out`` (a dict,
     optional) receives the exact trained weights {w6, b6, n_buckets}
     for artifact persistence (:mod:`..operators.model_store`).
-    ``persist=False`` hands the feature-frame lifecycle to a caller
-    that manages its own checkpoint (per-micro-batch use — the
-    remove_duplicated_spans contract). Weights are NOT regularized —
+    ``persist=True`` (default) caches the feature frames for the FIT
+    ONLY and unpersists them before returning — the returned scoring
+    plan recomputes the feature pass once, and nothing cache-resident
+    outlives the call (r11 advice #3: the old contract left two
+    session-lifetime MEMORY_AND_DISK entries per fixture — large at
+    sf1+ — relying on LRU eviction). ``persist="train"`` is the same
+    contract (kept for callers). ``persist=False`` skips caching
+    entirely — each training iteration recomputes features (a caller
+    managing its own checkpoint, the remove_duplicated_spans
+    contract). Weights are NOT regularized —
     ``iters`` is small and features are L1-normalized; callers
     selecting a corpus should threshold ``score`` (CCNet keeps the
     head/middle of the score distribution)."""
@@ -1248,10 +1255,11 @@ def quality_classifier(
         model_out["w6"] = list(w6)
         model_out["b6"] = int(b6)
         model_out["n_buckets"] = int(n_buckets)
-    if persist == "train":
+    if persist:
         # cache carried the fit only: drop it now — the returned scoring
-        # plan recomputes the feature pass once (the artifact-lifecycle
-        # gate's shape: it discards this plan and scores via the store)
+        # plan recomputes the feature pass once. Keeping the cache for
+        # the returned plan would trade one feature pass for a
+        # session-lifetime cache entry per call (r11 advice #3).
         x.unpersist()
         y.unpersist()
     return _classifier_score_frame(x, y, id_col, w6, b6)

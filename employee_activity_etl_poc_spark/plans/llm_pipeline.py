@@ -74,6 +74,10 @@ class IngestBatchResult:
     preflight_est_docs: int | None = None
     n_lines_removed: int = 0
     n_line_dedup_dropped: int = 0
+    # learned-filter stage (quality_model_path): docs that survived the
+    # heuristic gate AND scored >= model_min_score under the persisted
+    # classifier artifact; None when the stage is off
+    n_after_model: int | None = None
 
 
 class TemplateFloodError(RuntimeError):
@@ -127,6 +131,8 @@ def ingest_document_batch(
     preflight_sample_mod: int = 4,
     line_dedup: bool = False,
     line_sep: str = "\n",
+    quality_model_path: str | None = None,
+    model_min_score: float = 0.5,
 ) -> IngestBatchResult:
     """Run one arrival batch (columns: doc_id, text) through the pipeline.
 
@@ -152,6 +158,18 @@ def ingest_document_batch(
     ``preflight_est_pairs`` / ``preflight_est_docs`` for alerting — the
     exact two quantities the guard's ratio compares, so a monitor can
     re-derive the decision.
+
+    ``quality_model_path`` (optional) adds the LEARNED quality filter
+    after the heuristic gate (stage 4b — the line-dedup/span-dedup
+    opt-in pattern applied to the classifier the engine trains): each
+    batch's heuristic survivors are scored from the persisted
+    :mod:`..operators.model_store` artifact (train-once / score-many —
+    the weights load once per call, B+2 bigint rows, and ride the plan
+    as literals; one feature pass over the batch, no training jobs) and
+    docs below ``model_min_score`` drop. The kept count is surfaced as
+    ``n_after_model``. Pair with
+    :func:`..plans.model_lifecycle.refresh_classifier_if_drifted` to
+    keep the artifact fresh as the corpus drifts.
 
     ``ann_index=True`` (requires ``vec_col`` on the batch) runs the
     index-lifecycle epoch hook: exported docs' embeddings append to
@@ -331,6 +349,26 @@ def ingest_document_batch(
     )
     n_after_quality = gated.count()
 
+    # Optional learned quality filter (stage 4b): score the heuristic
+    # survivors under the persisted classifier artifact and keep
+    # score >= model_min_score. Runs BEFORE export so every store
+    # (grams) and the shards reflect exactly the retained corpus.
+    n_after_model = None
+    if quality_model_path is not None:
+        from ..operators.model_store import load_classifier
+        from ..operators.textops import score_quality_classifier
+
+        w6, b6 = load_classifier(spark, quality_model_path)
+        keep_ids = (
+            score_quality_classifier(
+                gated, "text", "doc_id", label=F.lit(0), w6=w6, b6=b6
+            )
+            .where(F.col("score") >= F.lit(float(model_min_score)))
+            .select("doc_id")
+        )
+        gated = gated.join(keep_ids, "doc_id", "left_semi")
+        n_after_model = gated.count()
+
     chunks = chunk_tokens(gated, "text", "doc_id").join(
         gated.select("doc_id", "quality", "lang"), "doc_id"
     )
@@ -405,7 +443,7 @@ def ingest_document_batch(
         n_arrived, n_after_exact, n_losers, n_after_quality,
         n_span_tokens_removed, ann_action, ann_imbalance,
         preflight_est_pairs, preflight_est_docs,
-        n_lines_removed, n_line_dropped,
+        n_lines_removed, n_line_dropped, n_after_model,
     )
 
 
@@ -414,6 +452,7 @@ def prune_signature_store(
     workdir: str,
     keep,
     target_rows_per_file: int = 1_000_000,
+    completed_below: int | None = None,
 ) -> int:
     """Retention + compaction for the incremental-dedup signature store:
     keep only rows matching ``keep`` (a Column predicate over (doc, hs,
@@ -442,13 +481,19 @@ def prune_signature_store(
     Retention is a POLICY decision: docs pruned from the store can no
     longer be collision partners, so later copies of them will NOT be
     deduped — prune only past the horizon where re-ingest is impossible
-    (or where re-admitting ancient content is acceptable). Returns the
-    retained row count."""
+    (or where re-admitting ancient content is acceptable).
+
+    On a streaming (batch-keyed) store, pass ``completed_below`` = the
+    lowest batch id that could still be REPLAYED (see
+    :func:`_prune_store`'s replay-hazard note): batches at or above it
+    keep their per-batch partitions so ingest's ``batch != batch_id``
+    replay exclusion keeps working. Returns the retained row count."""
     return _prune_store(
         spark,
         os.path.join(workdir, "sigstore"),
         lambda df: df.where(keep).select("doc", "hs", "sig"),
         target_rows_per_file,
+        completed_below=completed_below,
     )
 
 
@@ -457,6 +502,7 @@ def _prune_store(
     store_path: str,
     transform,
     target_rows_per_file: int,
+    completed_below: int | None = None,
 ) -> int:
     """Shared write-then-swap retention/compaction for the three
     persistent ingest stores (signatures, line fingerprints, gram
@@ -467,25 +513,67 @@ def _prune_store(
     recover via :func:`_recover_store`). Batch-partitioned stores
     compact into a single ``batch=-1`` partition so the layout stays
     partition-discoverable and later per-batch writes/replay pruning
-    keep working. Returns the retained row count."""
+    keep working.
+
+    REPLAY HAZARD (r11 advice #1) and the ``completed_below`` guard:
+    ingest excludes a replayed batch's own stale store rows via
+    ``batch != batch_id``, but once a crashed batch's rows are merged
+    into ``batch=-1`` they can no longer be excluded — a replay of
+    that batch would double-count its grams and self-collide its own
+    lines. ``completed_below`` (a high-water batch id: every batch
+    BELOW it is known checkpoint-committed, i.e. can never be
+    replayed) makes compaction replay-safe — only ``batch <
+    completed_below`` partitions merge into ``batch=-1``; newer
+    per-batch partitions are preserved byte-identical, so their
+    replay exclusion keeps working. ``completed_below=None`` compacts
+    EVERYTHING (the pre-r12 behavior): only safe once the stream is
+    stopped/drained — never while any batch may still be replayed.
+    Returns the retained row count (compacted + preserved)."""
     import math
     import shutil
 
     _recover_store(store_path)
-    batch_layout = any(
-        f.startswith("batch=") for f in os.listdir(store_path)
-    )
-    kept = transform(spark.read.parquet(store_path))
+    batch_parts = [
+        f for f in os.listdir(store_path) if f.startswith("batch=")
+    ]
+    batch_layout = bool(batch_parts)
+    if completed_below is not None and not batch_layout:
+        raise ValueError(
+            f"completed_below={completed_below} given, but the store at "
+            f"{store_path} has no batch= layout (the batch-API append "
+            "mode has no replay to guard; call without completed_below)"
+        )
+    src = spark.read.parquet(store_path)
+    preserved: list[str] = []
+    n_preserved = 0
+    if batch_layout and completed_below is not None:
+        preserved = [
+            f for f in batch_parts
+            if int(f.split("=", 1)[1]) >= completed_below
+        ]
+        n_preserved = (
+            src.where(F.col("batch") >= completed_below).count()
+            if preserved else 0
+        )
+        src = src.where(F.col("batch") < completed_below)
+    kept = transform(src)
     n = kept.count()
     n_files = max(1, math.ceil(n / target_rows_per_file))
     staging = store_path + "__pruning"
     out_dir = os.path.join(staging, "batch=-1") if batch_layout else staging
     kept.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    for part in preserved:
+        # replayable batches move over byte-identical — their rows were
+        # neither transformed nor re-encoded, so replay exclusion and
+        # every anti-join against them behave exactly as before the swap
+        shutil.copytree(
+            os.path.join(store_path, part), os.path.join(staging, part)
+        )
     backup = store_path + "__pre_prune"
     shutil.move(store_path, backup)
     shutil.move(staging, store_path)
     shutil.rmtree(backup)
-    return n
+    return n + n_preserved
 
 
 def prune_line_store(
@@ -493,6 +581,7 @@ def prune_line_store(
     workdir: str,
     keep=None,
     target_rows_per_file: int = 50_000_000,
+    completed_below: int | None = None,
 ) -> int:
     """Retention + compaction for the incremental C4 line-fingerprint
     store — at 100 TB the distinct-line table is the LARGEST store in
@@ -512,7 +601,11 @@ def prune_line_store(
     re-admitted (kept once more) rather than cut. After a compaction the
     surviving rows live in ``batch=-1`` and can no longer be
     age-pruned individually — compact at a coarser cadence than you
-    prune. Returns the retained fingerprint count."""
+    prune — NOR replay-excluded: on a live stream pass
+    ``completed_below`` (lowest possibly-replayable batch id) so
+    replayable batches keep their partitions (:func:`_prune_store`'s
+    replay-hazard note — a compacted replayed batch would self-collide
+    its own lines). Returns the retained fingerprint count."""
 
     def _transform(df: DataFrame) -> DataFrame:
         if keep is not None:
@@ -524,6 +617,7 @@ def prune_line_store(
         os.path.join(workdir, "linestore"),
         _transform,
         target_rows_per_file,
+        completed_below=completed_below,
     )
 
 
@@ -533,6 +627,7 @@ def prune_gram_store(
     keep=None,
     min_count: int | None = None,
     target_rows_per_file: int = 50_000_000,
+    completed_below: int | None = None,
 ) -> int:
     """Retention + compaction for the duplicated-span gram-count store
     (the :func:`..operators.dedup.remove_duplicated_spans_incremental`
@@ -549,7 +644,11 @@ def prune_gram_store(
     occurrence counts from 1 again, so a span that WOULD have crossed
     the duplication threshold is re-admitted once more (the
     :func:`prune_signature_store` re-admission contract, applied to
-    spans). Returns the retained gram count."""
+    spans). On a live stream pass ``completed_below`` (lowest
+    possibly-replayable batch id): merging a still-replayable batch's
+    counts into ``batch=-1`` would double-count its grams on replay
+    (:func:`_prune_store`'s replay-hazard note). Returns the retained
+    gram count."""
 
     def _transform(df: DataFrame) -> DataFrame:
         merged = df.groupBy("g").agg(F.sum("n").cast("long").alias("n"))
@@ -564,6 +663,7 @@ def prune_gram_store(
         os.path.join(workdir, "gramstore"),
         _transform,
         target_rows_per_file,
+        completed_below=completed_below,
     )
 
 

@@ -612,3 +612,152 @@ def test_prune_gram_store_merges_counts_and_min_count_trade(spark, tmp_path):
     ingest_document_batch(spark, b1, wd2, batch_id=0, **kw)
     r2c = ingest_document_batch(spark, b2, wd2, batch_id=1, **kw)
     assert r2c.n_span_tokens_removed > 0
+
+
+def test_quality_model_stage_gates_batches_from_artifact(spark, tmp_path):
+    """Opt-in learned quality filter (stage 4b): a batch is scored from
+    the persisted model_store artifact — exported docs are exactly the
+    heuristic survivors scoring >= model_min_score — the stage is off by
+    default, and a batch_id replay is idempotent."""
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        save_classifier,
+    )
+    from employee_activity_etl_poc_spark.operators.textops import (
+        quality_classifier,
+        score_quality_classifier,
+    )
+
+    good = "crisp well formed prose with varied useful vocabulary"
+    spam = "buy buy buy click click spam spam spam spam win"
+    is_good = (F.col("id") % 2 == 0).cast("int")
+    corpus = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        is_good.alias("label"),
+        F.when(is_good == 1, F.concat(F.lit(good + " doc "), F.col("id")))
+        .otherwise(F.concat(F.lit(spam + " doc "), F.col("id")))
+        .alias("text"),
+    )
+    model: dict = {}
+    quality_classifier(
+        corpus, "text", "doc_id", label=F.col("label") == 1,
+        n_buckets=64, iters=2, persist="train", model_out=model,
+    )
+    art = str(tmp_path / "qc_model")
+    save_classifier(spark, art, model["w6"], model["b6"])
+
+    batch = corpus.select("doc_id", "text")
+    # control run: stage off -> n_after_model is None
+    wd_ctl = str(tmp_path / "ingest_ctl")
+    # the synthetic texts lang-id as "unknown" — keep that class so the
+    # heuristic gate passes everything and the MODEL stage is what
+    # differentiates
+    kw = dict(min_quality=0.0, keep_langs=("unknown",), batch_id=0)
+    r_ctl = ingest_document_batch(spark, batch, wd_ctl, **kw)
+    assert r_ctl.n_after_model is None
+    ctl_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(wd_ctl, "shards"))
+        .select("doc_id").distinct().collect()
+    }
+
+    wd = str(tmp_path / "ingest_model")
+    r1 = ingest_document_batch(
+        spark, batch, wd, quality_model_path=art, model_min_score=0.5, **kw
+    )
+    assert r1.n_after_model is not None
+    assert r1.n_after_model < r1.n_after_quality  # spam class dropped
+    exported = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(wd, "shards"))
+        .select("doc_id").distinct().collect()
+    }
+    # exported == heuristic survivors (the control's export) that score
+    # >= threshold under the SAME weights the artifact round-trips
+    hi = {
+        r["doc_id"]
+        for r in score_quality_classifier(
+            corpus, "text", "doc_id", label=F.col("label") == 1,
+            w6=model["w6"], b6=model["b6"],
+        ).where(F.col("score") >= 0.5).select("doc_id").collect()
+    }
+    assert exported == (ctl_docs & hi)
+    assert len(exported) == r1.n_after_model
+
+    # at-least-once replay of the same batch_id: identical result and
+    # identical persisted corpus
+    n_rows = spark.read.parquet(os.path.join(wd, "shards")).count()
+    replay = ingest_document_batch(
+        spark, batch, wd, quality_model_path=art, model_min_score=0.5, **kw
+    )
+    assert replay == r1
+    assert spark.read.parquet(os.path.join(wd, "shards")).count() == n_rows
+
+
+def test_prune_store_completed_below_is_replay_safe(spark, tmp_path):
+    """r11 advice #1: compacting a still-replayable batch's gram rows
+    into batch=-1 breaks the replay exclusion (the batch self-collides
+    and double-counts). With completed_below the replayable partition is
+    preserved byte-identical and a replay reproduces the original
+    result; the unguarded compaction demonstrably does not."""
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        prune_gram_store,
+        prune_signature_store,
+    )
+
+    passage = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    filler1 = "the quick brown fox jumps over the lazy dog near the bridge"
+    filler2 = "evening rain settles gently across the quiet valley rooftops"
+    b1 = spark.createDataFrame(
+        [(1, f"{filler1} {passage}")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, f"{filler2} {passage} extra tokens beyond")],
+        "doc_id long, text string",
+    )
+    kw = dict(min_quality=0.0, span_dedup=True)
+
+    def _run(wd):
+        ingest_document_batch(spark, b1, wd, batch_id=0, **kw)
+        return ingest_document_batch(spark, b2, wd, batch_id=1, **kw)
+
+    # guarded: batch 1 may still replay -> only batch 0 compacts
+    wd = str(tmp_path / "guarded")
+    first = _run(wd)
+    assert first.n_span_tokens_removed > 0  # the quoted passage was cut
+    total_before = (
+        spark.read.parquet(os.path.join(wd, "gramstore"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    kept = prune_gram_store(spark, wd, completed_below=1)
+    parts = sorted(os.listdir(os.path.join(wd, "gramstore")))
+    assert "batch=-1" in parts and "batch=1" in parts
+    assert "batch=0" not in parts
+    total_after = (
+        spark.read.parquet(os.path.join(wd, "gramstore"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert total_after == total_before  # counts preserved exactly
+    assert kept == spark.read.parquet(os.path.join(wd, "gramstore")).count()
+    replay = ingest_document_batch(spark, b2, wd, batch_id=1, **kw)
+    assert replay.n_span_tokens_removed == first.n_span_tokens_removed
+
+    # unguarded compaction of a replayable batch: the documented hazard
+    wd2 = str(tmp_path / "hazard")
+    first2 = _run(wd2)
+    prune_gram_store(spark, wd2)  # merges batch 1 into batch=-1
+    replay2 = ingest_document_batch(spark, b2, wd2, batch_id=1, **kw)
+    assert replay2.n_span_tokens_removed > first2.n_span_tokens_removed
+
+    # guard misuse: batch-API (append-mode) stores have no replay to
+    # protect — completed_below is rejected loudly
+    wd3 = str(tmp_path / "batch_api")
+    ingest_document_batch(spark, b1, wd3, min_quality=0.0)
+    import pytest
+
+    with pytest.raises(ValueError, match="no batch= layout"):
+        prune_signature_store(
+            spark, wd3, keep=F.lit(True), completed_below=1
+        )

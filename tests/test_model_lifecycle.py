@@ -1,0 +1,130 @@
+"""Classifier drift lifecycle: built → kept → refreshed across a
+drifting corpus (plans/model_lifecycle), the stored score profile, and
+the PSI monitor itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from employee_activity_etl_poc_spark.operators.model_store import (
+    N_PROFILE_BUCKETS,
+    load_classifier_artifact,
+    save_classifier,
+)
+from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+    psi,
+    refresh_classifier_if_drifted,
+    score_profile,
+)
+
+
+def _labeled_corpus(spark, good_per_10: int = 5):
+    """200 docs over two token distributions; ``good_per_10`` of every
+    10 docs are the 'good' distribution (label 1), the rest spam (label
+    0). Shrinking ``good_per_10`` models corpus drift: same vocabulary,
+    shifted class mixture — a model pinned on the 50/50 corpus scores
+    the drifted one with visibly more low-bucket mass."""
+    good = "crisp well formed prose with varied useful vocabulary"
+    spam = "buy buy buy click click spam spam spam spam win"
+    is_good = (F.col("id") % 10 < good_per_10).cast("int")
+    return spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        is_good.alias("label"),
+        F.when(is_good == 1, F.concat(F.lit(good + " doc "), F.col("id")))
+        .otherwise(F.concat(F.lit(spam + " doc "), F.col("id")))
+        .alias("text"),
+    )
+
+
+def test_psi_properties():
+    assert psi([10, 20, 30], [10, 20, 30]) == 0.0
+    # mass moved across buckets -> strictly positive, more move = bigger
+    small = psi([12, 18, 30], [10, 20, 30])
+    big = psi([30, 20, 10], [10, 20, 30])
+    assert 0 < small < big
+    with pytest.raises(ValueError):
+        psi([1, 2], [1, 2, 3])
+
+
+def test_score_profile_shape(spark):
+    scored = spark.range(100).select(
+        (F.col("id") / 100.0).alias("score")
+    )
+    prof = score_profile(scored)
+    assert len(prof) == N_PROFILE_BUCKETS
+    assert prof == [10] * N_PROFILE_BUCKETS
+    # score exactly 1.0 folds into the top bucket, no 11th bucket
+    edge = score_profile(spark.range(3).select(F.lit(1.0).alias("score")))
+    assert edge[-1] == 3 and sum(edge) == 3
+
+
+def test_refresh_classifier_lifecycle_built_kept_refreshed(spark, tmp_path):
+    path = str(tmp_path / "qc_model")
+    corpus = _labeled_corpus(spark)
+    kw = dict(n_buckets=64, iters=2, psi_bound=0.2)
+
+    r1 = refresh_classifier_if_drifted(
+        spark, corpus, "text", "doc_id", F.col("label") == 1, path, **kw
+    )
+    assert r1["action"] == "built" and r1["n"] == 200
+    art = load_classifier_artifact(spark, path)
+    assert art["score_profile"] is not None
+    assert sum(art["score_profile"]) == 200
+
+    # same corpus snapshot -> kept, PSI exactly 0 (grid-exact scores)
+    r2 = refresh_classifier_if_drifted(
+        spark, corpus, "text", "doc_id", F.col("label") == 1, path, **kw
+    )
+    assert r2["action"] == "kept" and r2["psi"] == 0.0
+    art_kept = load_classifier_artifact(spark, path)
+    assert art_kept["w6"] == art["w6"] and art_kept["b6"] == art["b6"]
+
+    # drifted corpus: the class mixture collapses 50/50 -> 10/90, so the
+    # pinned model's score histogram shifts most of its mass to the low
+    # buckets -> breach
+    drifted = _labeled_corpus(spark, good_per_10=1)
+    r3 = refresh_classifier_if_drifted(
+        spark, drifted, "text", "doc_id", F.col("label") == 1, path, **kw
+    )
+    assert r3["action"] == "refreshed" and r3["psi"] > 0.2
+    art_new = load_classifier_artifact(spark, path)
+    assert art_new["w6"] != art["w6"]  # genuinely retrained
+    assert sum(art_new["score_profile"]) == 200
+
+    # and the refreshed artifact is stable on ITS corpus
+    r4 = refresh_classifier_if_drifted(
+        spark, drifted, "text", "doc_id", F.col("label") == 1, path, **kw
+    )
+    assert r4["action"] == "kept" and r4["psi"] == 0.0
+
+
+def test_refresh_rebuilds_pre_profile_artifact(spark, tmp_path):
+    """An artifact saved without a score profile can't be monitored —
+    one rebuild upgrades it, then the normal kept path takes over."""
+    path = str(tmp_path / "old_model")
+    corpus = _labeled_corpus(spark)
+    save_classifier(spark, path, w6=[0] * 64, b6=0)  # pre-profile artifact
+    r = refresh_classifier_if_drifted(
+        spark, corpus, "text", "doc_id", F.col("label") == 1, path,
+        n_buckets=64, iters=2,
+    )
+    assert r["action"] == "rebuilt"
+    assert load_classifier_artifact(spark, path)["score_profile"] is not None
+    r2 = refresh_classifier_if_drifted(
+        spark, corpus, "text", "doc_id", F.col("label") == 1, path,
+        n_buckets=64, iters=2,
+    )
+    assert r2["action"] == "kept"
+
+
+def test_partial_profile_rejected(spark, tmp_path):
+    """A profile missing deciles is a truncated/mixed artifact — loud
+    rejection, same contract as the weight-count check."""
+    from employee_activity_etl_poc_spark.localrel import local_df
+
+    path = str(tmp_path / "torn")
+    rows = [(-2, 4), (-1, 0), (-3, 5)] + [(i, 0) for i in range(4)]
+    local_df(spark, rows, "b long, w6 long").write.parquet(path)
+    with pytest.raises(ValueError, match="partial score profile"):
+        load_classifier_artifact(spark, path)
