@@ -22,7 +22,7 @@ correctness oracle computes the identical signatures in SQL).
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..localrel import local_df
@@ -876,10 +876,27 @@ class _convergence_loop_confs:
         """Size the loop's shuffle fan-out from the MATERIALIZED edge
         count (one cheap count on the checkpointed snapshot): 1
         partition per ~1M edges, capped at the session's own fan-out —
-        1 at bench scale, hundreds on a real 100 TB pair graph."""
+        1 at bench scale, hundreds on a real 100 TB pair graph.
+
+        The session cap falls back to ``defaultParallelism`` when
+        ``spark.sql.shuffle.partitions`` is not an integer (platforms
+        that set it to ``'auto'``, r11 advice #2). NOTE: like every
+        session-conf pin, this assumes no OTHER query runs concurrently
+        in the same SparkSession during the loop — the conf is
+        session-global (Spark has no per-query shuffle-partition
+        scope), and a concurrent plan compiled inside the window would
+        inherit the loop's pinned fan-out."""
+        try:
+            session_cap = int(self._prev_parts)
+        except (TypeError, ValueError):
+            # e.g. 'auto' under AQE-managed fan-out: cap at the
+            # cluster's core-derived parallelism instead
+            session_cap = int(
+                SparkSession.getActiveSession().sparkContext.defaultParallelism
+            )
         parts = min(
             max(1, -(-n_edges // self.ROWS_PER_PARTITION)),
-            max(1, int(self._prev_parts)),
+            max(1, session_cap),
         )
         self._conf.set("spark.sql.shuffle.partitions", str(parts))
 
