@@ -166,6 +166,9 @@ HEADLINE = [
     # round 11: classifier-model artifact lifecycle (train, save, reload,
     # score from a fresh feature pass under the reloaded weights)
     "quality_classifier_reload_scores",
+    # round 12: UniMax epoch-capped water-fill mixture (|strata|-row
+    # window + broadcast fraction join + key-hash filter)
+    "token_budget_mixture_unimax",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

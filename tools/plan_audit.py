@@ -119,6 +119,12 @@ NESTED_LOOP_OK = {
     "c4_line_dedup": "1-row broadcast copy-offset aggregate cross-joined onto the planted-copy fixture slice (corpus-derived offset, r11)",
     "c4_line_dedup_incremental": "same 1-row copy-offset aggregate (fixture lineage shared with the batch form, r11)",
     "dsir_importance_weights": "1-row broadcast Tt/Tr totals aggregate cross-joined (r10b)",
+    "token_budget_mixture_unimax": (
+        "1-row water-fill level aggregate (capped-capacity sum + "
+        "uncapped-weight sum) cross-joined onto the |strata|-row totals "
+        "frame (a handful of languages by construction, r12); the "
+        "corpus-side sample filter is a broadcast equi-join"
+    ),
     "lm_quality_bigram_nll": "1-row broadcast T/V totals aggregate cross-joined (r10b)",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
     "dedup_lsh_bucket_stats": "1-row bucket aggregates assembled (2 modes)",
