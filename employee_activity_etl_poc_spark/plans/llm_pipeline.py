@@ -78,6 +78,12 @@ class IngestBatchResult:
     # heuristic gate AND scored >= model_min_score under the persisted
     # classifier artifact; None when the stage is off
     n_after_model: int | None = None
+    # PSI of this batch's score histogram against the artifact's stored
+    # training-time profile (only when the artifact carries one): the
+    # label-free model-health signal — a drifting batch shifts the
+    # histogram long before labeled evaluation exists. Alert/retrain on
+    # a sustained breach via model_lifecycle.refresh_classifier_if_drifted.
+    model_psi: float | None = None
 
 
 class TemplateFloodError(RuntimeError):
@@ -167,9 +173,12 @@ def ingest_document_batch(
     the weights load once per call, B+2 bigint rows, and ride the plan
     as literals; one feature pass over the batch, no training jobs) and
     docs below ``model_min_score`` drop. The kept count is surfaced as
-    ``n_after_model``. Pair with
+    ``n_after_model``; when the artifact carries a training-time score
+    profile, the batch's PSI against it is surfaced as ``model_psi`` —
+    the label-free per-batch model-health signal (one 10-row aggregate
+    on the same scored frame). Pair with
     :func:`..plans.model_lifecycle.refresh_classifier_if_drifted` to
-    keep the artifact fresh as the corpus drifts.
+    retrain the artifact when the drift is sustained.
 
     ``ann_index=True`` (requires ``vec_col`` on the batch) runs the
     index-lifecycle epoch hook: exported docs' embeddings append to
@@ -354,20 +363,33 @@ def ingest_document_batch(
     # score >= model_min_score. Runs BEFORE export so every store
     # (grams) and the shards reflect exactly the retained corpus.
     n_after_model = None
+    model_psi = None
     if quality_model_path is not None:
-        from ..operators.model_store import load_classifier
+        from ..operators.model_store import load_classifier_artifact
         from ..operators.textops import score_quality_classifier
 
-        w6, b6 = load_classifier(spark, quality_model_path)
-        keep_ids = (
-            score_quality_classifier(
-                gated, "text", "doc_id", label=F.lit(0), w6=w6, b6=b6
-            )
-            .where(F.col("score") >= F.lit(float(model_min_score)))
-            .select("doc_id")
-        )
+        art = load_classifier_artifact(spark, quality_model_path)
+        scored = score_quality_classifier(
+            gated, "text", "doc_id", label=F.lit(0),
+            w6=art["w6"], b6=art["b6"],
+        ).persist()  # one feature pass serves the gate AND the monitor
+        keep_ids = scored.where(
+            F.col("score") >= F.lit(float(model_min_score))
+        ).select("doc_id")
         gated = gated.join(keep_ids, "doc_id", "left_semi")
         n_after_model = gated.count()
+        if art["score_profile"] is not None:
+            # label-free model-health monitor: PSI of the batch's score
+            # histogram vs the training-time profile stored in the
+            # artifact — one 10-row aggregate on the already-persisted
+            # scores; the batch is scored under the PINNED weights, so a
+            # breach means the CORPUS moved, not the model
+            from .model_lifecycle import psi, score_profile
+
+            model_psi = round(
+                psi(score_profile(scored), art["score_profile"]), 6
+            )
+        scored.unpersist()
 
     chunks = chunk_tokens(gated, "text", "doc_id").join(
         gated.select("doc_id", "quality", "lang"), "doc_id"
@@ -443,7 +465,7 @@ def ingest_document_batch(
         n_arrived, n_after_exact, n_losers, n_after_quality,
         n_span_tokens_removed, ann_action, ann_imbalance,
         preflight_est_pairs, preflight_est_docs,
-        n_lines_removed, n_line_dropped, n_after_model,
+        n_lines_removed, n_line_dropped, n_after_model, model_psi,
     )
 
 

@@ -682,6 +682,8 @@ def test_quality_model_stage_gates_batches_from_artifact(spark, tmp_path):
     }
     assert exported == (ctl_docs & hi)
     assert len(exported) == r1.n_after_model
+    # the artifact carries no score profile -> the monitor is off
+    assert r1.model_psi is None
 
     # at-least-once replay of the same batch_id: identical result and
     # identical persisted corpus
@@ -691,6 +693,35 @@ def test_quality_model_stage_gates_batches_from_artifact(spark, tmp_path):
     )
     assert replay == r1
     assert spark.read.parquet(os.path.join(wd, "shards")).count() == n_rows
+
+    # with a profiled artifact the per-batch model-health monitor runs:
+    # the same corpus under the pinned weights reproduces the training
+    # histogram exactly -> PSI 0.0 (grid-exact scores)
+    from employee_activity_etl_poc_spark.operators.textops import (
+        score_quality_classifier as _score,
+    )
+    from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+        score_profile,
+    )
+
+    # profile the HEURISTIC-SURVIVOR set (the control run's export):
+    # that is exactly the frame the pipeline's monitor scores, so the
+    # same corpus must reproduce the histogram bit-for-bit
+    prof = score_profile(
+        _score(corpus.where(F.col("doc_id").isin(list(ctl_docs))),
+               "text", "doc_id", label=F.lit(0),
+               w6=model["w6"], b6=model["b6"])
+    )
+    art2 = str(tmp_path / "qc_model_profiled")
+    save_classifier(spark, art2, model["w6"], model["b6"],
+                    score_profile=prof)
+    wd2 = str(tmp_path / "ingest_monitored")
+    r_mon = ingest_document_batch(
+        spark, batch, wd2, quality_model_path=art2, model_min_score=0.5,
+        **kw
+    )
+    assert r_mon.model_psi == 0.0
+    assert r_mon.n_after_model == r1.n_after_model
 
 
 def test_prune_store_completed_below_is_replay_safe(spark, tmp_path):
