@@ -792,3 +792,85 @@ def test_prune_store_completed_below_is_replay_safe(spark, tmp_path):
         prune_signature_store(
             spark, wd3, keep=F.lit(True), completed_below=1
         )
+
+
+def test_streaming_ingest_with_quality_model(spark, tmp_path):
+    """The learned filter under Structured Streaming: foreachBatch
+    forwards quality_model_path, so each micro-batch is scored from the
+    artifact and only high-scoring docs are exported — across batches
+    and across a restart (exactly-once preserved with the extra stage)."""
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        save_classifier,
+    )
+    from employee_activity_etl_poc_spark.operators.textops import (
+        quality_classifier,
+        score_quality_classifier,
+    )
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        stream_document_ingest,
+    )
+    from employee_activity_etl_poc_spark.streaming.ingest import (
+        run_to_completion,
+    )
+
+    good = "crisp well formed prose with varied useful vocabulary"
+    spam = "buy buy buy click click spam spam spam spam win"
+    is_good = (F.col("id") % 2 == 0).cast("int")
+    corpus = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        is_good.alias("label"),
+        # distinct leading token per doc so the near-dup stage keeps all
+        F.concat(F.lit("tok"), F.col("id"), F.lit(" "),
+                 F.when(is_good == 1, good).otherwise(spam)).alias("text"),
+    )
+    model: dict = {}
+    quality_classifier(
+        corpus, "text", "doc_id", label=F.col("label") == 1,
+        n_buckets=64, iters=2, persist="train", model_out=model,
+    )
+    art = str(tmp_path / "qc_model")
+    save_classifier(spark, art, model["w6"], model["b6"])
+    hi = {
+        r["doc_id"]
+        for r in score_quality_classifier(
+            corpus, "text", "doc_id", label=F.lit(0),
+            w6=model["w6"], b6=model["b6"],
+        ).where(F.col("score") >= 0.5).select("doc_id").collect()
+    }
+
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    wd = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    batch = corpus.select("doc_id", "text")
+    batch.where(F.col("doc_id") < 20).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    kw = dict(
+        min_quality=0.0, keep_langs=("unknown",),
+        quality_model_path=art, model_min_score=0.5,
+        jaccard_threshold=0.95,
+    )
+
+    def run_once():
+        run_to_completion(
+            stream_document_ingest(spark, str(src / "*"), wd, ckpt, **kw)
+        )
+
+    run_once()
+    batch.where(F.col("doc_id") >= 20).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    run_once()
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    exported = {
+        r["doc_id"] for r in shards.select("doc_id").distinct().collect()
+    }
+    # every exported doc scores high; every high-scoring arrival that
+    # survived dedup is exported (dedup kept all: distinct lead tokens)
+    assert exported == hi
+    # restart with no new files: exactly-once with the model stage on
+    n_rows = shards.count()
+    run_once()
+    assert spark.read.parquet(os.path.join(wd, "shards")).count() == n_rows
