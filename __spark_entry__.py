@@ -106,6 +106,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # query is hash-gated in-session at sf0.001/0.01/0.1
     # (tools/check_oracle.py) and sits first in line for r13.
     "token_budget_mixture_unimax",
+    # bpe_merges / bpe_token_counts are NEW this round (in-engine BPE
+    # tokenizer induction + fertility audit): same situation — gated
+    # in-session at sf0.001/0.01/0.1, queued behind unimax for r13.
+    "bpe_merges",
+    "bpe_token_counts",
+    # embedding_topk_filtered / embedding_ivf_filtered_topk are NEW this
+    # round (filtered vector search): gated in-session at
+    # sf0.001/0.01/0.1, queued for r13 with the other new queries.
+    "embedding_topk_filtered",
+    "embedding_ivf_filtered_topk",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

@@ -169,6 +169,15 @@ HEADLINE = [
     # round 12: UniMax epoch-capped water-fill mixture (|strata|-row
     # window + broadcast fraction join + key-hash filter)
     "token_budget_mixture_unimax",
+    # round 12: in-engine BPE tokenizer induction (6 argmax-collect merge
+    # steps over the distinct-word frame) + the fertility audit that
+    # scores the corpus under the learned merges via the shared memo
+    "bpe_merges",
+    "bpe_token_counts",
+    # round 12: filtered vector search — exact pre-filter baseline and
+    # the full-corpus-index IVF path with a filtered-density probe budget
+    "embedding_topk_filtered",
+    "embedding_ivf_filtered_topk",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -1318,3 +1318,274 @@ def perplexity_buckets(
         label.alias("bucket_label"),
         (bucket < 2).cast("int").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (Sennrich et al. 2016, arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+
+
+def bpe_char_symbols(word: Column | str) -> Column:
+    """Character symbol array for a word (BPE's initial vocabulary).
+
+    ``split(word, '(?!^)')`` breaks at every inter-character position;
+    Spark keeps the trailing zero-width match's empty string regardless
+    of the limit argument, so it is stripped explicitly. Operates on
+    UTF-16 code units (fine for BMP text; the synthetic corpus is
+    ASCII) — mirror of the oracle's character indexing."""
+    w = F.col(word) if isinstance(word, str) else word
+    return F.array_remove(F.split(w, "(?!^)"), "")
+
+
+def apply_bpe_merge(syms: Column, left: str, right: str) -> Column:
+    """One BPE merge applied to a symbol array, greedy left-to-right —
+    exactly Sennrich's ``re.sub`` pass: scan the sequence once, and at
+    each position merge ``(left, right)`` into one symbol unless the
+    left symbol was already consumed by the previous merge.
+
+    Expressed as a JVM-side ``aggregate`` fold (no Python): the
+    accumulator is the rebuilt array; a step either fuses the incoming
+    token into the accumulator's tail (when tail = ``left`` and token =
+    ``right``) or appends it. Within a single merge application a fused
+    symbol can never re-fuse (``left+right != left`` since ``right`` is
+    non-empty), so the fold is exactly the non-overlapping greedy scan:
+    in a run of k identical symbols with left = right it fuses
+    floor(k/2) pairs anchored at the run head — the property the
+    oracle's gaps-and-islands replay reproduces."""
+    lr = F.lit(left + right)
+    return F.aggregate(
+        syms,
+        F.expr("array()").cast("array<string>"),
+        lambda acc, t: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (t == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lr)),
+        ).otherwise(F.concat(acc, F.array(t))),
+    )
+
+
+def bpe_tokenize(word: Column | str, merges: list[dict]) -> Column:
+    """Symbol array for ``word`` under an already-learned merge list —
+    the scoring side of train-once/apply-many: the merges ride as plan
+    literals (the classifier-weights / IVF-centroids shape), so
+    applying a tokenizer to 100 TB is a scan with zero model shuffle."""
+    syms = bpe_char_symbols(word)
+    for m in merges:
+        syms = apply_bpe_merge(syms, m["lhs"], m["rhs"])
+    return syms
+
+
+def bpe_merge_table(
+    df,
+    text_col: str,
+    n_merges: int = 6,
+) -> list[dict]:
+    """Train a BPE tokenizer IN-ENGINE: the ``n_merges`` highest-count
+    adjacent symbol pairs, learned iteratively (Sennrich et al. 2016 —
+    the byte-pair-encoding tokenizer induction every LLM pretraining
+    pipeline runs before it can count a single token).
+
+    Scale shape: all iterations run over the DISTINCT-WORD frame
+    weighted by corpus occurrence counts — one corpus-sized explode +
+    groupBy up front, then every merge step is O(|vocab|), never
+    O(corpus). Per step: one map-side-combinable pair-count aggregate
+    and ONE collected row (the argmax pair — bounded driver state, the
+    broadcast-model pattern), then the merge applied as a JVM fold and
+    the vocab re-persisted (MEMORY_AND_DISK, spillable). At 100 TB the
+    vocab frame is ~10-100M rows against a 1000-executor cluster —
+    each step is a small shuffle, and the model that leaves the loop
+    is ``n_merges`` string pairs.
+
+    Deterministic end to end: integer pair counts, total argmax order
+    (count DESC, left ASC, right ASC) — the oracle unrolls the same
+    iterations as CTEs and must match bit-exactly. Stops early if the
+    vocabulary runs out of pairs (single-char words only).
+
+    Returns ``[{rank, lhs, rhs, merged, pair_count}, ...]``."""
+    from pyspark.storagelevel import StorageLevel
+
+    txt = F.col(text_col)
+    words = (
+        df.select(F.explode(F.split(txt, TOKEN_SPLIT)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("syms", bpe_char_symbols("word"))
+    )
+    merges: list[dict] = []
+    cur = words.persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None
+    try:
+        for rank in range(1, n_merges + 1):
+            top = (
+                cur.where(F.size("syms") >= 2)
+                .select(
+                    "cnt",
+                    F.explode(
+                        F.arrays_zip(
+                            F.slice("syms", F.lit(1), F.size("syms") - 1),
+                            F.slice("syms", F.lit(2), F.size("syms") - 1),
+                        )
+                    ).alias("p"),
+                )
+                .select(
+                    F.col("p")["0"].alias("l"), F.col("p")["1"].alias("r"), "cnt"
+                )
+                .groupBy("l", "r")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            # the pair-count job above materialized cur, so its parent
+            # is safe to drop now
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not top:
+                break  # vocabulary exhausted (no multi-symbol words left)
+            row = top[0]
+            merges.append(
+                {
+                    "rank": rank,
+                    "lhs": row["l"],
+                    "rhs": row["r"],
+                    "merged": row["l"] + row["r"],
+                    "pair_count": int(row["c"]),
+                }
+            )
+            if rank < n_merges:  # the post-final-merge vocab is never read
+                nxt = cur.withColumn(
+                    "syms", apply_bpe_merge(F.col("syms"), row["l"], row["r"])
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                prev, cur = cur, nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        cur.unpersist()
+    return merges
+
+
+def bpe_fertility_by_group(
+    df,
+    text_col: str,
+    group_col: str,
+    merges: list[dict],
+):
+    """Tokenizer-fertility report under a learned merge list: per
+    ``group_col`` (language, domain), total word occurrences, character
+    mass, BPE token mass, and tokens-per-char on the 1e-6 grid — the
+    per-language fertility audit run before fixing a tokenizer for
+    multilingual pretraining (a tokenizer trained on English text
+    over-segments everything else; this is the table that shows it).
+
+    The merge folds run over the per-group DISTINCT-word frame and the
+    occurrence weights multiply back in at aggregate time — model
+    application stays vocabulary-bounded, never per-corpus-token."""
+    txt = F.col(text_col)
+    lw = (
+        df.select(F.col(group_col).alias("grp"), F.explode(F.split(txt, TOKEN_SPLIT)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("grp", "word")
+        .agg(F.count("*").alias("n"))
+    )
+    wtok = lw.select(
+        "grp",
+        "n",
+        F.length("word").alias("n_chr"),
+        F.size(bpe_tokenize("word", merges)).alias("n_tok"),
+    )
+    return wtok.groupBy("grp").agg(
+        F.sum("n").alias("n_words"),
+        F.sum(F.col("n") * F.col("n_chr")).alias("n_chars"),
+        F.sum(F.col("n") * F.col("n_tok")).alias("n_bpe_tokens"),
+        (
+            F.floor(
+                F.sum(F.col("n") * F.col("n_tok"))
+                * 1000000.0
+                / F.sum(F.col("n") * F.col("n_chr"))
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("tokens_per_char"),
+    )
+
+
+def unigram_divergence(
+    df,
+    text_col: str,
+    group_col: str,
+):
+    """Per-group corpus-shift report: KL(Q_g || P) and Jensen-Shannon
+    divergence (in bits) between each group's unigram word distribution
+    Q_g and the corpus-wide distribution P — the domain/source outlier
+    table a mixture pipeline consults before weighting sources (a
+    crawl snapshot whose distribution drifted, a source whose content
+    is template spam, a language mislabeled as another all surface as
+    divergence spikes; the corpus-level sibling of the classifier's
+    per-model PSI drift monitor).
+
+    Only words PRESENT in the group need the log terms: P covers every
+    word by construction, and a word absent from the group contributes
+    0.5·p·log2(2) = 0.5·p to JS — so the absent mass folds into ONE
+    closed-form correction 0.5·(T − cov_g)/T where cov_g is the global
+    count mass of the group's vocabulary. No full outer join, no
+    vocab × groups frame: two word-count aggregates, one equi-join on
+    word, one per-group aggregate — every step map-side combinable.
+
+    Determinism: per-word terms are IEEE doubles computed from exact
+    integer counts (identical in both engines — the ccnet NLL ln()
+    precedent), pinned to the 1e-9 grid per word and summed as exact
+    bigints; the correction is a single gridded op on bigints.
+
+    Returns (group, n_words, vocab, coverage, kl_bits, js_bits)."""
+    txt = F.col(text_col)
+    LOG2 = F.log(F.lit(2.0))
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(txt, TOKEN_SPLIT)).alias("word"),
+    ).where(F.col("word") != "")
+    glob = toks.groupBy("word").agg(F.count("*").alias("c"))
+    grp = toks.groupBy("grp", "word").agg(F.count("*").alias("cs"))
+    tot = glob.agg(F.sum("c").alias("t")).select("t")
+    tot_g = grp.groupBy("grp").agg(F.sum("cs").alias("ts"))
+    j = (
+        grp.join(glob, "word")
+        .join(tot_g, "grp")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("c") / F.col("t")
+    q = F.col("cs") / F.col("ts")
+    m = (p + q) / F.lit(2.0)
+    js_term = (p * F.log(p / m) + q * F.log(q / m)) / (F.lit(2.0) * LOG2)
+    kl_term = q * F.log(q / p) / LOG2
+    per_grp = j.groupBy("grp").agg(
+        F.sum("cs").alias("n_words"),
+        F.count("*").alias("vocab"),
+        F.sum("c").alias("cov"),
+        F.sum(F.floor(js_term * 1e9 + 0.5).cast("long")).alias("js9p"),
+        F.sum(F.floor(kl_term * 1e9 + 0.5).cast("long")).alias("kl9"),
+    )
+    return (
+        per_grp.crossJoin(F.broadcast(tot))
+        .select(
+            "grp",
+            "n_words",
+            "vocab",
+            (F.floor(F.col("cov") * 1e6 / F.col("t") + 0.5) / 1e6).alias(
+                "coverage"
+            ),
+            (F.col("kl9") / 1e9).alias("kl_bits"),
+            (
+                (
+                    F.col("js9p")
+                    + F.floor(
+                        (F.col("t") - F.col("cov")) * F.lit(5e8) / F.col("t")
+                        + 0.5
+                    ).cast("long")
+                )
+                / 1e9
+            ).alias("js_bits"),
+        )
+    )

@@ -2052,3 +2052,61 @@ def test_convergence_loop_restores_session_confs(spark):
     assert alt == out
     assert conf.get("spark.sql.adaptive.enabled") == prev_aqe
     assert conf.get("spark.sql.shuffle.partitions") == prev_parts
+
+
+def test_filtered_topk_prefilter_semantics(spark):
+    # neighborhood engineered so POST-filtering an unfiltered top-k would
+    # under-fill: the 2 nearest neighbors of the query fail the
+    # predicate; pre-filter semantics must surface the allowed ones
+    q = [1.0, 0.0, 0.0]
+    corpus = _vecs(
+        spark,
+        [
+            (1, q),                    # the query itself
+            (2, [0.99, 0.14, 0.0]),    # nearest, label excluded
+            (4, [0.98, 0.2, 0.0]),     # 2nd nearest, label excluded
+            (6, [0.9, 0.43, 0.0]),     # allowed
+            (9, [0.7, 0.71, 0.0]),     # allowed
+            (12, [0.0, 1.0, 0.0]),     # allowed, orthogonal
+        ],
+    ).withColumn("label", (F.col("vec_id") % 3 == 0).cast("int"))
+    out = SIM.brute_force_topk(
+        corpus.where(F.col("label") == 1),
+        corpus.where(F.col("vec_id") == 1),
+        "vec_id",
+        "embedding",
+        k=2,
+    ).orderBy("rnk")
+    assert [r["neighbor_id"] for r in out.collect()] == [6, 9]
+
+
+def test_ivf_filtered_probe_budget_rises_with_selectivity(spark):
+    # the filtered-density probe rule: at a fixed cell count, a more
+    # selective predicate must probe at least as many cells (constant
+    # expected candidate count — the starvation remedy)
+    full = SIM.suggest_ivf_probe(9000, 64)
+    third = SIM.suggest_ivf_probe(3000, 64)
+    tenth = SIM.suggest_ivf_probe(900, 64)
+    assert full <= third <= tenth <= 64
+
+
+def test_ivf_filtered_topk_matches_filtered_exact(spark, sf_dir):
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("label") % 3 == 0
+    q = emb.where(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb.where(pred), q, "vec_id", "embedding", k=5)
+    # full-corpus index, filtered corpus, probe from the filtered count
+    cents = SIM._ivf_centroids_kcenter(emb, "vec_id", "embedding", 8)
+    n_filt = emb.where(pred).count()
+    ann = SIM.ivf_topk(
+        emb.where(pred), q, "vec_id", "embedding", k=5,
+        cents=cents, n_probe=SIM.suggest_ivf_probe(n_filt, len(cents)),
+    )
+    # every ANN hit satisfies the predicate; recall vs filtered exact >= 0.8
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    hits = {(r["query_id"], r["neighbor_id"]) for r in ann.collect()}
+    assert all(labels[n] % 3 == 0 for _, n in hits)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(hits & truth) >= 0.8 * len(truth)

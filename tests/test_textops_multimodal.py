@@ -553,3 +553,100 @@ def test_classifier_model_store_roundtrip_and_guards(spark, tmp_path):
     ).write.parquet(trunc)
     with _pytest.raises(ValueError, match="truncated"):
         load_classifier(spark, trunc)
+
+
+def _py_bpe(texts: list[str], n_merges: int) -> list[tuple]:
+    """Reference greedy BPE (Sennrich et al. 2016) — the algorithm
+    bpe_merge_table must replay exactly."""
+    import collections
+
+    words = collections.Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += words[w]
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_merge_table_replays_reference_greedy(spark):
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (m["rank"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+        for m in TX.bpe_merge_table(df, "text", n_merges=5)
+    ]
+    assert got == _py_bpe(texts, 5)
+
+
+def test_bpe_merge_greedy_run_semantics(spark):
+    # a run of k identical symbols fuses floor(k/2) pairs anchored at the
+    # head — the l = r case where a naive pairwise replace diverges
+    df = spark.createDataFrame([("aaaa aaa",)], "text string")
+    merges = TX.bpe_merge_table(df, "text", n_merges=1)
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "a")
+    # aaaa has 3 adjacent pairs, aaa has 2 -> weighted count 5
+    assert merges[0]["pair_count"] == 5
+    out = spark.createDataFrame([("aaaa",), ("aaa",), ("a",)], "word string").select(
+        TX.bpe_tokenize("word", merges).alias("s")
+    ).collect()
+    assert [r["s"] for r in out] == [["aa", "aa"], ["aa", "a"], ["a"]]
+
+
+def test_bpe_tokenize_chains_merges_in_rank_order(spark):
+    # corpus engineered so merge 1 = (a,b), merge 2 = (ab,c): the second
+    # merge consumes the first's output symbol
+    df = spark.createDataFrame([("abc abc abc ab",)], "text string")
+    merges = TX.bpe_merge_table(df, "text", n_merges=2)
+    assert [(m["lhs"], m["rhs"]) for m in merges] == [("a", "b"), ("ab", "c")]
+    out = spark.createDataFrame([("abcabc",)], "word string").select(
+        TX.bpe_tokenize("word", merges).alias("s")
+    ).collect()
+    assert out[0]["s"] == ["abc", "abc"]
+
+
+def test_bpe_exhausted_vocab_stops_early_and_leaves_no_cache(spark):
+    df = spark.createDataFrame([("a b c a b",)], "text string")
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    merges = TX.bpe_merge_table(df, "text", n_merges=4)
+    # only single-char words: zero mergeable pairs -> empty model
+    assert merges == []
+    # the training loop persists per-iteration vocab frames; all of them
+    # must be released on exit (the r11 classifier cache-residue class)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
+
+
+def test_bpe_fertility_vocabulary_bounded_counts(spark):
+    df = spark.createDataFrame(
+        [("en", "aa aa bb"), ("de", "aa")], "lang string, text string"
+    )
+    merges = TX.bpe_merge_table(df, "text", n_merges=1)  # (a,a) count 3
+    rows = {
+        r["grp"]: r
+        for r in TX.bpe_fertility_by_group(df, "text", "lang", merges).collect()
+    }
+    assert rows["en"]["n_words"] == 3 and rows["en"]["n_chars"] == 6
+    # aa -> [aa] (1 token) twice, bb -> [b, b] (2 tokens)
+    assert rows["en"]["n_bpe_tokens"] == 4
+    assert rows["de"]["n_bpe_tokens"] == 1
+    assert abs(rows["de"]["tokens_per_char"] - 0.5) < 1e-9

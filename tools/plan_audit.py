@@ -56,6 +56,7 @@ PLAN_BUILD_JOBS_OK = {
     "embedding_near_dup": "first-in-process memoized corpus count (granularity literal)",
     "embedding_ann_lsh": "exact-baseline + query-vector collects (driver literals)",
     "embedding_ann_ivf": "k-center/Lloyd training collects (centroid literals)",
+    "embedding_ivf_filtered_topk": "filtered-exact baseline + shared cents train + memoized filtered-density count (probe-budget literal, r12)",
     "embedding_ivf_cell_stats": "first-in-process memoized count / shared-cents train",
     "semantic_dedup_pairs": "first-in-process shared memoized k-center train (pinned-cents literal, r10)",
     "embedding_pq_topk": "PQ codebook training-sample collect + per-query LUTs",
@@ -68,6 +69,8 @@ PLAN_BUILD_JOBS_OK = {
     "tfidf_scores": "df.count() is the IDF numerator literal",
     "quality_classifier_scores": "in-engine model fit: per-step gradient collects (B=1024 bigint rows) ARE the training; weights ship as plan literals (r11)",
     "quality_classifier_reload_scores": "full model-artifact lifecycle: train, save, reload — the gate IS the side effect (r11)",
+    "bpe_merges": "in-engine tokenizer induction: per-merge argmax collects (1 row each) ARE the training; merges ship as plan literals (r12)",
+    "bpe_token_counts": "first-in-process shared memoized BPE train (merge-list literal, r12)",
     "dedup_minhash_df_pruned": "document-frequency prune: frequent-shingle set materialized before the anti-join",
     # r10 measured null, RESOLVED r11 (judge ask #6): plain AQE-OFF in
     # the CC convergence rounds cut bookkeeping jobs (28->20 / 24->9 /

@@ -91,6 +91,8 @@ QUERIES = [
     "embedding_incremental_near_dup",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "embedding_topk_filtered",
+    "embedding_ivf_filtered_topk",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "embedding_ivf_cell_stats",
@@ -150,6 +152,8 @@ DOCS_LIGHT_QUERIES = [
     "benchmark_decontamination",
     "token_budget_mixture",
     "token_budget_mixture_unimax",
+    "bpe_merges",
+    "bpe_token_counts",
     "documents_domain_cap",
     "documents_sequence_packing",
     "documents_shard_stats",
