@@ -116,6 +116,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # sf0.001/0.01/0.1, queued for r13 with the other new queries.
     "embedding_topk_filtered",
     "embedding_ivf_filtered_topk",
+    # corpus_divergence_by_source is NEW this round (per-source KL/JS
+    # corpus-shift report): gated in-session at sf0.001/0.01/0.1.
+    "corpus_divergence_by_source",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

@@ -178,6 +178,9 @@ HEADLINE = [
     # the full-corpus-index IVF path with a filtered-density probe budget
     "embedding_topk_filtered",
     "embedding_ivf_filtered_topk",
+    # round 12: per-source KL/JS corpus-shift report (two word-count
+    # aggregates + one word equi-join + one per-group aggregate)
+    "corpus_divergence_by_source",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

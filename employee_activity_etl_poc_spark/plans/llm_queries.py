@@ -4405,3 +4405,65 @@ def embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         filtered, q, "vec_id", "embedding", k=5, cents=cents, n_probe=n_probe
     )
     return SIM.recall_gate(exact, ann, floor=0.8)
+
+
+@register(
+    "corpus_divergence_by_source",
+    """
+    WITH toks AS (
+      SELECT grp, word FROM (
+        SELECT source AS grp, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+      WHERE word <> ''
+    ),
+    gw AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY word),
+    grps AS (SELECT grp, word, CAST(count(*) AS BIGINT) AS cs
+             FROM toks GROUP BY grp, word),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM gw),
+    totg AS (SELECT grp, CAST(sum(cs) AS BIGINT) AS ts FROM grps GROUP BY grp),
+    j AS (
+      SELECT g.grp, g.cs, gl.c,
+             CAST(gl.c AS DOUBLE) / tot.t AS p,
+             CAST(g.cs AS DOUBLE) / tg.ts AS q,
+             tot.t AS t
+      FROM grps g JOIN gw gl USING (word)
+      JOIN totg tg ON g.grp = tg.grp CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT grp,
+        CAST(sum(cs) AS BIGINT) AS n_words,
+        count(*) AS vocab,
+        CAST(sum(c) AS BIGINT) AS cov,
+        CAST(sum(CAST(floor(
+          (p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0)))
+          / (2.0 * ln(2.0)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS js9p,
+        CAST(sum(CAST(floor(
+          q * ln(q / p) / ln(2.0) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl9,
+        max(t) AS t
+      FROM j GROUP BY grp
+    )
+    SELECT grp, n_words, vocab,
+      floor(cov * 1000000.0 / t + 0.5) / 1000000.0 AS coverage,
+      kl9 / 1000000000.0 AS kl_bits,
+      (js9p + CAST(floor((t - cov) * 500000000.0 / t + 0.5) AS BIGINT))
+        / 1000000000.0 AS js_bits
+    FROM agg
+    """,
+    doc="Per-source corpus-shift report (textops.unigram_divergence): "
+    "KL(Q_source || P) and Jensen-Shannon divergence in bits between "
+    "each source's unigram distribution and the corpus-wide one — the "
+    "domain-outlier table a mixture pipeline consults before weighting "
+    "sources (drifted crawl snapshots, template spam, mislabeled "
+    "languages all spike here; the corpus-level sibling of the "
+    "classifier's PSI drift monitor). Absent-word JS mass folds into "
+    "one closed-form correction 0.5*(T - cov)/T, so the plan is two "
+    "word-count aggregates + one equi-join on word + one per-group "
+    "aggregate — no full outer join, no vocab x groups blow-up; every "
+    "aggregate map-side combines. Per-word log terms are IEEE doubles "
+    "from exact integer counts (the ccnet NLL ln() precedent), pinned "
+    "to the 1e-9 grid and summed as exact bigints.",
+    tags=("llm", "text", "quality", "scale"),
+)
+def corpus_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.unigram_divergence(docs, "text", "source")

@@ -650,3 +650,67 @@ def test_bpe_fertility_vocabulary_bounded_counts(spark):
     assert rows["en"]["n_bpe_tokens"] == 4
     assert rows["de"]["n_bpe_tokens"] == 1
     assert abs(rows["de"]["tokens_per_char"] - 0.5) < 1e-9
+
+
+def _py_divergence(texts_by_grp: dict) -> dict:
+    """Reference KL/JS (bits) with the operator's absent-mass fold and
+    1e-9 grid pinning."""
+    import collections
+    import math
+
+    glob = collections.Counter()
+    grps = {}
+    for g, texts in texts_by_grp.items():
+        cg = collections.Counter(w for t in texts for w in t.split(" ") if w)
+        grps[g] = cg
+        glob.update(cg)
+    t = sum(glob.values())
+    out = {}
+    for g, cg in grps.items():
+        ts = sum(cg.values())
+        js9 = kl9 = 0
+        cov = 0
+        for w, cs in cg.items():
+            p, q = glob[w] / t, cs / ts
+            m = (p + q) / 2.0
+            js9 += math.floor(
+                (p * math.log(p / m) + q * math.log(q / m))
+                / (2.0 * math.log(2.0)) * 1e9 + 0.5)
+            kl9 += math.floor(q * math.log(q / p) / math.log(2.0) * 1e9 + 0.5)
+            cov += glob[w]
+        js9 += math.floor((t - cov) * 5e8 / t + 0.5)
+        out[g] = (kl9 / 1e9, js9 / 1e9)
+    return out
+
+
+def test_unigram_divergence_hand_computed(spark):
+    data = {
+        "a": ["x x y", "y z"],
+        "b": ["x y z z", "z z"],
+        "c": ["q q q r"],  # vocabulary disjoint from a/b -> biggest shift
+    }
+    df = spark.createDataFrame(
+        [(g, t) for g, ts in data.items() for t in ts], "source string, text string"
+    )
+    got = {
+        r["grp"]: (r["kl_bits"], r["js_bits"])
+        for r in TX.unigram_divergence(df, "text", "source").collect()
+    }
+    ref = _py_divergence(data)
+    for g in data:
+        assert abs(got[g][0] - ref[g][0]) < 1e-9, g
+        assert abs(got[g][1] - ref[g][1]) < 1e-9, g
+    # the disjoint-vocab group diverges most on both measures
+    assert got["c"][0] > max(got["a"][0], got["b"][0])
+    assert got["c"][1] > max(got["a"][1], got["b"][1])
+
+
+def test_unigram_divergence_uniform_corpus_is_zero(spark):
+    # every group identical to the global distribution -> KL = JS = 0
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z"), ("c", "x y z")],
+        "source string, text string",
+    )
+    for r in TX.unigram_divergence(df, "text", "source").collect():
+        assert r["kl_bits"] == 0.0 and r["js_bits"] == 0.0
+        assert r["coverage"] == 1.0

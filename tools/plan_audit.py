@@ -128,6 +128,13 @@ NESTED_LOOP_OK = {
         "frame (a handful of languages by construction, r12); the "
         "corpus-side sample filter is a broadcast equi-join"
     ),
+    "corpus_divergence_by_source": (
+        "1-row corpus token-total aggregate cross-joined twice (onto the "
+        "(grp, word) join frame and the per-group result, r12); word "
+        "joins are equi-joins"
+    ),
+    "embedding_topk_filtered": "exact filtered baseline: corpus slice x 10 broadcast queries",
+    "embedding_ivf_filtered_topk": "1-row recall flag cross-joined onto the local filtered-exact baseline",
     "lm_quality_bigram_nll": "1-row broadcast T/V totals aggregate cross-joined (r10b)",
     "text_compression_ratio": "1-row corpus-flag side cross-joined (gate)",
     "dedup_lsh_bucket_stats": "1-row bucket aggregates assembled (2 modes)",

@@ -154,6 +154,7 @@ DOCS_LIGHT_QUERIES = [
     "token_budget_mixture_unimax",
     "bpe_merges",
     "bpe_token_counts",
+    "corpus_divergence_by_source",
     "documents_domain_cap",
     "documents_sequence_packing",
     "documents_shard_stats",
