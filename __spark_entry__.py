@@ -119,6 +119,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # corpus_divergence_by_source is NEW this round (per-source KL/JS
     # corpus-shift report): gated in-session at sf0.001/0.01/0.1.
     "corpus_divergence_by_source",
+    # quality_ensemble_report is NEW this round (the filter stack as one
+    # 2-of-3 decision table; oracle nests the component oracles):
+    # gated in-session at sf0.001/0.01/0.1.
+    "quality_ensemble_report",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

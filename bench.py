@@ -181,6 +181,10 @@ HEADLINE = [
     # round 12: per-source KL/JS corpus-shift report (two word-count
     # aggregates + one word equi-join + one per-group aggregate)
     "corpus_divergence_by_source",
+    # round 12: the filter stack as one decision table (CCNet tercile +
+    # learned classifier + DSIR sign, 2-of-3 majority; classifier fit
+    # rides the shared per-fixture memo)
+    "quality_ensemble_report",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -4467,3 +4467,67 @@ def embedding_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return TX.unigram_divergence(docs, "text", "source")
+
+
+def _ensemble_oracle() -> str:
+    """Composed from the three component oracles as derived tables (the
+    reload-gate nesting pattern): the ensemble's contract is exactly
+    'the components, joined' — reusing their SQL verbatim means a
+    divergence in any component fails BOTH its own gate and this one."""
+    ppx = REGISTRY["ccnet_perplexity_buckets"].oracle
+    clf = REGISTRY["quality_classifier_scores"].oracle
+    dsir = REGISTRY["dsir_importance_weights"].oracle
+    return f"""
+    SELECT p.doc_id, p.lang, p.bucket, c.score, d.logw,
+           p.keep AS ppx_vote, c.pred AS clf_vote,
+           CAST(d.logw >= 0 AS INT) AS dsir_vote,
+           p.keep + c.pred + CAST(d.logw >= 0 AS INT) AS votes,
+           CAST(p.keep + c.pred + CAST(d.logw >= 0 AS INT) >= 2 AS INT)
+             AS keep
+    FROM ({ppx}) p
+    JOIN ({clf}) c ON p.doc_id = c.doc_id
+    JOIN ({dsir}) d ON p.doc_id = d.doc_id
+    """
+
+
+@register(
+    "quality_ensemble_report",
+    _ensemble_oracle(),
+    doc="The filter stack as ONE per-document decision table: CCNet "
+    "perplexity tercile (keep head+middle), the learned classifier's "
+    "prediction, and the DSIR importance-weight sign, joined on doc_id "
+    "with a 2-of-3 majority keep — the ensemble gate a production "
+    "curation pipeline applies after tuning each filter individually "
+    "(single filters over-fire on their blind spots; CCNet+classifier+"
+    "DSIR disagree exactly on the interesting tail). Each component is "
+    "the registered operator itself (perplexity_buckets, "
+    "score_quality_classifier under the memoized fit, dsir_importance), "
+    "so the plan is three feature passes + two doc_id equi-joins; the "
+    "oracle nests the component oracles verbatim as derived tables — "
+    "any component regression fails both gates. All votes are exact "
+    "ints; logw >= 0 compares an exact grid sum.",
+    tags=("llm", "text", "quality", "filter", "ml", "scale"),
+)
+def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ppx = TX.perplexity_buckets(docs, "text", "doc_id", "lang").select(
+        "doc_id", "lang", "bucket", F.col("keep").alias("ppx_vote")
+    )
+    model = _qc_trained_model(spark, sf_dir)
+    clf = TX.score_quality_classifier(
+        docs, "text", "doc_id", label=F.col("lang") == "en",
+        w6=model["w6"], b6=model["b6"],
+    ).select("doc_id", "score", F.col("pred").alias("clf_vote"))
+    dsir = TX.dsir_importance(
+        docs, "text", "doc_id", target=F.col("lang") == "en"
+    ).select(
+        "doc_id", "logw", (F.col("logw") >= 0).cast("int").alias("dsir_vote")
+    )
+    j = ppx.join(clf, "doc_id").join(dsir, "doc_id")
+    votes = F.col("ppx_vote") + F.col("clf_vote") + F.col("dsir_vote")
+    return j.select(
+        "doc_id", "lang", "bucket", "score", "logw",
+        "ppx_vote", "clf_vote", "dsir_vote",
+        votes.alias("votes"),
+        (votes >= 2).cast("int").alias("keep"),
+    )

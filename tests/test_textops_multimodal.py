@@ -714,3 +714,19 @@ def test_unigram_divergence_uniform_corpus_is_zero(spark):
     for r in TX.unigram_divergence(df, "text", "source").collect():
         assert r["kl_bits"] == 0.0 and r["js_bits"] == 0.0
         assert r["coverage"] == 1.0
+
+
+def test_quality_ensemble_votes_are_consistent(spark, sf_dir):
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["quality_ensemble_report"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["votes"] == r["ppx_vote"] + r["clf_vote"] + r["dsir_vote"]
+        assert r["keep"] == int(r["votes"] >= 2)
+        assert r["ppx_vote"] in (0, 1) and r["clf_vote"] in (0, 1)
+    # the ensemble must be non-trivial on the fixture: the components
+    # disagree somewhere (otherwise 2-of-3 degenerates to any-one)
+    assert any(
+        len({r["ppx_vote"], r["clf_vote"], r["dsir_vote"]}) > 1 for r in rows
+    )

@@ -69,6 +69,7 @@ PLAN_BUILD_JOBS_OK = {
     "tfidf_scores": "df.count() is the IDF numerator literal",
     "quality_classifier_scores": "in-engine model fit: per-step gradient collects (B=1024 bigint rows) ARE the training; weights ship as plan literals (r11)",
     "quality_classifier_reload_scores": "full model-artifact lifecycle: train, save, reload — the gate IS the side effect (r11)",
+    "quality_ensemble_report": "first-in-process shared memoized classifier fit (weight literals, r12)",
     "bpe_merges": "in-engine tokenizer induction: per-merge argmax collects (1 row each) ARE the training; merges ship as plan literals (r12)",
     "bpe_token_counts": "first-in-process shared memoized BPE train (merge-list literal, r12)",
     "dedup_minhash_df_pruned": "document-frequency prune: frequent-shingle set materialized before the anti-join",
@@ -127,6 +128,11 @@ NESTED_LOOP_OK = {
         "uncapped-weight sum) cross-joined onto the |strata|-row totals "
         "frame (a handful of languages by construction, r12); the "
         "corpus-side sample filter is a broadcast equi-join"
+    ),
+    "quality_ensemble_report": (
+        "inherits the component 1-row broadcast totals cross-joins "
+        "(ccnet NLL T/V aggregate + DSIR Tt/Tr aggregate, r12); all "
+        "document joins are doc_id equi-joins"
     ),
     "corpus_divergence_by_source": (
         "1-row corpus token-total aggregate cross-joined twice (onto the "

@@ -155,6 +155,7 @@ DOCS_LIGHT_QUERIES = [
     "bpe_merges",
     "bpe_token_counts",
     "corpus_divergence_by_source",
+    "quality_ensemble_report",
     "documents_domain_cap",
     "documents_sequence_packing",
     "documents_shard_stats",
