@@ -123,6 +123,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # 2-of-3 decision table; oracle nests the component oracles):
     # gated in-session at sf0.001/0.01/0.1.
     "quality_ensemble_report",
+    # badwords_filter / cluster_balanced_sample_stats are NEW this round:
+    # gated in-session at sf0.001/0.01/0.1.
+    "badwords_filter",
+    "cluster_balanced_sample_stats",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

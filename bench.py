@@ -185,6 +185,10 @@ HEADLINE = [
     # learned classifier + DSIR sign, 2-of-3 majority; classifier fit
     # rides the shared per-fixture memo)
     "quality_ensemble_report",
+    # round 12: C4 blocklist page filter (shuffle-free scan) and
+    # cluster-balanced sampling (BLAS assignment + one cell window)
+    "badwords_filter",
+    "cluster_balanced_sample_stats",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -2026,3 +2026,45 @@ def mmr_rerank(
         .cogroup(cc.groupBy("_ccq"))
         .applyInPandas(lambda _k, l, r: greedy(l, r), out_schema)
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    cap: int,
+    ranked_only: bool = False,
+) -> DataFrame:
+    """Cluster-balanced sampling: assign every vector to its nearest
+    centroid cell, then keep at most ``cap`` per cell by deterministic
+    md5 order — the 'cluster, then balance' de-biasing step (Abbas et
+    al. SemDeDup §4 prune inside clusters; Tirumala et al. 2023 D4
+    cluster-balanced selection): uniform random sampling reproduces the
+    corpus's topic skew, while capping per CLUSTER flattens it, which
+    is what you want before training on a crawl dominated by a few
+    template topics.
+
+    Scale shape: the assignment is the Arrow/BLAS matmul pass (one
+    batch × n_cells product per partition, centroids a driver literal
+    — the IVF contract), then ONE window shuffle keyed by cell for the
+    rank-and-cap. The md5 order makes the kept set a deterministic
+    function of (ids, centroids) — replayable across sessions against
+    a persisted index.
+
+    Returns the kept rows (id, cell, rn); ``ranked_only=True`` skips
+    the cap filter and returns EVERY row with its in-cell rank — the
+    monitoring view (pre-cap populations and kept counts from one
+    window pass, no second assignment)."""
+    from pyspark.sql import Window
+
+    assigned = _assign_cells_vectorized(corpus, id_col, vec_col, cents)
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.concat(F.lit("cbs|"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    ranked = (
+        assigned.select(F.col("i").alias(id_col), "cell")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return ranked if ranked_only else ranked.where(F.col("rn") <= cap)

@@ -1589,3 +1589,42 @@ def unigram_divergence(
             ).alias("js_bits"),
         )
     )
+
+
+def blocklist_filter(
+    df,
+    text_col: str,
+    id_col: str,
+    words: tuple[str, ...],
+    max_frac: float = 0.0,
+):
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2 dropped any
+    page containing a word from the 'dirty/naughty' blocklist): per
+    document, the blocklisted-token count, its fraction of the token
+    mass, and keep = fraction <= ``max_frac`` (the default 0.0 IS the
+    C4 policy: one hit drops the page; a small positive budget is the
+    lenient variant used when the blocklist has benign homonyms).
+
+    One shuffle-free scan: token split + a filtered size against the
+    word-set literal (broadcast by construction — blocklists are KBs).
+    The fraction compare runs on exact integers (n_bad * denom vs
+    budget) so the keep bit replays exactly in SQL.
+
+    ``words`` is the policy input; ship the real blocklist per
+    deployment — the engine only fixes the counting semantics.
+
+    Returns (id, n_tokens, n_bad, keep)."""
+    toks = F.split(F.col(text_col), TOKEN_SPLIT)
+    nt = F.size(toks)
+    nb = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    # n_bad <= max_frac * n_tokens, exactly: scale to the 1e-6 grid and
+    # compare integers (a double multiply here would make keep flip on
+    # representation noise at the boundary)
+    budget6 = F.floor(F.lit(max_frac) * 1000000.0 + 0.5)
+    keep = (nb.cast("long") * 1000000 <= budget6 * nt.cast("long")).cast("int")
+    return df.select(
+        F.col(id_col),
+        nt.cast("long").alias("n_tokens"),
+        nb.cast("long").alias("n_bad"),
+        keep.alias("keep"),
+    )

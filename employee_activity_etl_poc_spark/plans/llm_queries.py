@@ -4531,3 +4531,100 @@ def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.alias("votes"),
         (votes >= 2).cast("int").alias("keep"),
     )
+
+
+_BLOCKLIST = ("dup", "spam")
+
+
+@register(
+    "badwords_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ws, x -> x IN {_BLOCKLIST!r})) AS BIGINT)
+             AS n_bad,
+           CAST(CAST(len(list_filter(ws, x -> x IN {_BLOCKLIST!r})) AS BIGINT)
+                * 1000000
+                <= 0 * CAST(len(ws) AS BIGINT) AS INT) AS keep
+    FROM t
+    """,
+    doc="C4-style blocklist page filter (Raffel et al. 2020 §2.2 — "
+    "textops.blocklist_filter): per document, the blocklisted-token "
+    "count and keep under the strict C4 policy (any hit drops the "
+    "page; max_frac=0). The gate blocklist is two corpus words (the "
+    "real deployment ships its own list — the engine fixes only the "
+    "counting semantics); one shuffle-free scan, the word set a "
+    "broadcast literal, the keep compare on exact integers.",
+    tags=("llm", "text", "quality", "filter"),
+)
+def badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return TX.blocklist_filter(docs, "text", "doc_id", _BLOCKLIST, max_frac=0.0)
+
+
+_CBS_CAP = 16
+
+
+@register(
+    "cluster_balanced_sample_stats",
+    f"""
+    WITH c AS (SELECT count(*) AS n FROM embeddings)
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           CAST(pow(2, greatest(1, ceil(log2(sqrt(n))))) AS BIGINT) AS n_cells,
+           CAST({_CBS_CAP} AS INT) AS cap,
+           TRUE AS populations_sum_ok,
+           TRUE AS caps_respected_ok,
+           TRUE AS balance_not_worse_ok
+    FROM c
+    """,
+    doc="Cluster-balanced sampling monitor "
+    "(similarity.cluster_balanced_sample — SemDeDup/D4-style 'cluster, "
+    "then balance': cap per-CLUSTER membership so topic skew flattens "
+    "before training; uniform sampling would reproduce the crawl's "
+    "template-topic dominance). Assignment is the Arrow/BLAS matmul "
+    "against the shared memoized k-center cells; the rank-and-cap is "
+    "ONE cell-keyed window on a deterministic md5 order (replayable "
+    "against a persisted index). Gated on the SQL-replayable subset "
+    "(the embedding_ivf_cell_stats contract): exact corpus count, the "
+    "auto cell count (oracle replays suggest_ivf_cells' arithmetic), "
+    "the cap literal, and three measured booleans pinned TRUE — "
+    "populations sum back to the corpus, no cell keeps more than cap, "
+    "and the kept set's max/avg imbalance does not exceed the raw "
+    "corpus's. The assignment itself is numpy, not SQL — a regression "
+    "still flips a boolean and fails the value hash.",
+    tags=("llm", "similarity", "sampling", "scale"),
+)
+def cluster_balanced_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = _reload_gate_cents(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    n = table_count(spark, sf_dir, "embeddings")
+    ranked = SIM.cluster_balanced_sample(
+        emb, "vec_id", "embedding", cents, cap=_CBS_CAP, ranked_only=True
+    )
+    per_cell = ranked.groupBy("cell").agg(
+        F.count("*").alias("pop"),
+        F.sum((F.col("rn") <= _CBS_CAP).cast("int")).alias("kept"),
+    )
+    return per_cell.agg(
+        F.sum("pop").alias("n_vectors"),
+        F.count("*").alias("cells_used"),
+        F.sum("kept").alias("n_kept"),
+        F.max("pop").alias("max_pop"),
+        F.max("kept").alias("max_kept"),
+    ).select(
+        F.col("n_vectors").cast("long"),
+        F.lit(len(cents)).cast("long").alias("n_cells"),
+        F.lit(_CBS_CAP).cast("int").alias("cap"),
+        (F.col("n_vectors") == F.lit(n)).alias("populations_sum_ok"),
+        (F.col("max_kept") <= F.lit(_CBS_CAP)).alias("caps_respected_ok"),
+        # imbalance = max/avg over USED cells; exact integer cross-compare:
+        # max_kept/(n_kept/u) <= max_pop/(n_vectors/u)  <=>
+        # max_kept * n_vectors <= max_pop * n_kept
+        (
+            F.col("max_kept") * F.col("n_vectors")
+            <= F.col("max_pop") * F.col("n_kept")
+        ).alias("balance_not_worse_ok"),
+    )

@@ -2110,3 +2110,38 @@ def test_ivf_filtered_topk_matches_filtered_exact(spark, sf_dir):
     assert all(labels[n] % 3 == 0 for _, n in hits)
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(hits & truth) >= 0.8 * len(truth)
+
+
+def test_cluster_balanced_sample_caps_and_flattens(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # planted skew: 60 vectors near +x (one topic), 6 near +y, 6 near +z
+    rows = []
+    for i in range(60):
+        rows.append((i, (np.array([5.0, 0, 0]) + rng.normal(0, 0.1, 3)).tolist()))
+    for i in range(6):
+        rows.append((100 + i, (np.array([0, 5.0, 0]) + rng.normal(0, 0.1, 3)).tolist()))
+        rows.append((200 + i, (np.array([0, 0, 5.0]) + rng.normal(0, 0.1, 3)).tolist()))
+    corpus = _vecs(spark, rows)
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    kept = SIM.cluster_balanced_sample(
+        corpus, "vec_id", "embedding", cents, cap=6
+    ).collect()
+    by_cell = {}
+    for r in kept:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    assert all(len(v) <= 6 for v in by_cell.values())
+    # the dominant topic capped to 6; minority topics fully kept
+    assert sorted(len(v) for v in by_cell.values()) == [6, 6, 6]
+    # deterministic: same inputs -> same kept set
+    again = {
+        r["vec_id"] for r in SIM.cluster_balanced_sample(
+            corpus, "vec_id", "embedding", cents, cap=6).collect()
+    }
+    assert again == {r["vec_id"] for r in kept}
+    # ranked_only returns every row with its in-cell rank
+    ranked = SIM.cluster_balanced_sample(
+        corpus, "vec_id", "embedding", cents, cap=6, ranked_only=True
+    )
+    assert ranked.count() == len(rows)

@@ -730,3 +730,35 @@ def test_quality_ensemble_votes_are_consistent(spark, sf_dir):
     assert any(
         len({r["ppx_vote"], r["clf_vote"], r["dsir_vote"]}) > 1 for r in rows
     )
+
+
+def test_blocklist_filter_c4_policy_and_boundary(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "clean words only here"),
+            (2, "one bad word spam here inside six"),  # hmm: contains 'spam'
+            (3, "spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    strict = {
+        r["doc_id"]: r for r in TX.blocklist_filter(
+            df, "text", "doc_id", ("spam",), max_frac=0.0).collect()
+    }
+    assert strict[1]["keep"] == 1 and strict[1]["n_bad"] == 0
+    assert strict[2]["keep"] == 0 and strict[2]["n_bad"] == 1  # any hit drops
+    assert strict[3]["keep"] == 0 and strict[3]["n_bad"] == 3
+    # boundary EQUALITY keeps under a fractional budget: doc 2 is 1 bad
+    # of 7 tokens; a grid-representable budget of exactly 1/5 keeps it
+    # (1/7 < 1/5) while the all-bad doc still drops. A budget BELOW the
+    # true fraction drops: 1/7 floors to 142857/1e6 < 1/7 -> doc 2 drops.
+    lenient = {
+        r["doc_id"]: r["keep"] for r in TX.blocklist_filter(
+            df, "text", "doc_id", ("spam",), max_frac=0.2).collect()
+    }
+    assert lenient[2] == 1 and lenient[3] == 0
+    floored = {
+        r["doc_id"]: r["keep"] for r in TX.blocklist_filter(
+            df, "text", "doc_id", ("spam",), max_frac=1 / 7).collect()
+    }
+    assert floored[2] == 0

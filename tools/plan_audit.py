@@ -57,6 +57,7 @@ PLAN_BUILD_JOBS_OK = {
     "embedding_ann_lsh": "exact-baseline + query-vector collects (driver literals)",
     "embedding_ann_ivf": "k-center/Lloyd training collects (centroid literals)",
     "embedding_ivf_filtered_topk": "filtered-exact baseline + shared cents train + memoized filtered-density count (probe-budget literal, r12)",
+    "cluster_balanced_sample_stats": "first-in-process shared memoized k-center train + corpus-count literal (r12)",
     "embedding_ivf_cell_stats": "first-in-process memoized count / shared-cents train",
     "semantic_dedup_pairs": "first-in-process shared memoized k-center train (pinned-cents literal, r10)",
     "embedding_pq_topk": "PQ codebook training-sample collect + per-query LUTs",

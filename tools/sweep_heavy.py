@@ -93,6 +93,7 @@ QUERIES = [
     "embedding_ann_ivf",
     "embedding_topk_filtered",
     "embedding_ivf_filtered_topk",
+    "cluster_balanced_sample_stats",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "embedding_ivf_cell_stats",
@@ -156,6 +157,7 @@ DOCS_LIGHT_QUERIES = [
     "bpe_token_counts",
     "corpus_divergence_by_source",
     "quality_ensemble_report",
+    "badwords_filter",
     "documents_domain_cap",
     "documents_sequence_packing",
     "documents_shard_stats",
