@@ -127,6 +127,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # gated in-session at sf0.001/0.01/0.1.
     "badwords_filter",
     "cluster_balanced_sample_stats",
+    # bpe_reload_token_counts is NEW this round (tokenizer-artifact
+    # lifecycle): gated in-session at sf0.001/0.01/0.1.
+    "bpe_reload_token_counts",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

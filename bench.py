@@ -189,6 +189,9 @@ HEADLINE = [
     # cluster-balanced sampling (BLAS assignment + one cell window)
     "badwords_filter",
     "cluster_balanced_sample_stats",
+    # round 12: tokenizer-artifact lifecycle (train via the shared memo,
+    # save, reload, tokenize under the reloaded merges)
+    "bpe_reload_token_counts",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

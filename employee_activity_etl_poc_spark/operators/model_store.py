@@ -28,6 +28,8 @@ __all__ = [
     "save_classifier",
     "load_classifier",
     "load_classifier_artifact",
+    "save_tokenizer",
+    "load_tokenizer",
     "N_PROFILE_BUCKETS",
 ]
 
@@ -106,3 +108,58 @@ def load_classifier_artifact(spark: SparkSession, path: str) -> dict:
             )
         profile = [int(rows[-3 - i]) for i in range(N_PROFILE_BUCKETS)]
     return {"w6": w6, "b6": int(rows[-1]), "score_profile": profile}
+
+
+def save_tokenizer(spark: SparkSession, path: str, merges: list[dict]) -> None:
+    """Write a learned BPE merge table (``textops.bpe_merge_table``
+    output) as a parquet artifact — the tokenizer twin of
+    :func:`save_classifier`: merges are exact strings + integer counts,
+    so the round-trip is bit-exact by construction. A ``rank = -1``
+    sentinel row records the merge count so a truncated artifact is
+    rejected loudly (applying a PREFIX of a merge list silently
+    tokenizes differently — worse than failing)."""
+    rows = [(-1, "", "", "", len(merges))] + [
+        (m["rank"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+        for m in merges
+    ]
+    local_df(
+        spark, rows,
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_tokenizer(spark: SparkSession, path: str) -> list[dict]:
+    """Merge list exactly as saved, ordered by rank. Raises on a
+    truncated/foreign artifact (missing sentinel, count mismatch, or a
+    merged symbol that is not lhs+rhs)."""
+    rows = spark.read.parquet(path).collect()
+    by_rank = {r["rank"]: r for r in rows}
+    if -1 not in by_rank:
+        raise ValueError(
+            f"tokenizer artifact at {path} is missing its sentinel row "
+            "(not a save_tokenizer artifact, or a partial write)"
+        )
+    n = int(by_rank[-1]["pair_count"])
+    merges = []
+    for rank in range(1, n + 1):
+        if rank not in by_rank:
+            raise ValueError(
+                f"tokenizer artifact at {path} records {n} merges but "
+                f"rank {rank} is missing — truncated or mixed artifact"
+            )
+        r = by_rank[rank]
+        if r["merged"] != r["lhs"] + r["rhs"]:
+            raise ValueError(
+                f"tokenizer artifact at {path} rank {rank}: merged "
+                f"symbol {r['merged']!r} != lhs+rhs — foreign artifact"
+            )
+        merges.append(
+            {
+                "rank": rank,
+                "lhs": r["lhs"],
+                "rhs": r["rhs"],
+                "merged": r["merged"],
+                "pair_count": int(r["pair_count"]),
+            }
+        )
+    return merges

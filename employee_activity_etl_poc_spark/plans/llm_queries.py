@@ -4628,3 +4628,46 @@ def cluster_balanced_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             <= F.col("max_pop") * F.col("n_kept")
         ).alias("balance_not_worse_ok"),
     )
+
+
+@register(
+    "bpe_reload_token_counts",
+    "SELECT q.*, CAST(1 AS INT) AS reload_identical FROM ("
+    + REGISTRY["bpe_token_counts"].oracle
+    + ") q",
+    doc="Tokenizer-artifact lifecycle under the value-hash gate "
+    "(operators/model_store.save_tokenizer — the classifier "
+    "reload-gate contract applied to the learned BPE merges): train "
+    "once (shared per-fixture memo), save the merge table as a parquet "
+    "artifact, load it back, and tokenize the corpus under the "
+    "RELOADED merges — the train-once / tokenize-many path every later "
+    "ingest session runs (tokenizing tomorrow's shard with a silently "
+    "different merge list is a corpus-splitting bug). reload_identical "
+    "rides rows pinned TRUE by the oracle: merges are exact strings + "
+    "bigint counts, so the round-trip must be bit-exact, and the "
+    "fertility table hash-matches bpe_token_counts exactly (the oracle "
+    "IS that query's SQL). Load rejects truncated artifacts and merges "
+    "whose merged symbol disagrees with lhs+rhs.",
+    tags=("llm", "text", "ml", "scale"),
+)
+def bpe_reload_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.model_store import load_tokenizer, save_tokenizer
+
+    docs = load(spark, sf_dir, "documents")
+    ms = _bpe_trained(spark, sf_dir, docs)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bpe_model_{os.getpid()}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    save_tokenizer(spark, path, ms)
+    reloaded = load_tokenizer(spark, path)
+    identical = reloaded == ms
+    return TX.bpe_fertility_by_group(
+        docs, "text", "lang", reloaded
+    ).withColumn("reload_identical", F.lit(bool(identical)).cast("int"))

@@ -762,3 +762,48 @@ def test_blocklist_filter_c4_policy_and_boundary(spark):
             df, "text", "doc_id", ("spam",), max_frac=1 / 7).collect()
     }
     assert floored[2] == 0
+
+
+def test_tokenizer_store_roundtrip_and_guards(spark, tmp_path):
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        load_tokenizer,
+        save_tokenizer,
+    )
+
+    merges = [
+        {"rank": 1, "lhs": "a", "rhs": "b", "merged": "ab", "pair_count": 9},
+        {"rank": 2, "lhs": "ab", "rhs": "c", "merged": "abc", "pair_count": 4},
+    ]
+    path = str(tmp_path / "tok")
+    save_tokenizer(spark, path, merges)
+    assert load_tokenizer(spark, path) == merges
+    # truncated artifact (sentinel claims 2, only rank 1 present) rejected
+    import pytest as _pytest
+
+    from employee_activity_etl_poc_spark.localrel import local_df
+
+    bad = str(tmp_path / "tok_bad")
+    local_df(
+        spark,
+        [(-1, "", "", "", 2), (1, "a", "b", "ab", 9)],
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    ).write.mode("overwrite").parquet(bad)
+    with _pytest.raises(ValueError, match="truncated"):
+        load_tokenizer(spark, bad)
+    # foreign artifact (merged != lhs+rhs) rejected
+    worse = str(tmp_path / "tok_foreign")
+    local_df(
+        spark,
+        [(-1, "", "", "", 1), (1, "a", "b", "xy", 9)],
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    ).write.mode("overwrite").parquet(worse)
+    with _pytest.raises(ValueError, match="foreign"):
+        load_tokenizer(spark, worse)
+    # not-an-artifact rejected
+    empty = str(tmp_path / "tok_empty")
+    local_df(
+        spark, [(3, "a", "b", "ab", 1)],
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    ).write.mode("overwrite").parquet(empty)
+    with _pytest.raises(ValueError, match="sentinel"):
+        load_tokenizer(spark, empty)

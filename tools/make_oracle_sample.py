@@ -102,6 +102,10 @@ HEAVY_ORACLE_QUERIES = [
     # keyed-hash sample replay identically on the sampled corpus (the
     # capped set just resolves against the sample's own supplies)
     "token_budget_mixture_unimax",
+    # r12 (continuation): the ensemble composes three HEAVY-list
+    # component oracles (classifier + ccnet terciles + DSIR), so it
+    # takes the same sampled at-scale check they do
+    "quality_ensemble_report",
 ]
 
 

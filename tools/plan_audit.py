@@ -73,6 +73,7 @@ PLAN_BUILD_JOBS_OK = {
     "quality_ensemble_report": "first-in-process shared memoized classifier fit (weight literals, r12)",
     "bpe_merges": "in-engine tokenizer induction: per-merge argmax collects (1 row each) ARE the training; merges ship as plan literals (r12)",
     "bpe_token_counts": "first-in-process shared memoized BPE train (merge-list literal, r12)",
+    "bpe_reload_token_counts": "full tokenizer-artifact lifecycle: train, save, reload — the gate IS the side effect (r12)",
     "dedup_minhash_df_pruned": "document-frequency prune: frequent-shingle set materialized before the anti-join",
     # r10 measured null, RESOLVED r11 (judge ask #6): plain AQE-OFF in
     # the CC convergence rounds cut bookkeeping jobs (28->20 / 24->9 /

@@ -155,6 +155,7 @@ DOCS_LIGHT_QUERIES = [
     "token_budget_mixture_unimax",
     "bpe_merges",
     "bpe_token_counts",
+    "bpe_reload_token_counts",
     "corpus_divergence_by_source",
     "quality_ensemble_report",
     "badwords_filter",
