@@ -30,6 +30,8 @@ __all__ = [
     "load_classifier_artifact",
     "save_tokenizer",
     "load_tokenizer",
+    "load_tokenizer_artifact",
+    "N_FERTILITY_BUCKETS",
     "N_PROFILE_BUCKETS",
 ]
 
@@ -110,15 +112,41 @@ def load_classifier_artifact(spark: SparkSession, path: str) -> dict:
     return {"w6": w6, "b6": int(rows[-1]), "score_profile": profile}
 
 
-def save_tokenizer(spark: SparkSession, path: str, merges: list[dict]) -> None:
+N_FERTILITY_BUCKETS = 8
+
+
+def save_tokenizer(
+    spark: SparkSession,
+    path: str,
+    merges: list[dict],
+    fertility_profile: list[int] | None = None,
+) -> None:
     """Write a learned BPE merge table (``textops.bpe_merge_table``
     output) as a parquet artifact — the tokenizer twin of
     :func:`save_classifier`: merges are exact strings + integer counts,
     so the round-trip is bit-exact by construction. A ``rank = -1``
     sentinel row records the merge count so a truncated artifact is
     rejected loudly (applying a PREFIX of a merge list silently
-    tokenizes differently — worse than failing)."""
-    rows = [(-1, "", "", "", len(merges))] + [
+    tokenizes differently — worse than failing).
+
+    ``fertility_profile`` (optional): the TRAINING-TIME tokens-per-word
+    histogram (``N_FERTILITY_BUCKETS`` occurrence-weighted counts,
+    bucket = min(tokens, 8) - 1) — the reference histogram
+    :func:`..plans.model_lifecycle.refresh_tokenizer_if_drifted`
+    monitors PSI against. Stored as rows ``rank = -2 - i`` (below the
+    sentinel, so pre-profile readers ignore them)."""
+    rows = [(-1, "", "", "", len(merges))]
+    if fertility_profile is not None:
+        if len(fertility_profile) != N_FERTILITY_BUCKETS:
+            raise ValueError(
+                f"fertility_profile must have {N_FERTILITY_BUCKETS} "
+                f"buckets, got {len(fertility_profile)}"
+            )
+        rows += [
+            (-2 - i, "", "", "", int(c))
+            for i, c in enumerate(fertility_profile)
+        ]
+    rows += [
         (m["rank"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
         for m in merges
     ]
@@ -129,9 +157,17 @@ def save_tokenizer(spark: SparkSession, path: str, merges: list[dict]) -> None:
 
 
 def load_tokenizer(spark: SparkSession, path: str) -> list[dict]:
-    """Merge list exactly as saved, ordered by rank. Raises on a
-    truncated/foreign artifact (missing sentinel, count mismatch, or a
-    merged symbol that is not lhs+rhs)."""
+    """Merge list exactly as saved, ordered by rank (profile dropped —
+    the lifecycle uses :func:`load_tokenizer_artifact`)."""
+    return load_tokenizer_artifact(spark, path)["merges"]
+
+
+def load_tokenizer_artifact(spark: SparkSession, path: str) -> dict:
+    """Full artifact: ``{merges, fertility_profile}`` —
+    ``fertility_profile`` is the stored tokens-per-word histogram, or
+    ``None`` on a pre-profile artifact. Raises on a truncated/foreign
+    artifact (missing sentinel, count mismatch, a merged symbol that is
+    not lhs+rhs, or a partial profile)."""
     rows = spark.read.parquet(path).collect()
     by_rank = {r["rank"]: r for r in rows}
     if -1 not in by_rank:
@@ -162,4 +198,19 @@ def load_tokenizer(spark: SparkSession, path: str) -> list[dict]:
                 "pair_count": int(r["pair_count"]),
             }
         )
-    return merges
+    profile = None
+    if -2 in by_rank:
+        missing = [
+            i for i in range(N_FERTILITY_BUCKETS) if (-2 - i) not in by_rank
+        ]
+        if missing:
+            raise ValueError(
+                f"tokenizer artifact at {path} holds a partial fertility "
+                f"profile (missing buckets {missing}) — truncated or "
+                "mixed artifact"
+            )
+        profile = [
+            int(by_rank[-2 - i]["pair_count"])
+            for i in range(N_FERTILITY_BUCKETS)
+        ]
+    return {"merges": merges, "fertility_profile": profile}

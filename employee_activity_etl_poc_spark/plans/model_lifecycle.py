@@ -39,7 +39,13 @@ from ..operators.model_store import (
 from ..operators.textops import quality_classifier, score_quality_classifier
 from .index_lifecycle import _hadoop_fs
 
-__all__ = ["refresh_classifier_if_drifted", "score_profile", "psi"]
+__all__ = [
+    "refresh_classifier_if_drifted",
+    "refresh_tokenizer_if_drifted",
+    "score_profile",
+    "fertility_profile",
+    "psi",
+]
 
 
 def score_profile(scored: DataFrame) -> list[int]:
@@ -164,6 +170,120 @@ def refresh_classifier_if_drifted(
         corpus, text_col, id_col, label, w6=art["w6"], b6=art["b6"]
     )
     drift = psi(score_profile(scored), art["score_profile"])
+    report = {"n": n, "psi": round(drift, 6), "psi_bound": psi_bound}
+    if drift <= psi_bound:
+        return {"action": "kept", **report}
+    _swap_in_fresh()
+    return {"action": "refreshed", **report}
+
+
+def fertility_profile(corpus: DataFrame, text_col: str, merges: list) -> list[int]:
+    """Occurrence-weighted tokens-per-word histogram of ``corpus`` under
+    ``merges`` (bucket = min(tokens, N_FERTILITY_BUCKETS) - 1): the
+    tokenizer's drift observable. A corpus the merges no longer fit
+    (new language, new domain, different scripts) shifts mass toward
+    the high-token buckets — fertility rises — long before any
+    downstream metric exists. Exact bigint counts (word splits and fold
+    lengths are integers), so the histogram replays bit-identically on
+    the same snapshot. One explode + vocab groupBy + the fold over the
+    DISTINCT-word frame — model application stays vocabulary-bounded."""
+    from ..operators.model_store import N_FERTILITY_BUCKETS
+    from ..operators.textops import TOKEN_SPLIT, bpe_tokenize
+
+    lw = (
+        corpus.select(F.explode(F.split(F.col(text_col), TOKEN_SPLIT)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    bucket = (
+        F.least(
+            F.lit(N_FERTILITY_BUCKETS),
+            F.size(bpe_tokenize("word", merges)),
+        )
+        - 1
+    )
+    counts = {
+        int(r["_fb"]): int(r["_n"])
+        for r in lw.select(bucket.alias("_fb"), "n")
+        .groupBy("_fb")
+        .agg(F.sum("n").alias("_n"))
+        .collect()
+    }
+    return [counts.get(i, 0) for i in range(N_FERTILITY_BUCKETS)]
+
+
+def refresh_tokenizer_if_drifted(
+    spark: SparkSession,
+    corpus: DataFrame,
+    text_col: str,
+    path: str,
+    psi_bound: float = 0.2,
+    n_merges: int = 6,
+    n: int | None = None,
+) -> dict:
+    """One lifecycle epoch for a tokenizer artifact at ``path`` — the
+    :func:`refresh_classifier_if_drifted` contract applied to the
+    learned BPE merges (a tokenizer is the ONE model a pipeline must
+    not silently retrain: changing merges mid-corpus splits the token
+    space; but a tokenizer trained on last year's crawl over-segments
+    this year's — the answer is the same monitored staged swap the
+    classifier and the ANN index get):
+
+    - No artifact → train (``textops.bpe_merge_table``), store merges +
+      the training-time fertility profile; ``action='built'``.
+    - Artifact exists → tokenize the current corpus under the PINNED
+      merges (vocab-bounded fold pass, no training jobs), take the
+      tokens-per-word histogram, PSI against the stored profile.
+      Within bound → ``'kept'`` (bit-identical tokenization persists);
+      breached → retrain, staged ``.next`` + Hadoop-FS swap,
+      ``'refreshed'``.
+    - Pre-profile artifact → retrain and swap (``'rebuilt'``).
+
+    Idempotent per corpus snapshot: exact integer histograms make the
+    second call on the same corpus PSI = 0 exactly."""
+    from ..operators.model_store import (
+        load_tokenizer_artifact,
+        save_tokenizer,
+    )
+    from ..operators.textops import bpe_merge_table
+
+    if n is None:
+        n = corpus.count()
+
+    def _train_and_save(target: str) -> None:
+        merges = bpe_merge_table(corpus, text_col, n_merges=n_merges)
+        profile = fertility_profile(corpus, text_col, merges)
+        save_tokenizer(spark, target, merges, fertility_profile=profile)
+
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        _train_and_save(path)
+        return {"action": "built", "n": n, "psi_bound": psi_bound}
+
+    art = load_tokenizer_artifact(spark, path)
+
+    def _swap_in_fresh() -> None:
+        staging = path.rstrip("/") + ".next"
+        fs_stg, hstg = _hadoop_fs(spark, staging)
+        if fs_stg.exists(hstg):
+            fs_stg.delete(hstg, True)
+        _train_and_save(staging)
+        fs.delete(hpath, True)
+        if not fs.rename(hstg, hpath):
+            raise IOError(
+                f"tokenizer swap failed: rename({staging} -> {path}) "
+                "returned false on " + fs.getUri().toString()
+            )
+
+    if art["fertility_profile"] is None:
+        _swap_in_fresh()
+        return {"action": "rebuilt", "n": n, "psi_bound": psi_bound}
+
+    drift = psi(
+        fertility_profile(corpus, text_col, art["merges"]),
+        art["fertility_profile"],
+    )
     report = {"n": n, "psi": round(drift, 6), "psi_bound": psi_bound}
     if drift <= psi_bound:
         return {"action": "kept", **report}

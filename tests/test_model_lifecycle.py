@@ -128,3 +128,106 @@ def test_partial_profile_rejected(spark, tmp_path):
     local_df(spark, rows, "b long, w6 long").write.parquet(path)
     with pytest.raises(ValueError, match="partial score profile"):
         load_classifier_artifact(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer drift lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _word_corpus(spark, ascii_per_10: int = 10):
+    """200 docs over two character distributions: 'ascii' docs reuse a
+    small latin-pair vocabulary the BPE merges fit tightly; the rest
+    are consonant-cluster words whose frequent pairs are disjoint.
+    Shrinking ``ascii_per_10`` models corpus drift — a merge table
+    pinned on the latin corpus tokenizes the drifted one with visibly
+    more high-token-count mass (fertility rises)."""
+    latin = "thera thera inger inger onder anter thera onder inger anter"
+    clusters = "bcdfg hjklm npqrs twxyz bcdfg npqrs hjklm twxyz bcdfg npqrs"
+    is_latin = (F.col("id") % 10 < ascii_per_10).cast("int")
+    return spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(is_latin == 1, F.lit(latin)).otherwise(F.lit(clusters)).alias("text"),
+    )
+
+
+def test_fertility_profile_shape_and_determinism(spark):
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        N_FERTILITY_BUCKETS,
+    )
+    from employee_activity_etl_poc_spark.operators.textops import bpe_merge_table
+    from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+        fertility_profile,
+    )
+
+    corpus = _word_corpus(spark)
+    merges = bpe_merge_table(corpus, "text", n_merges=3)
+    prof = fertility_profile(corpus, "text", merges)
+    assert len(prof) == N_FERTILITY_BUCKETS and sum(prof) > 0
+    assert prof == fertility_profile(corpus, "text", merges)  # exact ints
+
+
+def test_refresh_tokenizer_lifecycle_built_kept_refreshed(spark, tmp_path):
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        load_tokenizer_artifact,
+    )
+    from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+        refresh_tokenizer_if_drifted,
+    )
+
+    path = str(tmp_path / "tok_artifact")
+    base = _word_corpus(spark, ascii_per_10=10)
+    r1 = refresh_tokenizer_if_drifted(spark, base, "text", path, n_merges=3)
+    assert r1["action"] == "built"
+    art1 = load_tokenizer_artifact(spark, path)
+    assert art1["fertility_profile"] is not None and len(art1["merges"]) == 3
+
+    # same snapshot -> exact-integer histograms coincide -> PSI exactly 0
+    r2 = refresh_tokenizer_if_drifted(spark, base, "text", path, n_merges=3)
+    assert r2["action"] == "kept" and r2["psi"] == 0.0
+    assert load_tokenizer_artifact(spark, path)["merges"] == art1["merges"]
+
+    # drifted corpus: the pinned merges no longer fit -> fertility mass
+    # shifts -> PSI breaches -> retrain + staged swap
+    drifted = _word_corpus(spark, ascii_per_10=2)
+    r3 = refresh_tokenizer_if_drifted(spark, drifted, "text", path, n_merges=3)
+    assert r3["action"] == "refreshed" and r3["psi"] > r3["psi_bound"]
+    art2 = load_tokenizer_artifact(spark, path)
+    assert art2["merges"] != art1["merges"]
+    # and the refreshed artifact is stable on its own corpus
+    r4 = refresh_tokenizer_if_drifted(spark, drifted, "text", path, n_merges=3)
+    assert r4["action"] == "kept" and r4["psi"] == 0.0
+
+
+def test_refresh_rebuilds_pre_profile_tokenizer(spark, tmp_path):
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        load_tokenizer_artifact,
+        save_tokenizer,
+    )
+    from employee_activity_etl_poc_spark.operators.textops import bpe_merge_table
+    from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+        refresh_tokenizer_if_drifted,
+    )
+
+    corpus = _word_corpus(spark)
+    path = str(tmp_path / "tok_pre_profile")
+    save_tokenizer(spark, path, bpe_merge_table(corpus, "text", n_merges=3))
+    r = refresh_tokenizer_if_drifted(spark, corpus, "text", path, n_merges=3)
+    assert r["action"] == "rebuilt"
+    assert load_tokenizer_artifact(spark, path)["fertility_profile"] is not None
+
+
+def test_partial_fertility_profile_rejected(spark, tmp_path):
+    from employee_activity_etl_poc_spark.localrel import local_df
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        load_tokenizer_artifact,
+    )
+
+    bad = str(tmp_path / "tok_partial")
+    local_df(
+        spark,
+        [(-1, "", "", "", 1), (-2, "", "", "", 5), (1, "a", "b", "ab", 2)],
+        "rank int, lhs string, rhs string, merged string, pair_count long",
+    ).write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValueError, match="partial fertility"):
+        load_tokenizer_artifact(spark, bad)
