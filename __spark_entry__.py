@@ -130,6 +130,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # bpe_reload_token_counts is NEW this round (tokenizer-artifact
     # lifecycle): gated in-session at sf0.001/0.01/0.1.
     "bpe_reload_token_counts",
+    # soft_dedup_weights / ngram_novelty_by_source /
+    # embedding_hard_negatives / leakage_safe_split_counts are NEW this
+    # round (continuation #2): gated in-session at sf0.001/0.01/0.1.
+    "soft_dedup_weights",
+    "ngram_novelty_by_source",
+    "embedding_hard_negatives",
+    "leakage_safe_split_counts",
+    "kmeans_cluster_stats",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

@@ -192,6 +192,21 @@ HEADLINE = [
     # round 12: tokenizer-artifact lifecycle (train via the shared memo,
     # save, reload, tokenize under the reloaded merges)
     "bpe_reload_token_counts",
+    # round 12 continuation #2: SoftDeDup duplication-aware reweighting
+    # (md5 groupBy + same-key join; exact bigint effective-mass units)
+    "soft_dedup_weights",
+    # round 12 continuation #2: cross-source n-gram novelty (distinct
+    # (source, gram) + gram-keyed source count + join back)
+    "ngram_novelty_by_source",
+    # round 12 continuation #2: contrastive hard-negative mining (label
+    # inequality under the broadcast join, before the rank)
+    "embedding_hard_negatives",
+    # round 12 continuation #2: leakage-safe cluster-granular split
+    # (minhash pairs -> connected components -> component-keyed hash)
+    "leakage_safe_split_counts",
+    # round 12 continuation #2: in-engine grid Lloyd's k-means (2
+    # iterations; bounded k x (dim+1) bigint collect per iteration)
+    "kmeans_cluster_stats",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -57,6 +57,42 @@ def drop_exact_duplicates(df: DataFrame, content_col: str, id_col: str) -> DataF
     return df.join(w_min, id_col, "left_semi")
 
 
+def soft_dedup_weights(
+    df: DataFrame, content_col: str, id_col: str, grid: int = 1_000_000
+) -> DataFrame:
+    """SoftDeDup (He et al. 2024, arXiv:2407.06654): instead of DROPPING
+    duplicates, DOWNWEIGHT them — each document gains a sampling weight
+    inversely proportional to its "commonness" (here: the size of its
+    exact-duplicate group), so a page duplicated 50× contributes ~1 page
+    of effective training mass instead of 50 while its content is never
+    lost entirely (the failure mode of hard dedup on high-quality
+    boilerplate like licenses and reference text).
+
+    Adds two columns: ``dup_count`` (group size, >=1) and
+    ``soft_weight_units`` — the weight as an exact integer on the
+    ``1/grid`` grid (``floor(grid / dup_count)``), so downstream
+    aggregates can run in overflow-free bigint arithmetic and replay
+    bit-exactly in any engine; divide by ``grid`` at the edge for the
+    float weight.
+
+    Scale shape: one groupBy on the 32-char md5 (map-side combined) and
+    one shuffle join back on the same key — both exchanges share the
+    hash partitioning, so AQE reuses the exchange; nothing is collected
+    and no side is assumed broadcastable."""
+    sizes = df.groupBy(F.md5(F.col(content_col)).alias("__h")).agg(
+        F.count("*").alias("dup_count")
+    )
+    return (
+        df.withColumn("__h", F.md5(F.col(content_col)))
+        .join(sizes, "__h")
+        .withColumn(
+            "soft_weight_units",
+            F.floor(F.lit(grid) / F.col("dup_count")).cast("long"),
+        )
+        .drop("__h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -61,6 +61,35 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    components: DataFrame,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "leak",
+) -> DataFrame:
+    """Near-dup-cluster-granular train/val/test split: every document
+    inherits the split of its connected component (``components`` =
+    ``(node, component)`` from ``dedup.connected_components`` over the
+    near-duplicate pairs; documents in no pair are their own singleton
+    component), so two near-duplicates can NEVER straddle the train/eval
+    boundary — the eval-set contamination a row-level random split
+    silently buys you whenever the corpus has duplication (Lee et al.
+    2022 measure the inflation this causes in reported perplexity).
+
+    Adds ``component`` and ``split`` columns; the split hash is keyed on
+    the component, making it stable under repartitioning and identical
+    for every cluster member by construction. One left join on the id —
+    the components frame is dedup output, typically a small fraction of
+    the corpus, so AQE broadcasts it when it fits."""
+    comp = components.withColumnRenamed("node", id_col)
+    joined = df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    return train_val_test_split(joined, "component", val_fraction, test_fraction, salt)
+
+
 def token_budget_mixture(
     df: DataFrame,
     key_col: str,

@@ -209,6 +209,63 @@ def brute_force_topk(
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the in-batch-negative
+    upgrade of DPR, Karpukhin et al. 2020, arXiv:2004.04906): for each
+    query vector, the k most-similar corpus vectors whose LABEL differs
+    from the query's — "looks like the answer, is a different class" — the
+    pairs that actually move a contrastive loss.
+
+    Same broadcast-queries + JVM-fold shape as :func:`brute_force_topk`,
+    with the label inequality pushed UNDER the join (pre-filtering).
+    Post-filtering an unlabeled top-k under-fills k whenever a query's
+    neighborhood is dominated by its own class — exactly the dense-cluster
+    case hard-negative mining exists for — so the filter must precede the
+    rank, and does.
+
+    Scale path: for corpora where even one fold pass per query is too much,
+    compose the IVF route the engine already has — ``ivf_topk`` probes with
+    the candidate set pre-filtered on ``label <> q.label`` (the
+    ``embedding_ivf_filtered_topk`` machinery); this exact form is its
+    recall oracle."""
+    from pyspark.sql import Window
+
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+        F.col(label_col).alias("_nlabel"),
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("_nlabel") != F.col("_qlabel"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+                sim_decimals,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def near_duplicate_pairs_exact_small(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99
 ) -> DataFrame:
@@ -676,6 +733,100 @@ def refine_centroids_lloyd(
         new = {r["cell"]: [r[f"s{j}"] / r["n"] for j in range(dim)] for r in sums.collect()}
         centroids = [new.get(i, c) for i, c in enumerate(centroids)]
     return centroids
+
+
+def kmeans_lloyd_grid(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+    grid: int = 1000,
+) -> DataFrame:
+    """In-engine Lloyd's k-means on an exact integer grid — the trainable
+    counterpart of the driver-literal centroid helpers the IVF stack uses
+    (:func:`refine_centroids_lloyd` refines driver-side floats; this form
+    is fully engine-replayable, so it can be ORACLE-GATED like the quality
+    classifier's gradient steps).
+
+    Everything is exact bigint arithmetic: vectors land on the ``1/grid``
+    grid (``floor(x*grid)``), squared distances are integer sums, the
+    argmin tie-breaks to the lowest cell, and the centroid update is
+    ``floor(sum/n)`` — one IEEE division of identical bigints, identical
+    in any engine. Seeds = the k lowest-id vectors.
+
+    Scale shape (the classifier's broadcast-state pattern): per iteration,
+    ONE distributed assignment pass (argmin over k literal centroid
+    arrays — no join, no shuffle) + ONE groupBy whose result is a bounded
+    k x (dim+1) bigint frame collected to the driver and re-shipped as
+    plan literals. The corpus is never collected; k·dim stays a few KB at
+    any corpus size. Overflow budget: |sqdist| <= (2·grid·|x|max)² · dim
+    per pair and centroid sums <= grid·|x|max·n — at grid=1e3, safe past
+    1e12 vectors.
+
+    Returns (cell, n_vectors, inertia): the final assignment census and
+    the exact within-cluster squared-distance mass in real units (grid²
+    units divided out at the edge)."""
+    from math import floor as _pyfloor
+
+    dv = _as_double(corpus, vec_col)
+    gvec = F.transform(F.col("v"), lambda x: F.floor(x * grid).cast("long"))
+    g = dv.select(F.col(id_col).alias("_id"), gvec.alias("gv"))
+
+    seeds = [
+        list(r["gv"])
+        for r in g.orderBy("_id").limit(k).select("gv").collect()
+    ]
+    if len(seeds) < k:
+        raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
+    dim = len(seeds[0])
+
+    def lit_arr(vals: list[int]):
+        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+
+    def sqdist(cv: list[int]):
+        return F.aggregate(
+            F.zip_with(F.col("gv"), lit_arr(cv), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cents: list[list[int]]) -> DataFrame:
+        dists = F.array(*[sqdist(c) for c in cents])
+        return g.select(
+            "_id",
+            "gv",
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
+            F.array_min(dists).alias("dist"),
+        )
+
+    cents = seeds
+    for _ in range(iterations):
+        sums = (
+            assign(cents)
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(F.element_at("gv", j + 1)).alias(f"s{j}") for j in range(dim)],
+            )
+            .collect()
+        )  # bounded: k rows of dim+1 bigints — broadcast-state, not data
+        new = {
+            int(r["cell"]): [
+                int(_pyfloor(r[f"s{j}"] / r["n"])) for j in range(dim)
+            ]
+            for r in sums
+        }
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+
+    return (
+        assign(cents)
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("dist") / (grid * grid * 1.0), 2).alias("inertia"),
+        )
+    )
 
 
 def brute_force_topk_vectorized(

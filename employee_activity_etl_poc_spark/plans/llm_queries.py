@@ -4671,3 +4671,330 @@ def bpe_reload_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bpe_fertility_by_group(
         docs, "text", "lang", reloaded
     ).withColumn("reload_identical", F.lit(bool(identical)).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Round-12 continuation #2 — duplication-aware weighting, novelty,
+# contrastive mining, leakage-safe splits
+# ---------------------------------------------------------------------------
+
+_EXACT_CORPUS_SRC_SQL = """
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, source FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "soft_dedup_weights",
+    f"""
+    WITH corpus AS ({_EXACT_CORPUS_SRC_SQL}),
+    t AS (
+      SELECT doc_id, source, md5(text) AS h,
+             len(string_split(text, ' ')) AS n_tok
+      FROM corpus
+    ),
+    s AS (SELECT h, count(*) AS dup_count FROM t GROUP BY h),
+    w AS (
+      SELECT t.source, t.n_tok, s.dup_count,
+             CAST(floor(1000000 / s.dup_count) AS BIGINT) AS wu
+      FROM t JOIN s USING (h)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           round(CAST(sum(wu * n_tok) AS BIGINT) / 1000000.0, 2)
+             AS effective_tokens
+    FROM w GROUP BY source
+    """,
+    doc="SoftDeDup duplication-aware reweighting (He et al. 2024, "
+    "arXiv:2407.06654 — dedup.soft_dedup_weights): instead of dropping "
+    "duplicates, each document is downweighted by its exact-duplicate "
+    "group size (weight = 1/commonness on the 1e-6 grid), so duplicated "
+    "mass contributes ~one copy of effective training tokens without the "
+    "information loss of hard dedup. Per-source report: raw vs effective "
+    "token mass — the effective/raw gap IS the source's duplication tax. "
+    "Engine-exact: weights are integer grid units (floor(1e6/n)), the "
+    "effective mass accumulates as exact bigints (weight_units x tokens) "
+    "and divides by 1e6 only at the edge — no float-summation-order "
+    "divergence between engines. Scale shape: one md5 groupBy + one "
+    "same-key join back; both exchanges share the partitioning.",
+    tags=("llm", "dedup", "sampling", "scale"),
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _with_exact_copies(load(spark, sf_dir, "documents"))
+    weighted = D.soft_dedup_weights(corpus, "text", "doc_id")
+    return (
+        weighted.select(
+            "source",
+            "dup_count",
+            F.col("soft_weight_units").alias("wu"),
+            TX.n_tokens("text").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("dup_count") > 1).cast("long")).alias("n_dup_docs"),
+            F.sum("n_tok").alias("raw_tokens"),
+            F.round(F.sum(F.col("wu") * F.col("n_tok")) / 1000000.0, 2).alias(
+                "effective_tokens"
+            ),
+        )
+    )
+
+
+@register(
+    "ngram_novelty_by_source",
+    """
+    WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT source,
+             unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   for i in generate_series(1, len(ws) - 2)]))
+               AS gram
+      FROM w WHERE len(ws) >= 3
+    ),
+    sg AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS g
+      FROM sh
+    ),
+    gc AS (SELECT g, count(*) AS n_src FROM sg GROUP BY g),
+    j AS (SELECT sg.source, gc.n_src FROM sg JOIN gc USING (g))
+    SELECT source,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS novelty_ratio
+    FROM j GROUP BY source
+    """,
+    doc="Cross-source n-gram novelty: per source, the share of its distinct "
+    "word-trigram shingles that appear in NO other source — the "
+    "contribution/diversity signal data-mixing decisions weigh against "
+    "quality scores (a source that is 95% non-novel mostly re-states the "
+    "rest of the corpus). 60-bit md5 shingle fingerprints (the span "
+    "detector's collision budget: ~n^2/2^61 spurious matches); two "
+    "aggregates — distinct (source, gram), then a gram-keyed source "
+    "count — joined back on the gram key; no all-pairs anything.",
+    tags=("llm", "text", "scale"),
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sg = (
+        docs.where(F.size(TX.tokens("text")) >= 3)
+        .select("source", F.explode(TX.shingles("text", 3)).alias("gram"))
+        .select("source", D._hash_long60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    gc = sg.groupBy("g").agg(F.count("*").alias("n_src"))
+    return (
+        sg.join(gc, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_src") == 1).cast("long")).alias("n_novel"),
+            F.round(
+                F.sum((F.col("n_src") == 1).cast("long")) / F.count("*"), 4
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
+    "embedding_hard_negatives",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT qid, e.vec_id AS nid,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+      FROM e, q WHERE e.label <> q.qlabel
+    )
+    SELECT qid AS query_id, nid AS neighbor_id, sim, rn AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+      FROM sims
+    ) WHERE rn <= 5
+    """,
+    doc="Hard-negative mining for contrastive training (DPR, Karpukhin et "
+    "al. 2020, arXiv:2004.04906 — similarity.hard_negative_topk): per "
+    "query, the top-5 most-similar corpus vectors of a DIFFERENT label. "
+    "The label inequality is applied UNDER the join, before the rank — "
+    "post-filtering an unlabeled top-k under-fills k exactly when the "
+    "query sits in a dense same-class cluster, the case mining exists "
+    "for (pytest demonstrates the gap). Queries broadcast; scale path = "
+    "the filtered-IVF probe (embedding_ivf_filtered_topk machinery) with "
+    "this exact form as its recall oracle.",
+    tags=("llm", "similarity"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.hard_negative_topk(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", "label", k=5
+    ).select("query_id", "neighbor_id", "sim", "rnk")
+
+
+def _leak_split_oracle_sql() -> str:
+    from ..operators.sampling import split_oracle_case_sql
+
+    return f"""
+    WITH RECURSIVE
+    mh AS ({_minhash_oracle_sql()}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM mh
+      UNION
+      SELECT doc_b, doc_a FROM mh
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    corpus2 AS ({_NEAR_CORPUS_SQL}),
+    d AS (
+      SELECT c.doc_id, len(string_split(c.text, ' ')) AS n_tok,
+             coalesce(comp.component, c.doc_id) AS component
+      FROM corpus2 c LEFT JOIN comp ON comp.node = c.doc_id
+    ),
+    s AS (
+      SELECT *, {split_oracle_case_sql("component", salt="leak")} AS split
+      FROM d
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT component) AS n_components,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY split
+    """
+
+
+@register(
+    "leakage_safe_split_counts",
+    _leak_split_oracle_sql(),
+    doc="Leakage-safe train/val/test split (sampling.leakage_safe_split): "
+    "split assignment is keyed on the near-dup CONNECTED COMPONENT, not "
+    "the row, so a document and its near-duplicates always land on the "
+    "same side of the train/eval boundary — eliminating the eval "
+    "contamination row-level random splits leak whenever the corpus has "
+    "duplication (the Lee et al. 2022 dedup-eval-inflation argument). "
+    "Pipeline: minhash-LSH pairs -> connected components -> component "
+    "split hash inherited by every member (singletons = own id). Oracle "
+    "replays the full chain: the exact minhash CTE, the recursive-CTE "
+    "transitive closure, the identical split hash. The no-straddle "
+    "property is pytest-asserted (every component maps to exactly one "
+    "split).",
+    tags=("llm", "dedup", "sampling", "graph", "iterative"),
+)
+def leakage_safe_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import leakage_safe_split
+
+    corpus = _with_near_copies(load(spark, sf_dir, "documents"))
+    pairs = D.minhash_near_duplicates(
+        corpus, "text", "doc_id", num_perm=16, bands=4, shingle_k=3, threshold=0.5
+    )
+    comp = D.connected_components(pairs)
+    split_df = leakage_safe_split(
+        corpus.select("doc_id", TX.n_tokens("text").alias("n_tok")),
+        "doc_id",
+        comp,
+        salt="leak",
+    )
+    return split_df.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("component").alias("n_components"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, iterations: int = 2, grid: int = 1000) -> str:
+    """Unrolled-CTE oracle for kmeans_lloyd_grid (the classifier-GD
+    pattern: each Lloyd iteration is one assignment CTE + one centroid
+    CTE; all arithmetic exact bigints on the 1/grid grid, the only
+    doubles are floor(sum/n) divisions of identical integers)."""
+    g2 = grid * grid
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * {grid}) AS BIGINT)) AS gv
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell, gv AS cv FROM e WHERE vec_id < {k})"""
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT e.vec_id, e.gv, {prev}.cell,
+             list_sum(list_transform(list_zip(e.gv, {prev}.cv),
+                                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+      FROM e, {prev}
+    ),
+    a{i} AS (
+      SELECT vec_id, gv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+        FROM d{i}
+      ) WHERE rn = 1
+    ),
+    x{i} AS (SELECT cell, j, gv[j] AS val
+             FROM a{i}, generate_series(1, 64) AS t(j)),
+    s{i} AS (
+      SELECT cell, j,
+             CAST(floor(sum(val) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cj
+      FROM x{i} GROUP BY cell, j
+    ),
+    c{i} AS (
+      SELECT {prev}.cell, coalesce(n.cv, {prev}.cv) AS cv
+      FROM {prev} LEFT JOIN
+           (SELECT cell, list(cj ORDER BY j) AS cv FROM s{i} GROUP BY cell) n
+      USING (cell)
+    )""")
+        prev = f"c{i}"
+    parts.append(f""",
+    df AS (
+      SELECT e.vec_id, {prev}.cell,
+             list_sum(list_transform(list_zip(e.gv, {prev}.cv),
+                                     p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+      FROM e, {prev}
+    ),
+    af AS (
+      SELECT vec_id, cell, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+        FROM df
+      ) WHERE rn = 1
+    )
+    SELECT cell, count(*) AS n_vectors,
+           round(CAST(sum(dist) AS BIGINT) / {g2}.0, 2) AS inertia
+    FROM af GROUP BY cell""")
+    return "".join(parts)
+
+
+@register(
+    "kmeans_cluster_stats",
+    _kmeans_oracle_sql(k=8, iterations=2, grid=1000),
+    doc="In-engine distributed Lloyd's k-means "
+    "(similarity.kmeans_lloyd_grid, k=8, 2 iterations): the trainable "
+    "clustering step under SemDeDup blocking / cluster-balanced sampling "
+    "/ IVF coarse quantizers, made ORACLE-GATEABLE by running entirely "
+    "on the 1e-3 integer grid — exact bigint squared distances, "
+    "lowest-cell argmin tie-break, floor(sum/n) centroid updates. Per "
+    "iteration: one shuffle-free assignment pass over k literal centroid "
+    "arrays + one groupBy collecting a bounded k x (dim+1) bigint frame "
+    "(the classifier's broadcast-state pattern; corpus never collected). "
+    "Oracle unrolls both iterations as CTEs and must agree on every "
+    "assignment AND the final within-cluster mass. Output: final cell "
+    "census + exact inertia.",
+    tags=("llm", "similarity", "ml", "iterative", "scale"),
+)
+def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.kmeans_lloyd_grid(
+        emb, "vec_id", "embedding", k=8, iterations=2, grid=1000
+    )

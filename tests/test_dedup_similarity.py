@@ -2145,3 +2145,192 @@ def test_cluster_balanced_sample_caps_and_flattens(spark):
         corpus, "vec_id", "embedding", cents, cap=6, ranked_only=True
     )
     assert ranked.count() == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# r12 continuation #2: soft dedup, hard negatives, leakage-safe split,
+# n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_soft_dedup_weights_inverse_of_group_size(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b c"), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_count"], r["soft_weight_units"])
+        for r in D.soft_dedup_weights(docs, "text", "doc_id").collect()
+    }
+    assert out[1] == (3, 333333) and out[2] == (3, 333333) and out[3] == (3, 333333)
+    assert out[4] == (1, 1000000)
+    # effective mass of the triplicated group ~ one copy (3 * floor(1e6/3))
+    assert 3 * out[1][1] == 999999
+
+
+def test_soft_dedup_preserves_all_rows_and_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b", "s0"), (2, "a b", "s1")], "doc_id long, text string, source string"
+    )
+    out = D.soft_dedup_weights(docs, "text", "doc_id")
+    assert out.count() == 2
+    assert set(out.columns) == {"doc_id", "text", "source", "dup_count", "soft_weight_units"}
+
+
+def test_hard_negative_topk_prefilters_labels(spark):
+    # nearest neighbors share the query's label; post-filtering a plain
+    # top-2 would return nothing — pre-filter semantics must fill k from
+    # the other classes
+    q = [1.0, 0.0, 0.0]
+    corpus = _vecs(
+        spark,
+        [
+            (1, q),
+            (2, [0.99, 0.14, 0.0]),
+            (4, [0.98, 0.2, 0.0]),
+            (6, [0.9, 0.43, 0.0]),
+            (9, [0.7, 0.71, 0.0]),
+        ],
+    ).withColumn("label", F.when(F.col("vec_id") < 5, 0).otherwise(1))
+    out = SIM.hard_negative_topk(
+        corpus, corpus.where(F.col("vec_id") == 1), "vec_id", "embedding", "label", k=2
+    ).orderBy("rnk")
+    assert [r["neighbor_id"] for r in out.collect()] == [6, 9]
+    # the same-label nearest neighbors (2, 4) must NOT appear
+    plain = SIM.brute_force_topk(
+        corpus, corpus.where(F.col("vec_id") == 1), "vec_id", "embedding", k=2
+    )
+    assert [r["neighbor_id"] for r in plain.orderBy("rnk").collect()] == [2, 4]
+
+
+def test_leakage_safe_split_never_straddles_components(spark):
+    from employee_activity_etl_poc_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # components: pairs (0,1) (2,3) ... (18,19); 20..39 singletons
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)], "doc_a long, doc_b long"
+    )
+    comp = D.connected_components(pairs)
+    out = leakage_safe_split(docs, "doc_id", comp, salt="leak")
+    # every component lands on exactly one side
+    straddle = (
+        out.groupBy("component")
+        .agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # paired docs share their partner's split
+    m = {r["doc_id"]: r["split"] for r in out.collect()}
+    for i in range(0, 20, 2):
+        assert m[i] == m[i + 1]
+    # all three splits appear over 30 components (hash spread sanity)
+    assert set(m.values()) == {"train", "val", "test"}
+
+
+def test_leakage_safe_split_vs_row_split_contamination(spark):
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        leakage_safe_split,
+        train_val_test_split,
+    )
+
+    # 30 duplicate pairs: the row-level split strands some pair across the
+    # boundary (contamination), the component split never does
+    docs = spark.createDataFrame(
+        [(i, f"dup {i // 2}") for i in range(60)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 60, 2)], "doc_a long, doc_b long"
+    )
+    row_split = train_val_test_split(docs, "doc_id", salt="leak")
+    row_straddle = (
+        row_split.join(pairs, F.col("doc_id") == F.col("doc_a"))
+        .join(
+            row_split.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .where(F.col("split") != F.col("split_b"))
+        .count()
+    )
+    assert row_straddle > 0  # the contamination the operator exists to stop
+    comp = D.connected_components(pairs)
+    safe = leakage_safe_split(docs, "doc_id", comp, salt="leak")
+    safe_straddle = (
+        safe.groupBy("component").agg(F.countDistinct("split").alias("n"))
+        .where(F.col("n") > 1).count()
+    )
+    assert safe_straddle == 0
+
+
+def test_ngram_novelty_registry_semantics(spark):
+    # two sources sharing one trigram, each with one private trigram
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+    import employee_activity_etl_poc_spark.plans.llm_queries  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common words here plus alpha beta gamma", "s0"),
+            (2, "common words here plus delta epsilon zeta", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from employee_activity_etl_poc_spark.operators import textops as TX
+    from employee_activity_etl_poc_spark.operators import dedup as DD
+
+    sg = (
+        docs.select("source", F.explode(TX.shingles("text", 3)).alias("gram"))
+        .select("source", DD._hash_long60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    gc = sg.groupBy("g").agg(F.count("*").alias("n_src"))
+    out = {
+        r["source"]: (r["n_grams"], r["n_novel"])
+        for r in sg.join(gc, "g")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_src") == 1).cast("long")).alias("n_novel"),
+        )
+        .collect()
+    }
+    # 7 tokens -> 5 trigrams each; "common words here"/"words here plus"
+    # shared, the alpha/delta tails private
+    assert out["s0"][0] == 5 and out["s1"][0] == 5
+    assert out["s0"][1] == 3 and out["s1"][1] == 3
+
+
+def test_kmeans_lloyd_grid_separates_planted_clusters(spark):
+    # two tight blobs; k=2 must split them exactly with near-zero inertia
+    a = [1.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0]
+    rows = [(i, [x + 0.001 * i for x in a]) for i in range(3)] + [
+        (10 + i, [x + 0.001 * i for x in b]) for i in range(3)
+    ]
+    corpus = _vecs(spark, rows)
+    out = {
+        r["cell"]: (r["n_vectors"], r["inertia"])
+        for r in SIM.kmeans_lloyd_grid(
+            corpus, "vec_id", "embedding", k=2, iterations=2
+        ).collect()
+    }
+    assert out[0][0] == 3 and out[1][0] == 3
+    assert out[0][1] < 0.01 and out[1][1] < 0.01
+
+
+def test_kmeans_lloyd_grid_deterministic_and_bounded_collect(spark, sf_dir):
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r1 = sorted(
+        SIM.kmeans_lloyd_grid(emb, "vec_id", "embedding", k=4, iterations=1).collect()
+    )
+    r2 = sorted(
+        SIM.kmeans_lloyd_grid(emb, "vec_id", "embedding", k=4, iterations=1).collect()
+    )
+    assert r1 == r2
+    assert sum(r["n_vectors"] for r in r1) == emb.count()

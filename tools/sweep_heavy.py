@@ -49,6 +49,9 @@ QUERIES = [
     # exact + near-dup document families
     "dedup_exact",
     "dedup_exact_normalized",
+    # round 12 continuation #2: SoftDeDup reweighting (exact-hash groupBy
+    # + same-key join — the soft counterpart of dedup_exact)
+    "soft_dedup_weights",
     "dedup_minhash_lsh",
     "fuzzy_decontamination",
     "dedup_minhash_df_pruned",
@@ -72,6 +75,9 @@ QUERIES = [
     "dedup_cluster_summary",
     "dedup_clusters_alternating",
     "dedup_quality_keepers",
+    # round 12 continuation #2: cluster-granular split (pairs -> CC ->
+    # component-keyed split hash; the CC step dominates)
+    "leakage_safe_split_counts",
     # line-level dedup (C4 keep-first-occurrence) + incremental store form
     "c4_line_dedup",
     "c4_line_dedup_incremental",
@@ -93,6 +99,12 @@ QUERIES = [
     "embedding_ann_ivf",
     "embedding_topk_filtered",
     "embedding_ivf_filtered_topk",
+    # round 12 continuation #2: label-prefiltered contrastive mining
+    # (same broadcast-fold shape as embedding_topk)
+    "embedding_hard_negatives",
+    # round 12 continuation #2: in-engine grid Lloyd's (per iteration one
+    # assignment pass + one bounded k x (dim+1) collect)
+    "kmeans_cluster_stats",
     "cluster_balanced_sample_stats",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
@@ -159,6 +171,9 @@ DOCS_LIGHT_QUERIES = [
     "corpus_divergence_by_source",
     "quality_ensemble_report",
     "badwords_filter",
+    # round 12 continuation #2: cross-source n-gram novelty (distinct
+    # gram aggregate + gram-keyed source count — tfidf-class cost)
+    "ngram_novelty_by_source",
     "documents_domain_cap",
     "documents_sequence_packing",
     "documents_shard_stats",
