@@ -207,6 +207,10 @@ HEADLINE = [
     # round 12 continuation #2: in-engine grid Lloyd's k-means (2
     # iterations; bounded k x (dim+1) bigint collect per iteration)
     "kmeans_cluster_stats",
+    # round 12 continuation #2: two-pass distributed PCA (gram matrix
+    # distributed in exact bigints; integer power iteration on the
+    # driver over the 64 x 64 sufficient statistic)
+    "embedding_pca_top_component",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

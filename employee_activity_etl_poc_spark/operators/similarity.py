@@ -829,6 +829,93 @@ def kmeans_lloyd_grid(
     )
 
 
+def pca_top_component_grid(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    grid: int = 1000,
+    iterations: int = 4,
+) -> DataFrame:
+    """Distributed PCA, top component, on an exact integer grid: the
+    d x d second-moment (gram) matrix of mean-centered grid vectors is
+    the SUFFICIENT STATISTIC — it aggregates distributed in exact bigint
+    arithmetic (one explode-by-dimension pass, d x (d+1) sums), and the
+    eigen-step runs on the driver over that tiny matrix as deterministic
+    integer power iteration, so the whole computation — including the
+    "driver-side" part — replays bit-exactly as SQL (the oracle unrolls
+    the same iterations as CTEs). This is the classic two-pass
+    distributed PCA shape (compute XᵀX map-side, solve d x d centrally);
+    nothing corpus-sized is ever collected.
+
+    Integer contracts: grid vectors = floor(x·grid); mean = floor(sum/n)
+    (one IEEE division of exact bigints); gram entries |G| <= (grid·|x|)²·n
+    (exact bigint to ~1e15 — past 1e9 vectors at unit-scale data);
+    G is rescaled to |G'| <= 1e6 via floor(G/s); each power step is an
+    exact integer matvec (|w| <= 1e6·grid·d) renormalized to L∞ = grid by
+    floor(w·grid/max|w|). Deterministic start v0 = all-ones·grid fixes
+    the eigenvector sign.
+
+    Returns (dim_idx 1-based, loading_units bigint, loading double).
+    Convergence is spectral-gap-limited like any power method — callers
+    needing a guaranteed gap should plant/verify one (see the registry
+    query + pytest)."""
+    from math import ceil as _ceil, floor as _floor
+
+    dv = _as_double(corpus, vec_col)
+    g = dv.select(
+        F.transform(F.col("v"), lambda x: F.floor(x * grid).cast("long")).alias("gv")
+    )
+    dim = len(g.select("gv").first()["gv"])
+
+    stats = g.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.element_at("gv", j + 1)).alias(f"s{j}") for j in range(dim)],
+    ).collect()[0]
+    n = stats["n"]
+    mu = [int(_floor(stats[f"s{j}"] / n)) for j in range(dim)]
+
+    mu_lit = F.array(*[F.lit(int(m)).cast("long") for m in mu])
+    c = g.select(
+        F.zip_with(F.col("gv"), mu_lit, lambda a, b: a - b).alias("cv")
+    )
+    # one explode-by-row-dimension pass; dim² products per exploded row
+    # aggregate map-side — the long-form substrate that survived 5M docs
+    # in the classifier rework
+    rows = (
+        c.select(F.posexplode("cv").alias("i", "ci"), F.col("cv"))
+        .groupBy("i")
+        .agg(
+            *[
+                F.sum(F.col("ci") * F.element_at("cv", j + 1)).alias(f"g{j}")
+                for j in range(dim)
+            ]
+        )
+        .collect()
+    )  # bounded: dim rows x dim bigints — the sufficient statistic
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        for j in range(dim):
+            G[r["i"]][j] = int(r[f"g{j}"])
+
+    maxabs = max(abs(x) for row in G for x in row)
+    s = max(1, int(_ceil(maxabs / 1_000_000.0)))
+    Gp = [[int(_floor(x / float(s))) for x in row] for row in G]
+
+    v = [grid] * dim
+    for _ in range(iterations):
+        w = [sum(Gp[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in w)
+        v = [int(_floor(x * grid / float(m))) for x in w]
+
+    from ..localrel import local_df
+
+    return local_df(
+        corpus.sparkSession,
+        [(j + 1, int(v[j]), round(v[j] / float(grid), 4)) for j in range(dim)],
+        "dim_idx int, loading_units long, loading double",
+    )
+
+
 def brute_force_topk_vectorized(
     corpus: DataFrame,
     queries: DataFrame,

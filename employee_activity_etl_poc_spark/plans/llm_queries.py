@@ -4998,3 +4998,89 @@ def kmeans_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_lloyd_grid(
         emb, "vec_id", "embedding", k=8, iterations=2, grid=1000
     )
+
+
+_PCA_CORPUS_SQL = """
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x + CASE WHEN vec_id % 3 = 0
+                                          THEN 0.3 ELSE 0.0 END) AS v
+      FROM embeddings
+"""
+
+
+def _pca_oracle_sql(grid: int = 1000, iterations: int = 4) -> str:
+    """Unrolled-CTE oracle for pca_top_component_grid: gram matrix as an
+    exact bigint aggregate, then the same integer power iterations the
+    driver runs — every step (floor(sum/n) mean, floor(G/s) rescale,
+    exact matvec, floor(w*grid/max) renorm) is one IEEE division of
+    identical integers, so the engines agree bit-exactly."""
+    steps = "".join(
+        f""",
+    w{i} AS (SELECT gp.i AS j, CAST(sum(gp.g * v{i-1}.v) AS BIGINT) AS w
+             FROM gp JOIN v{i-1} ON gp.j = v{i-1}.j GROUP BY gp.i),
+    m{i} AS (SELECT max(abs(w)) AS m FROM w{i}),
+    v{i} AS (SELECT j, CAST(floor(w * {grid} / CAST(m AS DOUBLE)) AS BIGINT) AS v
+             FROM w{i}, m{i})"""
+        for i in range(1, iterations + 1)
+    )
+    return f"""
+    WITH p AS ({_PCA_CORPUS_SQL}),
+    e AS (
+      SELECT list_transform(v, x -> CAST(floor(x * {grid}) AS BIGINT)) AS gv
+      FROM p
+    ),
+    xd AS (SELECT j, gv[j] AS xi FROM e, generate_series(1, 64) AS t(j)),
+    mu AS (SELECT j, CAST(floor(sum(xi) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS m
+           FROM xd GROUP BY j),
+    mua AS (SELECT list(m ORDER BY j) AS mv FROM mu),
+    c AS (SELECT list_transform(list_zip(gv, mv), pr -> pr[1] - pr[2]) AS cv
+          FROM e, mua),
+    gm AS (
+      SELECT i, j, CAST(sum(cv[i] * cv[j]) AS BIGINT) AS g
+      FROM c, generate_series(1, 64) AS ti(i), generate_series(1, 64) AS tj(j)
+      GROUP BY i, j
+    ),
+    sc AS (SELECT greatest(1, CAST(ceil(max(abs(g)) / 1000000.0) AS BIGINT)) AS s
+           FROM gm),
+    gp AS (SELECT i, j, CAST(floor(g / CAST(s AS DOUBLE)) AS BIGINT) AS g
+           FROM gm, sc),
+    v0 AS (SELECT j, CAST({grid} AS BIGINT) AS v
+           FROM generate_series(1, 64) AS t(j)){steps}
+    SELECT j AS dim_idx, v AS loading_units, round(v / {grid}.0, 4) AS loading
+    FROM v{iterations}
+    """
+
+
+@register(
+    "embedding_pca_top_component",
+    _pca_oracle_sql(grid=1000, iterations=4),
+    doc="Distributed PCA, top principal component "
+    "(similarity.pca_top_component_grid): the d x d mean-centered gram "
+    "matrix is aggregated distributed in exact bigint grid arithmetic — "
+    "the sufficient statistic; nothing corpus-sized leaves the executors "
+    "— and the eigen-step is a DETERMINISTIC INTEGER power iteration "
+    "over that 64 x 64 frame, so even the driver-side math replays "
+    "bit-exactly as unrolled SQL CTEs. The dimensionality-reduction / "
+    "embedding-diagnostics primitive (dominant-direction drift, "
+    "anisotropy checks) the ANN stack lacked. The query corpus PLANTS a "
+    "rank-1 spike (every 3rd vector shifted +0.3 in all dims -> "
+    "eigengap ~48x, power iteration converges by step 2; the pytest "
+    "asserts cosine ~1 vs the planted direction) — the sf embeddings "
+    "are isotropic, where a flat spectrum makes ANY power method "
+    "ill-conditioned. 4 iterations, v0 = ones: sign pinned.",
+    tags=("llm", "similarity", "ml", "scale"),
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    planted = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x
+            + F.when(F.col("vec_id") % 3 == 0, F.lit(0.3)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    return SIM.pca_top_component_grid(
+        planted, "vec_id", "embedding", grid=1000, iterations=4
+    )

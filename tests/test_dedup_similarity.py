@@ -2334,3 +2334,37 @@ def test_kmeans_lloyd_grid_deterministic_and_bounded_collect(spark, sf_dir):
     )
     assert r1 == r2
     assert sum(r["n_vectors"] for r in r1) == emb.count()
+
+
+def test_pca_top_component_recovers_planted_direction(spark):
+    import math
+    import random
+
+    rng = random.Random(7)
+    # isotropic noise + a planted spike along a known direction
+    direction = [1.0 if j % 2 == 0 else -1.0 for j in range(16)]
+    nrm = math.sqrt(16)
+    rows = []
+    for i in range(200):
+        base = [rng.uniform(-0.2, 0.2) for _ in range(16)]
+        if i % 2 == 0:
+            base = [b + 0.8 * d / nrm for b, d in zip(base, direction)]
+        rows.append((i, base))
+    corpus = _vecs(spark, rows)
+    out = SIM.pca_top_component_grid(corpus, "vec_id", "embedding", iterations=6)
+    v = [r["loading"] for r in out.orderBy("dim_idx").collect()]
+    dot = sum(a * b for a, b in zip(v, direction))
+    cos = abs(dot) / (
+        math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in direction))
+    )
+    assert cos > 0.98, cos
+
+
+def test_pca_top_component_deterministic(spark, sf_dir):
+    from employee_activity_etl_poc_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = SIM.pca_top_component_grid(emb, "vec_id", "embedding").collect()
+    b = SIM.pca_top_component_grid(emb, "vec_id", "embedding").collect()
+    assert sorted(a) == sorted(b)
+    assert len(a) == 64

@@ -105,6 +105,9 @@ QUERIES = [
     # round 12 continuation #2: in-engine grid Lloyd's (per iteration one
     # assignment pass + one bounded k x (dim+1) collect)
     "kmeans_cluster_stats",
+    # round 12 continuation #2: two-pass distributed PCA (one
+    # explode-by-dim gram aggregate; d x d bigint collect)
+    "embedding_pca_top_component",
     "cluster_balanced_sample_stats",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
