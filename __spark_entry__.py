@@ -139,6 +139,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "leakage_safe_split_counts",
     "kmeans_cluster_stats",
     "embedding_pca_top_component",
+    "classifier_calibration_bins",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

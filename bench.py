@@ -211,6 +211,9 @@ HEADLINE = [
     # distributed in exact bigints; integer power iteration on the
     # driver over the 64 x 64 sufficient statistic)
     "embedding_pca_top_component",
+    # round 12 continuation #2: classifier reliability diagram (rides
+    # the shared memoized fit; one window + one groupBy)
+    "classifier_calibration_bins",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -5084,3 +5084,73 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pca_top_component_grid(
         planted, "vec_id", "embedding", grid=1000, iterations=4
     )
+
+
+def _calibration_oracle() -> str:
+    """Reliability-diagram oracle nesting the classifier oracle verbatim
+    (the ensemble pattern): bins are exact-rank score deciles
+    (ntile over the (score, doc_id) total order — identical tie-free
+    semantics in both engines); per-bin masses are exact bigint sums of
+    the recovered p6 grid units, divided once at the edge."""
+    clf = REGISTRY["quality_classifier_scores"].oracle
+    return f"""
+    WITH c AS ({clf}),
+    b AS (
+      SELECT label,
+             ntile(10) OVER (ORDER BY score, doc_id) AS bin,
+             CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS p6
+      FROM c
+    )
+    SELECT bin,
+           count(*) AS n_docs,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           round(CAST(sum(label) AS BIGINT) * 1.0 / count(*), 4)
+             AS positive_rate,
+           CAST(floor(CAST(sum(p6) AS BIGINT) * 1.0 / count(*) + 0.5) AS BIGINT)
+             / 1000000.0 AS mean_score
+    FROM b GROUP BY bin
+    """
+
+
+@register(
+    "classifier_calibration_bins",
+    _calibration_oracle(),
+    doc="Reliability diagram for the in-engine quality classifier (the "
+    "model-eval step the train/score/reload/drift lifecycle lacked): "
+    "scores cut into exact RANK deciles (ntile over the tie-free "
+    "(score, doc_id) order — fixed-width bins degenerate to one bucket "
+    "on a 3-step classifier whose scores span ~1e-3), each bin "
+    "reporting empirical positive rate vs mean predicted score; the "
+    "bin-wise gap IS the calibration error that decides whether a "
+    "score threshold means what it says. Scores ride the memoized "
+    "per-fixture fit shared with the other classifier gates (no extra "
+    "training jobs); per-bin mean score re-enters the exact 1e-6 "
+    "bigint grid before its single edge division. The global-order "
+    "window is the diagram\'s contract (diagnostic over the scored "
+    "corpus); at 100 TB the same cut runs through the engine\'s "
+    "distributed exact-ntile (event_value_deciles machinery).",
+    tags=("llm", "text", "quality", "ml"),
+)
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    model = _qc_trained_model(spark, sf_dir)
+    scored = TX.score_quality_classifier(
+        docs, "text", "doc_id", label=F.col("lang") == "en",
+        w6=model["w6"], b6=model["b6"],
+    )
+    w = Window.orderBy("score", "doc_id")
+    b = scored.select(
+        "label",
+        F.ntile(10).over(w).alias("bin"),
+        F.floor(F.col("score") * 1000000 + 0.5).cast("long").alias("p6"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("label").alias("n_pos"),
+        F.round(F.sum("label") / F.count("*"), 4).alias("positive_rate"),
+        (
+            F.floor(F.sum("p6") / F.count("*") + 0.5).cast("long") / 1000000.0
+        ).alias("mean_score"),
+    )

@@ -71,6 +71,7 @@ PLAN_BUILD_JOBS_OK = {
     "quality_classifier_scores": "in-engine model fit: per-step gradient collects (B=1024 bigint rows) ARE the training; weights ship as plan literals (r11)",
     "quality_classifier_reload_scores": "full model-artifact lifecycle: train, save, reload — the gate IS the side effect (r11)",
     "quality_ensemble_report": "first-in-process shared memoized classifier fit (weight literals, r12)",
+    "classifier_calibration_bins": "first-in-process shared memoized classifier fit (weight literals, r12c2)",
     "bpe_merges": "in-engine tokenizer induction: per-merge argmax collects (1 row each) ARE the training; merges ship as plan literals (r12)",
     "bpe_token_counts": "first-in-process shared memoized BPE train (merge-list literal, r12)",
     "bpe_reload_token_counts": "full tokenizer-artifact lifecycle: train, save, reload — the gate IS the side effect (r12)",
@@ -121,6 +122,7 @@ NESTED_LOOP_OK = {
         "a driver-side compare)"
     ),
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
+    "embedding_hard_negatives": "exact contrastive-mining baseline: corpus x 10 broadcast queries, label filter under the join (r12c2)",
     "embedding_mmr_rerank": "shortlist stage: corpus × 8 broadcast queries (exact-baseline class); cc sims are an equi-join",
     "bm25_scores": "1-row broadcast avgdl aggregate cross-joined (r10)",
     "lm_quality_nll": "1-row broadcast T/V totals aggregate cross-joined (r10)",

@@ -162,6 +162,9 @@ DOCS_LIGHT_QUERIES = [
     "dsir_importance_weights",
     "quality_classifier_scores",
     "quality_classifier_reload_scores",
+    # round 12 continuation #2: rank-decile reliability diagram over the
+    # memoized classifier fit (one window + one groupBy)
+    "classifier_calibration_bins",
     "ccnet_perplexity_buckets",
     "vocabulary_top_terms",
     "vocab_zipf_fit",
