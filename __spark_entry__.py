@@ -138,6 +138,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_hard_negatives",
     "leakage_safe_split_counts",
     "kmeans_cluster_stats",
+    "kmeans_reload_stats",
     "embedding_pca_top_component",
     "classifier_calibration_bins",
     # quality_classifier_scores changed plan this round (it now trains

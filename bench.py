@@ -205,8 +205,11 @@ HEADLINE = [
     # (minhash pairs -> connected components -> component-keyed hash)
     "leakage_safe_split_counts",
     # round 12 continuation #2: in-engine grid Lloyd's k-means (2
-    # iterations; bounded k x (dim+1) bigint collect per iteration)
+    # iterations; bounded k x (dim+1) bigint collect per iteration) and
+    # its centroid-artifact lifecycle gate (shared fit memo: the reload
+    # gate pays one save/load + one assignment pass)
     "kmeans_cluster_stats",
+    "kmeans_reload_stats",
     # round 12 continuation #2: two-pass distributed PCA (gram matrix
     # distributed in exact bigints; integer power iteration on the
     # driver over the 64 x 64 sufficient statistic)

@@ -29,6 +29,8 @@ __all__ = [
     "load_classifier",
     "load_classifier_artifact",
     "save_tokenizer",
+    "save_centroids",
+    "load_centroids",
     "load_tokenizer",
     "load_tokenizer_artifact",
     "N_FERTILITY_BUCKETS",
@@ -214,3 +216,98 @@ def load_tokenizer_artifact(spark: SparkSession, path: str) -> dict:
             for i in range(N_FERTILITY_BUCKETS)
         ]
     return {"merges": merges, "fertility_profile": profile}
+
+
+def save_centroids(
+    spark: SparkSession,
+    path: str,
+    centroids: list[list[int]],
+    grid: int,
+    occupancy_profile: list[int] | None = None,
+) -> None:
+    """Write k-means grid centroids (``similarity.kmeans_lloyd_grid``'s
+    ``model_out``) as a parquet artifact — the clustering twin of
+    :func:`save_classifier`: centroids are exact grid-unit bigints, so
+    the round-trip is bit-exact by construction. Long-form rows
+    ``(cell, j, c)``; sentinel rows ``cell = -2`` record ``(0, k)``,
+    ``(1, dim)`` and ``(2, grid)`` so truncated artifacts and
+    grid-mismatched scoring are rejected loudly (assigning under a
+    wrong grid = silently wrong cells, the classifier's hash-family
+    lesson).
+
+    ``occupancy_profile`` (optional): the TRAINING-TIME cell-occupancy
+    histogram (k bigint counts) —
+    :func:`..plans.model_lifecycle.refresh_kmeans_if_drifted`'s PSI
+    reference. Stored as rows ``cell = -3`` keyed by ``j``."""
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    rows = [(-2, 0, k), (-2, 1, dim), (-2, 2, int(grid))]
+    if occupancy_profile is not None:
+        if len(occupancy_profile) != k:
+            raise ValueError(
+                f"occupancy_profile must have k={k} counts, "
+                f"got {len(occupancy_profile)}"
+            )
+        rows += [(-3, j, int(c)) for j, c in enumerate(occupancy_profile)]
+    for cell, cv in enumerate(centroids):
+        if len(cv) != dim:
+            raise ValueError("ragged centroid list")
+        rows += [(cell, j, int(v)) for j, v in enumerate(cv)]
+    local_df(spark, rows, "cell long, j long, c long").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark: SparkSession, path: str) -> dict:
+    """Full artifact: ``{centroids, grid, occupancy_profile}``
+    (``occupancy_profile`` ``None`` on a pre-profile artifact). Raises
+    on truncated/foreign artifacts: missing sentinels, a cell/dim count
+    that disagrees with the recorded shape, or a partial profile."""
+    df = spark.read.parquet(path)
+    if set(df.columns) != {"cell", "j", "c"}:
+        raise ValueError(
+            f"centroid artifact at {path} has columns {sorted(df.columns)}"
+            " — not a save_centroids artifact (missing sentinel schema)"
+        )
+    rows = df.collect()
+    sent = {int(r["j"]): int(r["c"]) for r in rows if r["cell"] == -2}
+    if set(sent) != {0, 1, 2}:
+        raise ValueError(
+            f"centroid artifact at {path} is missing its sentinel rows "
+            "(not a save_centroids artifact, or a partial write)"
+        )
+    k, dim, grid = sent[0], sent[1], sent[2]
+    vals = {
+        (int(r["cell"]), int(r["j"])): int(r["c"])
+        for r in rows
+        if r["cell"] >= 0
+    }
+    if len(vals) != k * dim:
+        raise ValueError(
+            f"centroid artifact at {path} records k={k} dim={dim} but "
+            f"holds {len(vals)} centroid entries — truncated or mixed "
+            "artifact"
+        )
+    centroids = []
+    for cell in range(k):
+        cv = []
+        for j in range(dim):
+            if (cell, j) not in vals:
+                raise ValueError(
+                    f"centroid artifact at {path}: missing entry "
+                    f"(cell {cell}, dim {j}) — truncated or mixed artifact"
+                )
+            cv.append(vals[(cell, j)])
+        centroids.append(cv)
+    prof_rows = {int(r["j"]): int(r["c"]) for r in rows if r["cell"] == -3}
+    profile = None
+    if prof_rows:
+        missing = [j for j in range(k) if j not in prof_rows]
+        if missing:
+            raise ValueError(
+                f"centroid artifact at {path} holds a partial occupancy "
+                f"profile (missing cells {missing}) — truncated or mixed "
+                "artifact"
+            )
+        profile = [prof_rows[j] for j in range(k)]
+    return {"centroids": centroids, "grid": grid, "occupancy_profile": profile}

@@ -742,6 +742,7 @@ def kmeans_lloyd_grid(
     k: int = 8,
     iterations: int = 2,
     grid: int = 1000,
+    model_out: dict | None = None,
 ) -> DataFrame:
     """In-engine Lloyd's k-means on an exact integer grid — the trainable
     counterpart of the driver-literal centroid helpers the IVF stack uses
@@ -766,12 +767,13 @@ def kmeans_lloyd_grid(
 
     Returns (cell, n_vectors, inertia): the final assignment census and
     the exact within-cluster squared-distance mass in real units (grid²
-    units divided out at the edge)."""
+    units divided out at the edge). ``model_out`` (the classifier-fit
+    convention): pass a dict to receive the final ``centroids`` (grid
+    units) and ``grid`` for persisting via
+    :mod:`.model_store`'s centroid artifact."""
     from math import floor as _pyfloor
 
-    dv = _as_double(corpus, vec_col)
-    gvec = F.transform(F.col("v"), lambda x: F.floor(x * grid).cast("long"))
-    g = dv.select(F.col(id_col).alias("_id"), gvec.alias("gv"))
+    g = _grid_vectors(corpus, id_col, vec_col, grid)
 
     seeds = [
         list(r["gv"])
@@ -781,29 +783,10 @@ def kmeans_lloyd_grid(
         raise ValueError(f"k={k} exceeds corpus size {len(seeds)}")
     dim = len(seeds[0])
 
-    def lit_arr(vals: list[int]):
-        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
-
-    def sqdist(cv: list[int]):
-        return F.aggregate(
-            F.zip_with(F.col("gv"), lit_arr(cv), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(cents: list[list[int]]) -> DataFrame:
-        dists = F.array(*[sqdist(c) for c in cents])
-        return g.select(
-            "_id",
-            "gv",
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
-            F.array_min(dists).alias("dist"),
-        )
-
     cents = seeds
     for _ in range(iterations):
         sums = (
-            assign(cents)
+            _kmeans_assign(g, cents)
             .groupBy("cell")
             .agg(
                 F.count("*").alias("n"),
@@ -819,14 +802,82 @@ def kmeans_lloyd_grid(
         }
         cents = [new.get(i, c) for i, c in enumerate(cents)]
 
-    return (
-        assign(cents)
-        .groupBy("cell")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.round(F.sum("dist") / (grid * grid * 1.0), 2).alias("inertia"),
+    if model_out is not None:
+        model_out["centroids"] = [list(c) for c in cents]
+        model_out["grid"] = grid
+
+    return _cell_census(_kmeans_assign(g, cents), grid)
+
+
+def _grid_vectors(
+    corpus: DataFrame, id_col: str, vec_col: str, grid: int
+) -> DataFrame:
+    dv = _as_double(corpus, vec_col)
+    gvec = F.transform(F.col("v"), lambda x: F.floor(x * grid).cast("long"))
+    return dv.select(F.col(id_col).alias("_id"), gvec.alias("gv"))
+
+
+def _kmeans_assign(g: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(_id, gv, cell, dist) under literal centroids: exact bigint
+    squared distances, argmin tie-broken to the lowest cell."""
+
+    def lit_arr(vals: list[int]):
+        return F.array(*[F.lit(int(x)).cast("long") for x in vals])
+
+    def sqdist(cv: list[int]):
+        return F.aggregate(
+            F.zip_with(F.col("gv"), lit_arr(cv), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
         )
+
+    dists = F.array(*[sqdist(c) for c in cents])
+    return g.select(
+        "_id",
+        "gv",
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
+        F.array_min(dists).alias("dist"),
     )
+
+
+def _cell_census(assigned: DataFrame, grid: int) -> DataFrame:
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.sum("dist") / (grid * grid * 1.0), 2).alias("inertia"),
+    )
+
+
+def kmeans_assign_stats(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    grid: int = 1000,
+) -> DataFrame:
+    """Score a corpus under PINNED grid centroids (no training jobs):
+    the apply-many half of the k-means train-once contract — exactly
+    the final-assignment census :func:`kmeans_lloyd_grid` returns, so
+    training inline and scoring from a persisted centroid artifact are
+    hash-identical by construction."""
+    g = _grid_vectors(corpus, id_col, vec_col, grid)
+    return _cell_census(_kmeans_assign(g, centroids), grid)
+
+
+def kmeans_cell_counts(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]],
+    grid: int = 1000,
+) -> list[int]:
+    """Cell-occupancy histogram under pinned centroids (k bigint
+    counts, empty cells 0) — the drift monitor's observable: a corpus
+    whose density moved between regions shifts occupancy mass long
+    before any label arrives. One map-side-combinable aggregate."""
+    g = _grid_vectors(corpus, id_col, vec_col, grid)
+    rows = _kmeans_assign(g, centroids).groupBy("cell").count().collect()
+    got = {int(r["cell"]): int(r["count"]) for r in rows}
+    return [got.get(i, 0) for i in range(len(centroids))]
 
 
 def pca_top_component_grid(

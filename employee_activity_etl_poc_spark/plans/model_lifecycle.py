@@ -42,6 +42,7 @@ from .index_lifecycle import _hadoop_fs
 __all__ = [
     "refresh_classifier_if_drifted",
     "refresh_tokenizer_if_drifted",
+    "refresh_kmeans_if_drifted",
     "score_profile",
     "fertility_profile",
     "psi",
@@ -283,6 +284,108 @@ def refresh_tokenizer_if_drifted(
     drift = psi(
         fertility_profile(corpus, text_col, art["merges"]),
         art["fertility_profile"],
+    )
+    report = {"n": n, "psi": round(drift, 6), "psi_bound": psi_bound}
+    if drift <= psi_bound:
+        return {"action": "kept", **report}
+    _swap_in_fresh()
+    return {"action": "refreshed", **report}
+
+
+def refresh_kmeans_if_drifted(
+    spark: SparkSession,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    psi_bound: float = 0.2,
+    k: int = 8,
+    iterations: int = 2,
+    grid: int = 1000,
+    n: int | None = None,
+) -> dict:
+    """One lifecycle epoch for a k-means centroid artifact at ``path``
+    — the :func:`refresh_classifier_if_drifted` contract applied to the
+    clustering model (centroids pin SemDeDup blocks, balanced-sampling
+    cells and IVF coarse quantizers: silently retraining them re-draws
+    every block boundary mid-corpus, but centroids trained on last
+    year's embedding distribution starve/flood cells on this year's).
+
+    Drift signal: PSI over the CELL-OCCUPANCY histogram under the
+    PINNED centroids (``similarity.kmeans_cell_counts`` — k exact
+    bigint counts, one map-side-combinable aggregate per epoch) vs the
+    training-time occupancy stored in the artifact. A corpus whose
+    density moved between embedding regions shifts occupancy mass long
+    before any downstream metric notices.
+
+    - No artifact → train (``similarity.kmeans_lloyd_grid``), store
+      centroids + occupancy; ``action='built'``.
+    - Artifact → occupancy under pinned centroids, PSI vs stored.
+      Within bound → ``'kept'`` (bit-identical assignments persist);
+      breached → retrain, staged ``.next`` + Hadoop-FS swap,
+      ``'refreshed'``.
+    - Pre-profile artifact → retrain and swap (``'rebuilt'``).
+
+    Idempotent per corpus snapshot: exact integer occupancy histograms
+    make the second call on the same corpus PSI = 0 exactly."""
+    from ..operators.model_store import load_centroids, save_centroids
+    from ..operators.similarity import (
+        kmeans_cell_counts,
+        kmeans_lloyd_grid,
+    )
+
+    if n is None:
+        n = corpus.count()
+
+    def _train_and_save(target: str) -> None:
+        model: dict = {}
+        kmeans_lloyd_grid(
+            corpus, id_col, vec_col, k=k, iterations=iterations, grid=grid,
+            model_out=model,
+        ).collect()
+        occupancy = kmeans_cell_counts(
+            corpus, id_col, vec_col, model["centroids"], grid=grid
+        )
+        save_centroids(
+            spark, target, model["centroids"], grid,
+            occupancy_profile=occupancy,
+        )
+
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        _train_and_save(path)
+        return {"action": "built", "n": n, "psi_bound": psi_bound}
+
+    art = load_centroids(spark, path)
+    if art["grid"] != grid:
+        raise ValueError(
+            f"centroid artifact at {path} was trained on grid "
+            f"{art['grid']}, scoring requested grid {grid} — refusing "
+            "to compare occupancies across grids"
+        )
+
+    def _swap_in_fresh() -> None:
+        staging = path.rstrip("/") + ".next"
+        fs_stg, hstg = _hadoop_fs(spark, staging)
+        if fs_stg.exists(hstg):
+            fs_stg.delete(hstg, True)
+        _train_and_save(staging)
+        fs.delete(hpath, True)
+        if not fs.rename(hstg, hpath):
+            raise IOError(
+                f"centroid swap failed: rename({staging} -> {path}) "
+                "returned false on " + fs.getUri().toString()
+            )
+
+    if art["occupancy_profile"] is None:
+        _swap_in_fresh()
+        return {"action": "rebuilt", "n": n, "psi_bound": psi_bound}
+
+    drift = psi(
+        kmeans_cell_counts(
+            corpus, id_col, vec_col, art["centroids"], grid=art["grid"]
+        ),
+        art["occupancy_profile"],
     )
     report = {"n": n, "psi": round(drift, 6), "psi_bound": psi_bound}
     if drift <= psi_bound:

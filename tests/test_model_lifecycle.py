@@ -231,3 +231,126 @@ def test_partial_fertility_profile_rejected(spark, tmp_path):
     ).write.mode("overwrite").parquet(bad)
     with pytest.raises(ValueError, match="partial fertility"):
         load_tokenizer_artifact(spark, bad)
+
+
+# ---------------------------------------------------------------------------
+# k-means centroid lifecycle (r12 continuation #2)
+# ---------------------------------------------------------------------------
+
+
+def _vec_corpus(spark, shift: float = 0.0, n: int = 120):
+    """n 4-dim vectors in two blobs; ``shift`` moves the second blob —
+    drifting occupancy mass between cells under pinned centroids."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.when(F.col("id") % 2 == 0, 1.0).otherwise(0.0 + shift),
+            F.when(F.col("id") % 2 == 0, 0.0).otherwise(1.0 - shift),
+            (F.col("id") % 7).cast("double") / 100.0,
+            F.lit(0.0),
+        ).alias("embedding"),
+    )
+
+
+def test_centroid_artifact_roundtrip_and_rejections(spark, tmp_path):
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        load_centroids,
+        save_centroids,
+    )
+
+    cents = [[1000, 0, 3, 0], [0, 1000, -5, 0]]
+    p = str(tmp_path / "cents")
+    save_centroids(spark, p, cents, grid=1000, occupancy_profile=[60, 60])
+    art = load_centroids(spark, p)
+    assert art["centroids"] == cents
+    assert art["grid"] == 1000
+    assert art["occupancy_profile"] == [60, 60]
+
+    # truncated: drop one centroid row
+    rows = spark.read.parquet(p)
+    trunc = str(tmp_path / "trunc")
+    rows.where(~((F.col("cell") == 1) & (F.col("j") == 3))).write.parquet(trunc)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        load_centroids(spark, trunc)
+
+    # foreign: a classifier artifact is not a centroid artifact
+    foreign = str(tmp_path / "foreign")
+    save_classifier(spark, foreign, [1, 2, 3], 4)
+    with pytest.raises(ValueError, match="sentinel"):
+        load_centroids(spark, foreign)
+
+    # partial profile
+    part = str(tmp_path / "part")
+    rows.where(~((F.col("cell") == -3) & (F.col("j") == 1))).write.parquet(part)
+    with pytest.raises(ValueError, match="partial occupancy"):
+        load_centroids(spark, part)
+
+
+def test_refresh_kmeans_lifecycle_built_kept_refreshed(spark, tmp_path):
+    from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+        refresh_kmeans_if_drifted,
+    )
+
+    p = str(tmp_path / "km")
+    r1 = refresh_kmeans_if_drifted(
+        spark, _vec_corpus(spark), "vec_id", "embedding", p, k=2, grid=1000
+    )
+    assert r1["action"] == "built"
+
+    # same snapshot: exact integer occupancy -> PSI exactly 0 -> kept
+    r2 = refresh_kmeans_if_drifted(
+        spark, _vec_corpus(spark), "vec_id", "embedding", p, k=2, grid=1000
+    )
+    assert r2["action"] == "kept" and r2["psi"] == 0.0
+
+    # drifted corpus: the second blob moves onto the first -> occupancy
+    # mass shifts between cells -> refreshed
+    r3 = refresh_kmeans_if_drifted(
+        spark, _vec_corpus(spark, shift=0.9), "vec_id", "embedding", p,
+        k=2, grid=1000,
+    )
+    assert r3["action"] == "refreshed" and r3["psi"] > 0.2
+
+    # and the refreshed artifact is kept on its own corpus
+    r4 = refresh_kmeans_if_drifted(
+        spark, _vec_corpus(spark, shift=0.9), "vec_id", "embedding", p,
+        k=2, grid=1000,
+    )
+    assert r4["action"] == "kept" and r4["psi"] == 0.0
+
+
+def test_refresh_rebuilds_pre_profile_centroids(spark, tmp_path):
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        load_centroids,
+        save_centroids,
+    )
+    from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+        refresh_kmeans_if_drifted,
+    )
+
+    p = str(tmp_path / "km")
+    save_centroids(spark, p, [[1000, 0, 0, 0], [0, 1000, 0, 0]], grid=1000)
+    r = refresh_kmeans_if_drifted(
+        spark, _vec_corpus(spark), "vec_id", "embedding", p, k=2, grid=1000
+    )
+    assert r["action"] == "rebuilt"
+    assert load_centroids(spark, p)["occupancy_profile"] is not None
+
+
+def test_refresh_kmeans_rejects_cross_grid_scoring(spark, tmp_path):
+    from employee_activity_etl_poc_spark.operators.model_store import (
+        save_centroids,
+    )
+    from employee_activity_etl_poc_spark.plans.model_lifecycle import (
+        refresh_kmeans_if_drifted,
+    )
+
+    p = str(tmp_path / "km")
+    save_centroids(
+        spark, p, [[1000, 0, 0, 0], [0, 1000, 0, 0]], grid=1000,
+        occupancy_profile=[60, 60],
+    )
+    with pytest.raises(ValueError, match="grid"):
+        refresh_kmeans_if_drifted(
+            spark, _vec_corpus(spark), "vec_id", "embedding", p, k=2, grid=100
+        )

@@ -77,6 +77,7 @@ PLAN_BUILD_JOBS_OK = {
     "bpe_reload_token_counts": "full tokenizer-artifact lifecycle: train, save, reload — the gate IS the side effect (r12)",
     "dedup_minhash_df_pruned": "document-frequency prune: frequent-shingle set materialized before the anti-join",
     "kmeans_cluster_stats": "in-engine grid Lloyd's: per-iteration k x (dim+1) bigint centroid collects ARE the training; centroids ship as plan literals (r12c2)",
+    "kmeans_reload_stats": "full centroid-artifact lifecycle: train (shared memo), save, reload — the gate IS the side effect (r12c2)",
     "embedding_pca_top_component": "two-pass distributed PCA: the d x d gram collect IS the sufficient statistic; the eigen-step is a driver-side integer power iteration shipped back as a literal frame (r12c2)",
     "leakage_safe_split_counts": "iterative connected components — the iteration count is decided by convergence (r12c2)",
     # r10 measured null, RESOLVED r11 (judge ask #6): plain AQE-OFF in

@@ -103,8 +103,10 @@ QUERIES = [
     # (same broadcast-fold shape as embedding_topk)
     "embedding_hard_negatives",
     # round 12 continuation #2: in-engine grid Lloyd's (per iteration one
-    # assignment pass + one bounded k x (dim+1) collect)
+    # assignment pass + one bounded k x (dim+1) collect) + the centroid
+    # artifact gate scoring under reloaded centroids via the shared memo
     "kmeans_cluster_stats",
+    "kmeans_reload_stats",
     # round 12 continuation #2: two-pass distributed PCA (one
     # explode-by-dim gram aggregate; d x d bigint collect)
     "embedding_pca_top_component",
