@@ -141,6 +141,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "kmeans_reload_stats",
     "embedding_pca_top_component",
     "classifier_calibration_bins",
+    "source_overlap_matrix",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

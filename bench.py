@@ -217,6 +217,9 @@ HEADLINE = [
     # round 12 continuation #2: classifier reliability diagram (rides
     # the shared memoized fit; one window + one groupBy)
     "classifier_calibration_bins",
+    # round 12 continuation #2: pairwise source shingle-overlap matrix
+    # (gram-keyed pair join bounded by source cardinality)
+    "source_overlap_matrix",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -5221,3 +5221,75 @@ def kmeans_reload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.kmeans_assign_stats(
         emb, "vec_id", "embedding", art["centroids"], grid=art["grid"]
     ).withColumn("reload_identical", F.lit(bool(identical)).cast("int"))
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT source,
+             unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   for i in generate_series(1, len(ws) - 2)]))
+               AS gram
+      FROM w WHERE len(ws) >= 3
+    ),
+    sg AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS g
+      FROM sh
+    ),
+    tot AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT p.source_a, p.source_b, p.n_shared,
+           round(p.n_shared * 1.0 / (ta.n + tb.n - p.n_shared), 4) AS jaccard
+    FROM pairs p
+    JOIN tot ta ON ta.source = p.source_a
+    JOIN tot tb ON tb.source = p.source_b
+    """,
+    doc="Pairwise source-overlap matrix: for every source pair, the "
+    "count and Jaccard of SHARED distinct trigram shingles — the "
+    "redundancy complement of ngram_novelty_by_source (novelty says "
+    "'how much of me is mine'; this says WHO I overlap with — the "
+    "signal that decides which source to drop when two crawls cover "
+    "the same content). Same 60-bit shingle fingerprints; the pair "
+    "join is gram-keyed, so each gram contributes at most C(S,2) "
+    "pairs where S = number of SOURCES (bounded metadata cardinality, "
+    "~20 here) — never corpus-quadratic. Jaccard = one division of "
+    "exact bigints, rounded at the edge.",
+    tags=("llm", "text", "scale"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sg = (
+        docs.where(F.size(TX.tokens("text")) >= 3)
+        .select("source", F.explode(TX.shingles("text", 3)).alias("gram"))
+        .select("source", D._hash_long60(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    tot = sg.groupBy("source").agg(F.count("*").alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(tot.withColumnRenamed("source", "source_a").withColumnRenamed("n", "na"), "source_a")
+        .join(tot.withColumnRenamed("source", "source_b").withColumnRenamed("n", "nb"), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 4
+            ).alias("jaccard"),
+        )
+    )

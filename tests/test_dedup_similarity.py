@@ -2368,3 +2368,27 @@ def test_pca_top_component_deterministic(spark, sf_dir):
     b = SIM.pca_top_component_grid(emb, "vec_id", "embedding").collect()
     assert sorted(a) == sorted(b)
     assert len(a) == 64
+
+
+def test_source_overlap_matrix_registry_semantics(spark):
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+    import employee_activity_etl_poc_spark.plans.llm_queries  # noqa: F401
+    import os
+    import tempfile
+
+    # s0/s1 share 2 trigrams; s2 shares nothing
+    docs = [
+        (1, "common words here plus alpha beta gamma", "s0"),
+        (2, "common words here plus delta epsilon zeta", "s1"),
+        (3, "entirely disjoint vocabulary in this row", "s2"),
+    ]
+    import duckdb  # noqa: F401  (documents fixture written as parquet)
+    import pandas as pd
+
+    d = tempfile.mkdtemp(prefix="overlap_fixture_")
+    pd.DataFrame(
+        docs, columns=["doc_id", "text", "source"]
+    ).assign(lang="en", n_chars=40).to_parquet(os.path.join(d, "documents.parquet"))
+    out = REGISTRY["source_overlap_matrix"].fn(spark, d).collect()
+    m = {(r["source_a"], r["source_b"]): r["n_shared"] for r in out}
+    assert m == {("s0", "s1"): 2}  # zero-overlap pairs are absent

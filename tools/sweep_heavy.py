@@ -180,8 +180,11 @@ DOCS_LIGHT_QUERIES = [
     "quality_ensemble_report",
     "badwords_filter",
     # round 12 continuation #2: cross-source n-gram novelty (distinct
-    # gram aggregate + gram-keyed source count — tfidf-class cost)
+    # gram aggregate + gram-keyed source count — tfidf-class cost) and
+    # the pairwise overlap matrix (gram-keyed pair join, <= C(sources,2)
+    # pairs per gram)
     "ngram_novelty_by_source",
+    "source_overlap_matrix",
     "documents_domain_cap",
     "documents_sequence_packing",
     "documents_shard_stats",
