@@ -4924,7 +4924,10 @@ def _kmeans_oracle_sql(k: int = 8, iterations: int = 2, grid: int = 1000) -> str
                             x -> CAST(floor(x * {grid}) AS BIGINT)) AS gv
       FROM embeddings
     ),
-    c0 AS (SELECT vec_id AS cell, gv AS cv FROM e WHERE vec_id < {k})"""
+    c0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, gv AS cv
+      FROM (SELECT vec_id, gv FROM e ORDER BY vec_id LIMIT {k})
+    )"""
     ]
     prev = "c0"
     for i in range(1, iterations + 1):

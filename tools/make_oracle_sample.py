@@ -106,6 +106,18 @@ HEAVY_ORACLE_QUERIES = [
     # component oracles (classifier + ccnet terciles + DSIR), so it
     # takes the same sampled at-scale check they do
     "quality_ensemble_report",
+    # r12 continuation #2: the shingle-comprehension oracles (novelty /
+    # overlap), the recursive-CTE closure split, the unrolled-Lloyd and
+    # unrolled-power-iteration oracles (list-lambda distance/gram passes
+    # are brute force in DuckDB), and the calibration diagram that nests
+    # the classifier oracle
+    "ngram_novelty_by_source",
+    "source_overlap_matrix",
+    "leakage_safe_split_counts",
+    "kmeans_cluster_stats",
+    "kmeans_reload_stats",
+    "embedding_pca_top_component",
+    "classifier_calibration_bins",
 ]
 
 
