@@ -142,6 +142,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pca_top_component",
     "classifier_calibration_bins",
     "source_overlap_matrix",
+    "soft_dedup_incremental",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

@@ -220,6 +220,9 @@ HEADLINE = [
     # round 12 continuation #2: pairwise source shingle-overlap matrix
     # (gram-keyed pair join bounded by source cardinality)
     "source_overlap_matrix",
+    # round 12 continuation #2: ingest-time SoftDeDup against the
+    # content-count store (md5 groupBy + store left join per batch)
+    "soft_dedup_incremental",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -93,6 +93,74 @@ def soft_dedup_weights(
     )
 
 
+def soft_dedup_store(df: DataFrame, content_col: str) -> DataFrame:
+    """Content-hash count store for :func:`soft_dedup_incremental`:
+    ``(h, dup_count)`` — the persistable cross-batch state (parquet it
+    like the line/gram/signature stores; 40 bytes a distinct content)."""
+    return df.groupBy(F.md5(F.col(content_col)).alias("h")).agg(
+        F.count("*").alias("dup_count")
+    )
+
+
+def merge_soft_dedup_store(store: DataFrame | None, batch: DataFrame, content_col: str) -> DataFrame:
+    """store ∪ batch counts, summed per hash — the store after ingesting
+    ``batch``. One groupBy on the hash key; monotone, so replay-safe
+    callers snapshot per batch like the other stores."""
+    b = soft_dedup_store(batch, content_col)
+    if store is None:
+        return b
+    return (
+        store.unionByName(b)
+        .groupBy("h")
+        .agg(F.sum("dup_count").alias("dup_count"))
+    )
+
+
+def soft_dedup_incremental(
+    store: DataFrame | None,
+    batch: DataFrame,
+    content_col: str,
+    id_col: str,
+    grid: int = 1_000_000,
+) -> DataFrame:
+    """Ingest-time SoftDeDup: weight each arriving document by the
+    cumulative count of its content SO FAR — everything already in the
+    ``store`` (:func:`soft_dedup_store` over prior batches) plus its own
+    batch — so a page that keeps re-arriving contributes geometrically
+    less effective mass with every crawl, without the pipeline ever
+    re-reading old batches. This is deliberately NOT retro-reweighting
+    (the batch form :func:`soft_dedup_weights` over the final corpus):
+    weights are assigned when the document is ingested and never
+    revised, the only semantics an append-only 100 TB ingest loop can
+    afford — and exactly expressible in SQL as counts over
+    ``batch_id <= mine``, which is what the oracle replays.
+
+    Same output columns as :func:`soft_dedup_weights` (``dup_count`` is
+    the cumulative count). Per-batch cost: one batch-internal md5
+    groupBy + one hash-keyed left join against the store."""
+    b = batch.withColumn("__h", F.md5(F.col(content_col)))
+    in_batch = b.groupBy("__h").agg(F.count("*").alias("__bc"))
+    joined = b.join(in_batch, "__h")
+    if store is not None:
+        joined = joined.join(
+            store.withColumnRenamed("h", "__h").withColumnRenamed(
+                "dup_count", "__sc"
+            ),
+            "__h",
+            "left",
+        ).withColumn("__sc", F.coalesce(F.col("__sc"), F.lit(0)))
+    else:
+        joined = joined.withColumn("__sc", F.lit(0))
+    return (
+        joined.withColumn("dup_count", (F.col("__sc") + F.col("__bc")).cast("long"))
+        .withColumn(
+            "soft_weight_units",
+            F.floor(F.lit(grid) / F.col("dup_count")).cast("long"),
+        )
+        .drop("__h", "__bc", "__sc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -5296,3 +5296,88 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "soft_dedup_incremental",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, source, 1 AS batch FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text, source, 2 FROM documents WHERE doc_id % 7 = 0
+    ),
+    t AS (
+      SELECT doc_id, batch, source, md5(text) AS h,
+             len(string_split(text, ' ')) AS n_tok
+      FROM corpus
+    ),
+    cnt AS (
+      SELECT a.doc_id, count(*) AS dup_count
+      FROM t a JOIN t b ON a.h = b.h AND b.batch <= a.batch
+      GROUP BY a.doc_id
+    ),
+    w AS (
+      SELECT t.batch, t.source, t.n_tok, c.dup_count,
+             CAST(floor(1000000 / c.dup_count) AS BIGINT) AS wu
+      FROM t JOIN cnt c USING (doc_id)
+    )
+    SELECT batch, source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN dup_count > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat_docs,
+           CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           round(CAST(sum(wu * n_tok) AS BIGINT) / 1000000.0, 2)
+             AS effective_tokens
+    FROM w GROUP BY batch, source
+    """,
+    doc="Ingest-time SoftDeDup via the persistable content-count store "
+    "(dedup.soft_dedup_incremental / soft_dedup_store — the fourth "
+    "store family, after signatures, lines and grams): each arriving "
+    "batch is weighted by the CUMULATIVE count of its content — store "
+    "plus own batch — so re-crawled pages contribute geometrically "
+    "less effective mass per epoch without re-reading old batches, the "
+    "only reweighting an append-only ingest loop can afford (the batch "
+    "form is retro; this is the operational form). Batch 1 = the base "
+    "corpus, batch 2 = the every-7th verbatim re-crawl: batch-1 "
+    "weights are all full (nothing seen yet), batch-2 copies land at "
+    "1/2. The oracle replays cumulative counts as a batch_id <= mine "
+    "self-join. Per batch: one md5 groupBy + one store left join; "
+    "exact bigint effective mass.",
+    tags=("llm", "dedup", "sampling", "scale", "incremental"),
+)
+def soft_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b1 = docs
+    b2 = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    out1 = D.soft_dedup_incremental(None, b1, "text", "doc_id").withColumn(
+        "batch", F.lit(1)
+    )
+    store1 = D.soft_dedup_store(b1, "text")
+    out2 = D.soft_dedup_incremental(store1, b2, "text", "doc_id").withColumn(
+        "batch", F.lit(2)
+    )
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "batch",
+                "source",
+                "dup_count",
+                F.col("soft_weight_units").alias("wu"),
+                TX.n_tokens("text").alias("n_tok"),
+            )
+            .groupBy("batch", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum((F.col("dup_count") > 1).cast("long")).alias(
+                    "n_repeat_docs"
+                ),
+                F.sum("n_tok").alias("raw_tokens"),
+                F.round(F.sum(F.col("wu") * F.col("n_tok")) / 1000000.0, 2).alias(
+                    "effective_tokens"
+                ),
+            )
+        )
+
+    return agg(out1).unionByName(agg(out2))

@@ -2392,3 +2392,32 @@ def test_source_overlap_matrix_registry_semantics(spark):
     out = REGISTRY["source_overlap_matrix"].fn(spark, d).collect()
     m = {(r["source_a"], r["source_b"]): r["n_shared"] for r in out}
     assert m == {("s0", "s1"): 2}  # zero-overlap pairs are absent
+
+
+def test_soft_dedup_incremental_counts_accumulate_across_batches(spark):
+    mk = lambda ids, txt: spark.createDataFrame(  # noqa: E731
+        [(i, txt) for i in ids], "doc_id long, text string"
+    )
+    b1, b2, b3 = mk([1], "same page"), mk([2], "same page"), mk([3], "same page")
+    o1 = D.soft_dedup_incremental(None, b1, "text", "doc_id").collect()[0]
+    s1 = D.merge_soft_dedup_store(None, b1, "text")
+    o2 = D.soft_dedup_incremental(s1, b2, "text", "doc_id").collect()[0]
+    s2 = D.merge_soft_dedup_store(s1, b2, "text")
+    o3 = D.soft_dedup_incremental(s2, b3, "text", "doc_id").collect()[0]
+    assert (o1["dup_count"], o2["dup_count"], o3["dup_count"]) == (1, 2, 3)
+    assert (
+        o1["soft_weight_units"],
+        o2["soft_weight_units"],
+        o3["soft_weight_units"],
+    ) == (1000000, 500000, 333333)
+
+
+def test_soft_dedup_incremental_batch_internal_dups_count_together(spark):
+    batch = spark.createDataFrame(
+        [(1, "x y"), (2, "x y"), (3, "z w")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["dup_count"]
+        for r in D.soft_dedup_incremental(None, batch, "text", "doc_id").collect()
+    }
+    assert out == {1: 2, 2: 2, 3: 1}

@@ -50,8 +50,10 @@ QUERIES = [
     "dedup_exact",
     "dedup_exact_normalized",
     # round 12 continuation #2: SoftDeDup reweighting (exact-hash groupBy
-    # + same-key join — the soft counterpart of dedup_exact)
+    # + same-key join — the soft counterpart of dedup_exact) and its
+    # store-backed ingest-time form
     "soft_dedup_weights",
+    "soft_dedup_incremental",
     "dedup_minhash_lsh",
     "fuzzy_decontamination",
     "dedup_minhash_df_pruned",
