@@ -143,6 +143,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "classifier_calibration_bins",
     "source_overlap_matrix",
     "soft_dedup_incremental",
+    "embedding_norm_outliers",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

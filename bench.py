@@ -223,6 +223,9 @@ HEADLINE = [
     # round 12 continuation #2: ingest-time SoftDeDup against the
     # content-count store (md5 groupBy + store left join per batch)
     "soft_dedup_incremental",
+    # round 12 continuation #2: embedding norm-sanity audit (median/MAD
+    # modified-z per label over the JVM-fold norms)
+    "embedding_norm_outliers",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

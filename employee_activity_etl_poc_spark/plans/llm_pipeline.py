@@ -84,6 +84,10 @@ class IngestBatchResult:
     # histogram long before labeled evaluation exists. Alert/retrain on
     # a sustained breach via model_lifecycle.refresh_classifier_if_drifted.
     model_psi: float | None = None
+    # soft_dedup stage: arrived docs whose content-count (store + own
+    # batch, at ARRIVAL — before any gate) exceeded 1, i.e. docs whose
+    # exported chunks carry a decayed soft_weight_units; None = stage off
+    n_soft_reweighted: int | None = None
 
 
 class TemplateFloodError(RuntimeError):
@@ -139,6 +143,7 @@ def ingest_document_batch(
     line_sep: str = "\n",
     quality_model_path: str | None = None,
     model_min_score: float = 0.5,
+    soft_dedup: bool = False,
 ) -> IngestBatchResult:
     """Run one arrival batch (columns: doc_id, text) through the pipeline.
 
@@ -180,6 +185,26 @@ def ingest_document_batch(
     :func:`..plans.model_lifecycle.refresh_classifier_if_drifted` to
     retrain the artifact when the drift is sustained.
 
+    ``soft_dedup=True`` REPLACES the exact-repeat drops with
+    reweighting (He et al. 2024 SoftDeDup —
+    ``dedup.soft_dedup_incremental``): every arriving doc is counted
+    against the persistable content-count store (``softstore/``,
+    batch-keyed partitions with replay exclusion like every other
+    store; counts accumulate over ALL arrivals), and a doc whose
+    content repeats — in-batch or across batches — is KEPT with
+    ``soft_weight_units`` = floor(1e6 / cumulative count) instead of
+    dropped: a page duplicated 50x contributes ~one page of effective
+    training mass while never vanishing (hard dedup's failure mode on
+    high-quality boilerplate). Exact repeats are accordingly exempt
+    from both the in-batch exact drop and the near-dup loser drop
+    (their J=1 pair partner IS the earlier copy being reweighted);
+    non-identical near-dups still drop through the normal gates.
+    Exported chunks carry the weight column for the trainer to sample
+    by. Ingest-time semantics: weights are assigned at arrival and
+    never revised — the only reweighting an append-only loop affords.
+    ``n_soft_reweighted`` surfaces how many arrived docs carried
+    decayed weights.
+
     ``ann_index=True`` (requires ``vec_col`` on the batch) runs the
     index-lifecycle epoch hook: exported docs' embeddings append to
     ``embstore/`` (batch-keyed like the signature store), and
@@ -196,8 +221,42 @@ def ingest_document_batch(
     _recover_store(store_path)
 
     n_arrived = batch.count()
-    deduped = D.drop_exact_duplicates(batch, "text", "doc_id")
-    n_after_exact = deduped.count()
+
+    # Optional SoftDeDup weighting (computed at ARRIVAL, before any
+    # gate: the weight reflects global duplication pressure of the
+    # content, not survivorship)
+    soft_weights = None
+    n_soft_reweighted = None
+    soft_path = os.path.join(workdir, "softstore")
+    if soft_dedup:
+        _recover_store(soft_path)
+        if os.path.isdir(soft_path):
+            sstore = spark.read.parquet(soft_path)
+            if batch_id is not None and "batch" in sstore.columns:
+                sstore = sstore.where(F.col("batch") != F.lit(batch_id))
+            sstore = sstore.groupBy("h").agg(
+                F.sum("dup_count").cast("long").alias("dup_count")
+            )
+        else:
+            sstore = None
+        weighted = D.soft_dedup_incremental(
+            sstore, batch, "text", "doc_id"
+        ).persist()  # one pass serves the counts, the exemption and export
+        soft_weights = weighted.select(
+            "doc_id", "dup_count", "soft_weight_units"
+        )
+        exact_repeats = soft_weights.where(F.col("dup_count") > 1).select(
+            "doc_id"
+        )
+        n_soft_reweighted = exact_repeats.count()
+
+    if soft_dedup:
+        # exact repeats are reweighted, not dropped
+        deduped = batch
+        n_after_exact = n_arrived
+    else:
+        deduped = D.drop_exact_duplicates(batch, "text", "doc_id")
+        n_after_exact = deduped.count()
 
     # Optional C4-style line cleaning (Raffel et al. 2020 §2.2,
     # incremental form): strip lines already seen in ANY earlier batch
@@ -303,6 +362,11 @@ def ingest_document_batch(
         )
         .distinct()
     )
+    if soft_dedup:
+        # an exact repeat's J=1 pair partner is precisely the earlier
+        # copy it is being downweighted against — dropping it would
+        # re-introduce hard dedup through the back door
+        losers = losers.join(exact_repeats, "doc_id", "left_anti")
     survivors = deduped.join(losers, "doc_id", "left_anti")
     # every loser is a batch member, so the count equals docs actually
     # dropped from THIS batch (store-side pair members are never counted)
@@ -394,6 +458,10 @@ def ingest_document_batch(
     chunks = chunk_tokens(gated, "text", "doc_id").join(
         gated.select("doc_id", "quality", "lang"), "doc_id"
     )
+    if soft_dedup:
+        chunks = chunks.join(
+            soft_weights.select("doc_id", "soft_weight_units"), "doc_id"
+        )
     if batch_id is None:
         write_training_shards(
             chunks, shards_path, "doc_id", n_shards=n_shards, mode="append"
@@ -401,6 +469,10 @@ def ingest_document_batch(
         # append ALL batch signatures (survivors AND losers): later copies
         # of a dropped doc must still find a collision partner in the store
         sigs.write.mode("append").parquet(store_path)
+        if soft_dedup:
+            D.soft_dedup_store(batch, "text").write.mode("append").parquet(
+                soft_path
+            )
         if line_dedup:
             line_rows.write.mode("append").parquet(line_path)
         if span_dedup:
@@ -418,6 +490,10 @@ def ingest_document_batch(
         sigs.write.mode("overwrite").parquet(
             os.path.join(store_path, f"batch={batch_id}")
         )
+        if soft_dedup:
+            D.soft_dedup_store(batch, "text").write.mode("overwrite").parquet(
+                os.path.join(soft_path, f"batch={batch_id}")
+            )
         if line_dedup:
             line_rows.write.mode("overwrite").parquet(
                 os.path.join(line_path, f"batch={batch_id}")
@@ -461,11 +537,14 @@ def ingest_document_batch(
         ann_imbalance = report.get("imbalance")
 
     sigs.unpersist()
+    if soft_dedup:
+        weighted.unpersist()
     return IngestBatchResult(
         n_arrived, n_after_exact, n_losers, n_after_quality,
         n_span_tokens_removed, ann_action, ann_imbalance,
         preflight_est_pairs, preflight_est_docs,
         n_lines_removed, n_line_dropped, n_after_model, model_psi,
+        n_soft_reweighted,
     )
 
 

@@ -5381,3 +5381,74 @@ def soft_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(out1).unionByName(agg(out2))
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x))), 6) AS nrm
+      FROM embeddings
+    ),
+    med AS (SELECT label, quantile_cont(nrm, 0.5) AS med FROM e GROUP BY label),
+    mad AS (
+      SELECT e.label, quantile_cont(abs(e.nrm - m.med), 0.5) AS mad
+      FROM e JOIN med m USING (label) GROUP BY e.label
+    )
+    SELECT e.label,
+           count(*) AS n,
+           round(any_value(m.med), 4) AS med,
+           round(any_value(d.mad), 4) AS mad,
+           CAST(sum(CASE WHEN d.mad > 0
+                          AND abs(round(0.6745 * (e.nrm - m.med) / d.mad, 4))
+                              > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN med m USING (label) JOIN mad d USING (label)
+    GROUP BY e.label
+    """,
+    doc="Embedding sanity audit: robust (median/MAD modified-z) outlier "
+    "detection on VECTOR NORMS per label — zero/near-zero norms (failed "
+    "encodes) and scale blowups (mixed encoder versions) poison every "
+    "cosine downstream, and mean/stddev z-scores are exactly what a "
+    "contaminated norm tail breaks. The events_robust_outliers "
+    "machinery applied to the embedding table: norms fold JVM-side in "
+    "array order (both engines sum identically ordered doubles, then "
+    "round to the 1e-6 grid), two grouped percentile passes + broadcast "
+    "|labels|-row stats joins. At 100 TB swap exact percentile for the "
+    "mergeable t-digest, same shape.",
+    tags=("llm", "similarity", "quality", "agg"),
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x * x,
+                )
+            ),
+            6,
+        ).alias("nrm"),
+    )
+    med = e.groupBy("label").agg(F.expr("percentile(nrm, 0.5)").alias("med"))
+    with_med = e.join(F.broadcast(med), "label")
+    mad = with_med.groupBy("label").agg(
+        F.expr("percentile(abs(nrm - med), 0.5)").alias("mad")
+    )
+    rz = F.round(0.6745 * (F.col("nrm") - F.col("med")) / F.col("mad"), 4)
+    return (
+        with_med.join(F.broadcast(mad), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                ((F.col("mad") > 0) & (F.abs(rz) > 3.5)).cast("long")
+            ).alias("n_outliers"),
+        )
+    )

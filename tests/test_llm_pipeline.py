@@ -874,3 +874,98 @@ def test_streaming_ingest_with_quality_model(spark, tmp_path):
     n_rows = shards.count()
     run_once()
     assert spark.read.parquet(os.path.join(wd, "shards")).count() == n_rows
+
+
+def test_soft_dedup_stage_reweights_instead_of_dropping(spark, tmp_path):
+    """soft_dedup=True: exact repeats are KEPT with decayed weights
+    (in-batch and cross-batch via the softstore), near-dup drops still
+    apply to non-identical text, exported chunks carry the weight
+    column, and the batch-keyed store is replay-safe."""
+    wd = str(tmp_path / "ingest_soft")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    page = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30))
+    other = " ".join(f"epsi{i} zeta{i} eta{i} theta{i}" for i in range(30))
+    kw = dict(soft_dedup=True, min_quality=0.0, keep_langs=("unknown",))
+
+    # batch 0: the page twice (in-batch repeat) + one distinct doc
+    r1 = ingest_document_batch(
+        spark, mk([(1, page), (2, page), (3, other)]), wd, batch_id=0, **kw
+    )
+    assert r1.n_soft_reweighted == 2          # both copies of the page
+    assert r1.n_after_exact == 3              # nothing hard-dropped
+    assert r1.n_near_dup_losers == 0          # J=1 pair exempted
+    assert r1.n_after_quality == 3
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    w = {r["doc_id"]: r["soft_weight_units"] for r in shards.collect()}
+    assert w[1] == 500000 and w[2] == 500000 and w[3] == 1000000
+
+    # batch 1: the page AGAIN -> cumulative count 3, weight 1/3
+    r2 = ingest_document_batch(
+        spark, mk([(10, page)]), wd, batch_id=1, **kw
+    )
+    assert r2.n_soft_reweighted == 1 and r2.n_after_quality == 1
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    w10 = {r["doc_id"]: r["soft_weight_units"] for r in shards.collect()}[10]
+    assert w10 == 333333
+
+    # replay of batch 1 (crash case): its own softstore partition is
+    # excluded, so the replay repeats itself exactly
+    r2b = ingest_document_batch(
+        spark, mk([(10, page)]), wd, batch_id=1, **kw
+    )
+    assert r2b.n_soft_reweighted == 1
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    rows10 = shards.where(F.col("doc_id") == 10).collect()
+    assert {r["soft_weight_units"] for r in rows10} == {333333}
+
+
+def test_soft_dedup_stage_still_drops_nonidentical_near_dups(spark, tmp_path):
+    """The exemption is for EXACT repeats only: a first-word-dropped
+    near-duplicate still loses to the store copy."""
+    wd = str(tmp_path / "ingest_soft_nd")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    page = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30))
+    kw = dict(soft_dedup=True, min_quality=0.0, keep_langs=("unknown",))
+    ingest_document_batch(spark, mk([(1, page)]), wd, batch_id=0, **kw)
+    near = page.split(" ", 1)[1]  # first word dropped: J ~ 0.97, not 1
+    r = ingest_document_batch(spark, mk([(20, near)]), wd, batch_id=1, **kw)
+    assert r.n_soft_reweighted == 0
+    assert r.n_near_dup_losers == 1 and r.n_after_quality == 0
+
+
+def test_streaming_ingest_with_soft_dedup(spark, tmp_path):
+    """SoftDeDup under Structured Streaming: foreachBatch forwards
+    soft_dedup, so exact repeats arriving across micro-batches are kept
+    with geometrically decaying weights from the softstore — and a
+    restart with no new files stays exactly-once."""
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        stream_document_ingest,
+    )
+    from employee_activity_etl_poc_spark.streaming.ingest import (
+        run_to_completion,
+    )
+
+    page = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30))
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    wd = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    kw = dict(soft_dedup=True, min_quality=0.0, keep_langs=("unknown",))
+
+    def run_once():
+        run_to_completion(
+            stream_document_ingest(spark, str(src / "*"), wd, ckpt, **kw)
+        )
+
+    mk([(1, page)]).coalesce(1).write.parquet(str(src / "b1"))
+    run_once()
+    mk([(2, page)]).coalesce(1).write.parquet(str(src / "b2"))
+    run_once()
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    w = {r["doc_id"]: r["soft_weight_units"] for r in shards.collect()}
+    assert w == {1: 1000000, 2: 500000}
+    # restart with no new arrivals: exactly-once with the stage on
+    n = shards.count()
+    run_once()
+    assert spark.read.parquet(os.path.join(wd, "shards")).count() == n

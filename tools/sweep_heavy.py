@@ -102,8 +102,10 @@ QUERIES = [
     "embedding_topk_filtered",
     "embedding_ivf_filtered_topk",
     # round 12 continuation #2: label-prefiltered contrastive mining
-    # (same broadcast-fold shape as embedding_topk)
+    # (same broadcast-fold shape as embedding_topk) and the norm-sanity
+    # audit (one fold pass + two grouped percentiles)
     "embedding_hard_negatives",
+    "embedding_norm_outliers",
     # round 12 continuation #2: in-engine grid Lloyd's (per iteration one
     # assignment pass + one bounded k x (dim+1) collect) + the centroid
     # artifact gate scoring under reloaded centroids via the shared memo
