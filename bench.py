@@ -226,6 +226,9 @@ HEADLINE = [
     # round 12 continuation #2: embedding norm-sanity audit (median/MAD
     # modified-z per label over the JVM-fold norms)
     "embedding_norm_outliers",
+    # round 12 continuation #2: contrastive triplet emission (anchor,
+    # positive, hard negative) — one similarity pass, two rank splits
+    "embedding_triplet_mining",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -265,6 +265,109 @@ def _perm_params(num_perm: int) -> list[tuple[int, int]]:
     return params
 
 
+def _pow_int(x: Column, e: int) -> Column:
+    """x**e for a power-of-two exponent by repeated squaring — explicit
+    IEEE multiplications only, so Spark and the SQL oracle compute
+    bit-identical doubles (library pow() is not guaranteed
+    correctly-rounded and could flip a grid unit at the boundary)."""
+    assert e >= 1 and (e & (e - 1)) == 0, "power-of-two exponents only"
+    while e > 1:
+        x = x * x
+        e //= 2
+    return x
+
+
+def pow_int_sql(expr: str, e: int) -> str:
+    """SQL twin of :func:`_pow_int` (same repeated-squaring product)."""
+    assert e >= 1 and (e & (e - 1)) == 0
+    while e > 1:
+        expr = f"(({expr}) * ({expr}))"
+        e //= 2
+    return expr
+
+
+def lsh_parameter_report(
+    spark: SparkSession,
+    num_perm: int = 16,
+    threshold: float = 0.5,
+    grid_steps: int = 1000,
+) -> DataFrame:
+    """Banding-parameter tuner for minhash LSH (the public
+    ``datasketch.MinHashLSH`` ``_optimal_param`` computation, done
+    in-engine): for every (bands b, rows r) split of ``num_perm``, the
+    S-curve P(candidate | J=t) = 1 − (1 − tʳ)ᵇ is integrated on a
+    midpoint grid to get the false-positive area below ``threshold``
+    and the false-negative area above it; the split minimizing their
+    sum is the one the near-dup join should run with. This is the
+    report that justifies (or indicts) the bands=4/rows=4 default every
+    minhash query in the registry uses.
+
+    Engine-exact: the curve is evaluated with repeated-squaring
+    MULTIPLICATIONS only (num_perm a power of two makes every divisor
+    exponent a power of two), each grid point pins to the 1e-9 grid as
+    a bigint, and the areas are exact unit sums divided once at the
+    edge. Input-free (a parameter sweep over ``range(grid_steps)``) —
+    cost is O(grid_steps · divisors), independent of any corpus."""
+    assert num_perm & (num_perm - 1) == 0, "num_perm must be a power of two"
+    splits = []
+    b = 1
+    while b <= num_perm:
+        splits.append((b, num_perm // b))
+        b *= 2
+    grid_df = spark.range(grid_steps).select(
+        ((F.col("id") + 0.5) / grid_steps).alias("t")
+    )
+    combos = local_df(
+        spark, splits, "bands int, rows_per_band int"
+    )
+    rows = grid_df.crossJoin(F.broadcast(combos))
+    # P(t) per (b, r) — a CASE branch per split, since the repeated-
+    # squaring exponents must be literals
+    p = None
+    for bb, rr in splits:
+        expr = 1.0 - _pow_int(1.0 - _pow_int(F.col("t"), rr), bb)
+        cond = (F.col("bands") == bb) & (F.col("rows_per_band") == rr)
+        p = F.when(cond, expr) if p is None else p.when(cond, expr)
+    p9 = F.floor(p * 1000000000 + 0.5).cast("long")
+    agg = (
+        rows.select(
+            "bands", "rows_per_band", "t", p9.alias("p9")
+        )
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(F.col("t") < threshold, F.col("p9")).otherwise(0)).alias(
+                "fp_units"
+            ),
+            F.sum(
+                F.when(F.col("t") >= threshold, 1000000000 - F.col("p9")).otherwise(0)
+            ).alias("fn_units"),
+        )
+    )
+    scale = float(grid_steps) * 1e9
+    from pyspark.sql import Window
+
+    out = agg.select(
+        "bands",
+        "rows_per_band",
+        F.round(F.col("fp_units") / scale, 6).alias("fp_area"),
+        F.round(F.col("fn_units") / scale, 6).alias("fn_area"),
+        (F.col("fp_units") + F.col("fn_units")).alias("err_units"),
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.select(
+        "bands",
+        "rows_per_band",
+        "fp_area",
+        "fn_area",
+        F.round(F.col("err_units") / scale, 6).alias("total_error"),
+        (F.col("err_units") == F.min("err_units").over(w)).cast("int").alias(
+            "recommended"
+        ),
+    )
+
+
 def minhash_signature(shingle_arr: Column, num_perm: int = 16) -> Column:
     """num_perm minhash values over a shingle array.
 

@@ -266,6 +266,81 @@ def hard_negative_topk(
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def triplet_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_negatives: int = 3,
+    sim_decimals: int = 6,
+) -> DataFrame:
+    """(anchor, positive, hard-negative) TRIPLET emission — the actual
+    training-data format contrastive fine-tuning consumes (triplet /
+    InfoNCE losses; Schroff et al. 2015 FaceNet's semi-hard mining,
+    Karpukhin et al. 2020 DPR's hard negatives): per anchor, the
+    top-1 most-similar SAME-label vector (the positive; self excluded)
+    crossed with the top-``n_negatives`` most-similar DIFFERENT-label
+    vectors (the hard negatives), one row per (anchor, negative) with
+    the margin the loss will see. ONE similarity pass (broadcast
+    anchors x corpus fold) feeds both windows — positives and negatives
+    are rank splits of the same frame, not two scans.
+
+    Margin = pos_sim − neg_sim on the rounded grid: a small or negative
+    margin is exactly the triplet worth training on."""
+    from pyspark.sql import Window
+
+    c = _as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        norm(F.col("v")).alias("cn"),
+        F.col(label_col).alias("_nlabel"),
+    )
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("v").alias("qv"),
+        norm(F.col("v")).alias("qn"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            (F.col("_nlabel") == F.col("_qlabel")).alias("same_label"),
+            F.round(
+                dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+                sim_decimals,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same_label").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    ranked = sims.withColumn("rnk", F.row_number().over(w))
+    pos = ranked.where(F.col("same_label") & (F.col("rnk") == 1)).select(
+        "anchor_id",
+        F.col("neighbor_id").alias("positive_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = ranked.where(~F.col("same_label") & (F.col("rnk") <= n_negatives)).select(
+        "anchor_id",
+        F.col("neighbor_id").alias("negative_id"),
+        F.col("sim").alias("neg_sim"),
+        F.col("rnk").alias("neg_rnk"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "positive_id",
+        "negative_id",
+        "pos_sim",
+        "neg_sim",
+        "neg_rnk",
+        F.round(F.col("pos_sim") - F.col("neg_sim"), sim_decimals).alias("margin"),
+    )
+
+
 def near_duplicate_pairs_exact_small(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.99
 ) -> DataFrame:

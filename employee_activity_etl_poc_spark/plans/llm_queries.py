@@ -5452,3 +5452,120 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "embedding_triplet_mining",
+    """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS aid, label AS albl, v AS qv FROM e WHERE vec_id < 10),
+    sims AS (
+      SELECT aid, e.vec_id AS nid, e.label = q.albl AS same_label,
+             round(list_cosine_similarity(e.v, q.qv), 6) AS sim
+      FROM e, q WHERE e.vec_id <> q.aid
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY aid, same_label
+                                   ORDER BY sim DESC, nid) AS rnk
+      FROM sims
+    ),
+    pos AS (SELECT aid, nid AS positive_id, sim AS pos_sim
+            FROM ranked WHERE same_label AND rnk = 1),
+    neg AS (SELECT aid, nid AS negative_id, sim AS neg_sim, rnk AS neg_rnk
+            FROM ranked WHERE NOT same_label AND rnk <= 3)
+    SELECT p.aid AS anchor_id, p.positive_id, n.negative_id,
+           p.pos_sim, n.neg_sim, n.neg_rnk,
+           round(p.pos_sim - n.neg_sim, 6) AS margin
+    FROM pos p JOIN neg n USING (aid)
+    """,
+    doc="Contrastive TRIPLET mining (similarity.triplet_mining — the "
+    "(anchor, positive, hard-negative) emission format triplet/InfoNCE "
+    "fine-tuning consumes; FaceNet mining + DPR hard negatives): per "
+    "anchor, the top-1 same-label neighbor crossed with the top-3 "
+    "most-similar different-label vectors, with the margin the loss "
+    "sees (small/negative margin = the triplet worth training on). ONE "
+    "broadcast-fold similarity pass feeds both rank splits via a "
+    "(anchor, same_label) window — positives and negatives are not two "
+    "scans. Completes the mining family: embedding_hard_negatives "
+    "emits negatives only; this emits the training rows.",
+    tags=("llm", "similarity"),
+)
+def embedding_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return SIM.triplet_mining(
+        emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", "label",
+        n_negatives=3,
+    )
+
+
+def _lsh_tuning_oracle(num_perm: int = 16, threshold: float = 0.5,
+                       grid_steps: int = 1000) -> str:
+    from ..operators.dedup import pow_int_sql
+
+    branches = []
+    b = 1
+    while b <= num_perm:
+        r = num_perm // b
+        inner = pow_int_sql("t", r)
+        outer = pow_int_sql(f"(1.0 - {inner})", b)
+        branches.append(
+            f"WHEN bands = {b} AND rows_per_band = {r} THEN 1.0 - {outer}"
+        )
+        b *= 2
+    case = "CASE " + " ".join(branches) + " END"
+    combos = ", ".join(
+        f"({bb}, {num_perm // bb})"
+        for bb in [2 ** i for i in range(num_perm.bit_length()) if 2 ** i <= num_perm]
+    )
+    scale = f"({grid_steps} * 1000000000.0)"
+    return f"""
+    WITH combos(bands, rows_per_band) AS (VALUES {combos}),
+    g AS (SELECT (i + 0.5) / {grid_steps} AS t
+          FROM generate_series(0, {grid_steps - 1}) AS s(i)),
+    pts AS (
+      SELECT bands, rows_per_band, t,
+             CAST(floor(({case}) * 1000000000 + 0.5) AS BIGINT) AS p9
+      FROM g, combos
+    ),
+    agg AS (
+      SELECT bands, rows_per_band,
+             CAST(sum(CASE WHEN t < {threshold} THEN p9 ELSE 0 END) AS BIGINT)
+               AS fp_units,
+             CAST(sum(CASE WHEN t >= {threshold} THEN 1000000000 - p9
+                           ELSE 0 END) AS BIGINT) AS fn_units
+      FROM pts GROUP BY bands, rows_per_band
+    )
+    SELECT bands, rows_per_band,
+           round(fp_units / {scale}, 6) AS fp_area,
+           round(fn_units / {scale}, 6) AS fn_area,
+           round((fp_units + fn_units) / {scale}, 6) AS total_error,
+           CAST(fp_units + fn_units =
+                (SELECT min(fp_units + fn_units) FROM agg) AS INT)
+             AS recommended
+    FROM agg
+    """
+
+
+@register(
+    "dedup_lsh_parameter_report",
+    _lsh_tuning_oracle(16, 0.5, 1000),
+    doc="MinHash-LSH banding tuner (dedup.lsh_parameter_report — the "
+    "datasketch optimal_param computation in-engine): for every "
+    "(bands, rows) split of the 16-permutation signature, integrate "
+    "the S-curve P(candidate|J=t) = 1-(1-t^r)^b on a 1000-point "
+    "midpoint grid into false-positive area below the 0.5 threshold "
+    "and false-negative area above it; the minimum-total-error split "
+    "is flagged recommended — the report that justifies (or indicts) "
+    "the bands=4/rows=4 default every minhash query uses. Engine-"
+    "exact: the curve is evaluated with repeated-squaring "
+    "MULTIPLICATIONS only (library pow() is not correctly-rounded; a "
+    "boundary grid unit could flip), each point pins to the 1e-9 grid, "
+    "areas are exact bigint unit sums. Input-free parameter sweep — "
+    "O(grid x splits) regardless of corpus.",
+    tags=("llm", "dedup", "profiling"),
+)
+def dedup_lsh_parameter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_parameter_report(spark, num_perm=16, threshold=0.5,
+                                  grid_steps=1000)

@@ -2421,3 +2421,41 @@ def test_soft_dedup_incremental_batch_internal_dups_count_together(spark):
         for r in D.soft_dedup_incremental(None, batch, "text", "doc_id").collect()
     }
     assert out == {1: 2, 2: 2, 3: 1}
+
+
+def test_triplet_mining_margins_and_rank_splits(spark):
+    q = [1.0, 0.0, 0.0]
+    corpus = _vecs(
+        spark,
+        [
+            (1, q),                    # anchor, label 0
+            (2, [0.99, 0.14, 0.0]),    # same label: the positive
+            (4, [0.6, 0.8, 0.0]),      # same label, farther
+            (6, [0.999, 0.045, 0.0]),  # diff label: hard negative 1 (closer than the positive)
+            (9, [0.7, 0.71, 0.0]),     # diff label: negative 2
+        ],
+    ).withColumn("label", F.when(F.col("vec_id") < 5, 0).otherwise(1))
+    out = SIM.triplet_mining(
+        corpus, corpus.where(F.col("vec_id") == 1), "vec_id", "embedding",
+        "label", n_negatives=2,
+    ).orderBy("neg_rnk").collect()
+    assert [r["positive_id"] for r in out] == [2, 2]
+    assert [r["negative_id"] for r in out] == [6, 9]
+    # the nearest negative is CLOSER than the positive in this planted
+    # neighborhood: a negative margin — exactly the triplet worth mining
+    assert out[0]["margin"] < 0 < out[1]["margin"]
+
+
+def test_lsh_parameter_report_shape_and_default_validation(spark):
+    rep = {
+        (r["bands"], r["rows_per_band"]): r
+        for r in D.lsh_parameter_report(spark, num_perm=16, threshold=0.5).collect()
+    }
+    assert set(rep) == {(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)}
+    # fp grows with bands, fn shrinks (more bands = more permissive)
+    fps = [rep[k]["fp_area"] for k in sorted(rep)]
+    fns = [rep[k]["fn_area"] for k in sorted(rep)]
+    assert fps == sorted(fps) and fns == sorted(fns, reverse=True)
+    # exactly one recommended split, and it is the registry default 4x4
+    rec = [k for k, r in rep.items() if r["recommended"] == 1]
+    assert rec == [(4, 4)]

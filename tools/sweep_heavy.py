@@ -106,6 +106,9 @@ QUERIES = [
     # audit (one fold pass + two grouped percentiles)
     "embedding_hard_negatives",
     "embedding_norm_outliers",
+    # round 12 continuation #2: triplet emission (one broadcast-fold
+    # pass + two rank splits of the same frame)
+    "embedding_triplet_mining",
     # round 12 continuation #2: in-engine grid Lloyd's (per iteration one
     # assignment pass + one bounded k x (dim+1) collect) + the centroid
     # artifact gate scoring under reloaded centroids via the shared memo
@@ -286,6 +289,10 @@ RELATIONAL_QUERIES = [
 # scale with the fixture, so a decade ratio is meaningless — each entry
 # states why (the contract test requires a rationale).
 EXEMPT = {
+    "dedup_lsh_parameter_report": (
+        "input-free parameter sweep over range(grid_steps) — reads no "
+        "fixture table; cost is O(grid x splits) by construction"
+    ),
     "streaming_ingest_gate": (
         "structured-streaming micro-batch gate: cost is O(batch) by "
         "design (checkpoint/restart semantics pytest-covered); input is "
