@@ -103,8 +103,9 @@ class TemplateFloodError(RuntimeError):
 def _recover_store(store_path: str) -> None:
     """Startup recovery for a crash mid-way through a store prune's
     write-then-swap (:func:`prune_signature_store` /
-    :func:`prune_line_store` / :func:`prune_gram_store` — all three
-    persistent stores share the protocol): a leftover ``__pre_prune``
+    :func:`prune_line_store` / :func:`prune_gram_store` /
+    :func:`prune_soft_store` — all four persistent stores share the
+    protocol): a leftover ``__pre_prune``
     backup either replaces a missing store (crash between the two moves)
     or is discarded (crash after the swap, before cleanup); an incomplete
     ``__pruning`` staging dir is always discarded (the prune simply
@@ -762,6 +763,62 @@ def prune_gram_store(
     return _prune_store(
         spark,
         os.path.join(workdir, "gramstore"),
+        _transform,
+        target_rows_per_file,
+        completed_below=completed_below,
+    )
+
+
+def prune_soft_store(
+    spark: SparkSession,
+    workdir: str,
+    keep=None,
+    min_count: int | None = None,
+    target_rows_per_file: int = 50_000_000,
+    completed_below: int | None = None,
+) -> int:
+    """Retention + compaction for the SoftDeDup content-count store
+    (the :func:`..operators.dedup.soft_dedup_incremental` state — the
+    fourth store family, given the same lifecycle as signatures, lines
+    and grams). Compaction merges the per-batch count fragments —
+    ``sum(dup_count) GROUP BY h`` — which is exactly what every
+    soft-dedup read replays today, so a compacted store also makes each
+    batch's cumulative-count read cheaper. Retention axes: ``keep`` (a
+    predicate over the MERGED (h, dup_count) rows) and/or ``min_count``
+    — dropping count-1 hashes (``min_count=2``) is the high-leverage
+    policy: a content seen once carries full weight anyway, so
+    forgetting it only means its NEXT copy also gets full weight
+    instead of 1/2 (the re-admission trade, expressed in weights — see
+    the cross-store coupling note below before pruning only this store).
+
+    The policy trade: pruning a hash forgets its duplication pressure —
+    later copies restart the 1, 1/2, 1/3 decay from 1. CROSS-STORE
+    COUPLING: under ``soft_dedup=True`` a doc is exempt from the
+    near-dup loser drop only while its content COUNT says repeat — if
+    the softstore forgets a content but the SIGNATURE store still holds
+    its minhashes, the next copy arrives with dup_count=1, loses its
+    exemption, and is HARD-DROPPED by the J=1 pair instead of
+    re-admitted at full weight (pytest demonstrates both outcomes).
+    Prune the two stores on the SAME horizon when the intent is
+    re-admission. On a live stream
+    pass ``completed_below`` (lowest possibly-replayable batch id):
+    merging a still-replayable batch's counts into ``batch=-1`` would
+    double-count its content on replay (:func:`_prune_store`'s
+    replay-hazard note). Returns the retained distinct-content count."""
+
+    def _transform(df: DataFrame) -> DataFrame:
+        merged = df.groupBy("h").agg(
+            F.sum("dup_count").cast("long").alias("dup_count")
+        )
+        if min_count is not None:
+            merged = merged.where(F.col("dup_count") >= min_count)
+        if keep is not None:
+            merged = merged.where(keep)
+        return merged.select("h", "dup_count")
+
+    return _prune_store(
+        spark,
+        os.path.join(workdir, "softstore"),
         _transform,
         target_rows_per_file,
         completed_below=completed_below,

@@ -969,3 +969,90 @@ def test_streaming_ingest_with_soft_dedup(spark, tmp_path):
     n = shards.count()
     run_once()
     assert spark.read.parquet(os.path.join(wd, "shards")).count() == n
+
+
+def test_prune_soft_store_merges_counts_and_readmission_trade(spark, tmp_path):
+    """Softstore lifecycle (the fourth store family): compaction merges
+    per-batch count fragments without changing any cumulative weight;
+    min_count retention forgets count-1 content, so its next copy is
+    re-admitted at FULL weight instead of 1/2 — the re-admission trade
+    expressed in weights."""
+    from employee_activity_etl_poc_spark.operators import dedup as D
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        prune_soft_store,
+    )
+
+    wd = str(tmp_path / "ingest_soft")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    page = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30))
+    once = " ".join(f"epsi{i} zeta{i} eta{i} theta{i}" for i in range(30))
+    kw = dict(soft_dedup=True, min_quality=0.0, keep_langs=("unknown",))
+    ingest_document_batch(spark, mk([(1, page), (2, once)]), wd, batch_id=0, **kw)
+    ingest_document_batch(spark, mk([(10, page)]), wd, batch_id=1, **kw)
+
+    # compaction (no retention): weights of the NEXT batch unchanged
+    kept = prune_soft_store(spark, wd, completed_below=2)
+    assert kept == 2  # two distinct contents, fragments merged
+    r3 = ingest_document_batch(spark, mk([(20, page)]), wd, batch_id=2, **kw)
+    assert r3.n_soft_reweighted == 1
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    w20 = {r["doc_id"]: r["soft_weight_units"] for r in shards.collect()}[20]
+    assert w20 == 333333  # cumulative count 3 survives compaction
+
+    # retention min_count=2 WITHOUT pruning the signature store: the
+    # once-seen content is forgotten by the softstore but its minhashes
+    # remain — the next copy loses its exact-repeat exemption and is
+    # HARD-DROPPED by the J=1 store pair (the documented cross-store
+    # coupling); the page keeps its pressure
+    prune_soft_store(spark, wd, min_count=2, completed_below=3)
+    r4 = ingest_document_batch(
+        spark, mk([(30, once), (31, page)]), wd, batch_id=3, **kw
+    )
+    assert r4.n_near_dup_losers == 1  # doc 30: dropped, not re-admitted
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    w = {r["doc_id"]: r["soft_weight_units"] for r in shards.collect()}
+    assert 30 not in w
+    assert w[31] == 250000   # 4th copy of the page: 1/4
+    assert r4.n_soft_reweighted == 1
+
+    # prune BOTH stores on the same horizon -> true re-admission: the
+    # forgotten content's next copy exports again at FULL weight
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        prune_signature_store,
+    )
+    from pyspark.sql import functions as SF
+    prune_soft_store(spark, wd, min_count=2, completed_below=4)
+    prune_signature_store(
+        spark, wd, keep=~SF.col("doc").isin(2, 30), completed_below=4
+    )
+    r5 = ingest_document_batch(spark, mk([(40, once)]), wd, batch_id=4, **kw)
+    assert r5.n_near_dup_losers == 0 and r5.n_soft_reweighted == 0
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    w40 = {r["doc_id"]: r["soft_weight_units"] for r in shards.collect()}[40]
+    assert w40 == 1000000  # re-admitted, decay restarted
+
+
+def test_prune_soft_store_replay_guard(spark, tmp_path):
+    """Merging a still-replayable batch's counts into batch=-1 would
+    double-count its content on replay — completed_below must keep the
+    replayable partition, and compacting under it must repeat-weight
+    identically on replay."""
+    from employee_activity_etl_poc_spark.plans.llm_pipeline import (
+        prune_soft_store,
+    )
+
+    wd = str(tmp_path / "ingest_soft")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    page = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(30))
+    kw = dict(soft_dedup=True, min_quality=0.0, keep_langs=("unknown",))
+    ingest_document_batch(spark, mk([(1, page)]), wd, batch_id=0, **kw)
+    ingest_document_batch(spark, mk([(10, page)]), wd, batch_id=1, **kw)
+    prune_soft_store(spark, wd, completed_below=1)  # batch 1 replayable
+    # replay batch 1: its own partition is still excludable -> weight
+    # repeats EXACTLY (1/2), no self-double-count
+    r = ingest_document_batch(spark, mk([(10, page)]), wd, batch_id=1, **kw)
+    assert r.n_soft_reweighted == 1
+    shards = spark.read.parquet(os.path.join(wd, "shards"))
+    rows10 = {r["soft_weight_units"] for r in
+              shards.where(F.col("doc_id") == 10).collect()}
+    assert rows10 == {500000}
