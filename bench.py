@@ -229,6 +229,9 @@ HEADLINE = [
     # round 12 continuation #2: contrastive triplet emission (anchor,
     # positive, hard negative) — one similarity pass, two rank splits
     "embedding_triplet_mining",
+    # round 12 continuation #2: fertility-vs-vocab-size curve (rides
+    # the shared BPE fit memo; one bounded fold per curve point)
+    "bpe_vocab_size_curve",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -1628,3 +1628,59 @@ def blocklist_filter(
         nb.cast("long").alias("n_bad"),
         keep.alias("keep"),
     )
+
+
+def bpe_vocab_size_curve(
+    df,
+    text_col: str,
+    merges: list[dict],
+    ks: tuple[int, ...] = (0, 2, 4, 6),
+):
+    """Fertility-vs-vocabulary-size curve: corpus token mass and
+    tokens-per-char under the FIRST k learned merges, for each k — the
+    marginal-compression-per-merge table a tokenizer-size decision
+    reads (every merge buys less than the one before; this shows where
+    the curve flattens). Exact by the greedy-prefix property: BPE
+    training is greedy-sequential, so ``merges[:k]`` of an n-merge fit
+    IS the k-merge fit — one training run serves every point.
+
+    One distinct-word frame, one vocabulary-bounded tokenize fold per
+    k (k=0 = character split); occurrence weights multiply back at
+    aggregate time, so nothing is per-corpus-token."""
+    txt = F.col(text_col)
+    lw = (
+        df.select(F.explode(F.split(txt, TOKEN_SPLIT)).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    frames = []
+    for k in ks:
+        if k > len(merges):
+            raise ValueError(f"k={k} exceeds learned merges ({len(merges)})")
+        wtok = lw.select(
+            F.lit(int(k)).alias("n_merges"),
+            "n",
+            F.length("word").alias("n_chr"),
+            F.size(bpe_tokenize("word", merges[:k])).alias("n_tok"),
+        )
+        frames.append(
+            wtok.groupBy("n_merges").agg(
+                F.sum("n").alias("n_words"),
+                F.sum(F.col("n") * F.col("n_chr")).alias("n_chars"),
+                F.sum(F.col("n") * F.col("n_tok")).alias("n_bpe_tokens"),
+                (
+                    F.floor(
+                        F.sum(F.col("n") * F.col("n_tok"))
+                        * 1000000.0
+                        / F.sum(F.col("n") * F.col("n_chr"))
+                        + 0.5
+                    )
+                    / 1000000.0
+                ).alias("tokens_per_char"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -5569,3 +5569,53 @@ def _lsh_tuning_oracle(num_perm: int = 16, threshold: float = 0.5,
 def dedup_lsh_parameter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_parameter_report(spark, num_perm=16, threshold=0.5,
                                   grid_steps=1000)
+
+
+def _bpe_curve_oracle(n: int = 6, ks: tuple[int, ...] = (0, 2, 4, 6)) -> str:
+    """Curve oracle: the shared unrolled-merge scaffolding already
+    produces it{k+1} (the vocabulary after k merges) for every k — the
+    fertility at each curve point just reads a different iteration
+    frame (the greedy-prefix property, in SQL form)."""
+    body = _BPE_ORACLE_BASE + "".join(_bpe_iter_sql(m) for m in range(1, n + 1))
+    pts = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS n_merges, word, len(syms) AS n_tok, "
+        f"length(word) AS n_chr FROM it{k + 1}"
+        for k in ks
+    )
+    return body + f""",
+    lw AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    pts AS ({pts})
+    SELECT n_merges,
+      CAST(sum(n) AS BIGINT) AS n_words,
+      CAST(sum(n * n_chr) AS BIGINT) AS n_chars,
+      CAST(sum(n * n_tok) AS BIGINT) AS n_bpe_tokens,
+      floor(sum(n * n_tok) * 1000000.0 / sum(n * n_chr) + 0.5) / 1000000.0
+        AS tokens_per_char
+    FROM lw JOIN pts USING (word) GROUP BY n_merges
+    """
+
+
+@register(
+    "bpe_vocab_size_curve",
+    _bpe_curve_oracle(_BPE_MERGES, (0, 2, 4, 6)),
+    doc="Tokenizer fertility-vs-vocabulary-size curve "
+    "(textops.bpe_vocab_size_curve): corpus token mass and "
+    "tokens-per-char under the first k learned merges for "
+    "k in {0, 2, 4, 6} — the marginal-compression-per-merge table a "
+    "vocab-size decision reads (where the curve flattens, stop paying "
+    "embedding rows for merges). Exact by the GREEDY-PREFIX property: "
+    "BPE training is greedy-sequential, so merges[:k] of the memoized "
+    "6-merge fit IS the k-merge fit — one training run serves every "
+    "point, and the oracle's unrolled-merge scaffolding already holds "
+    "each point's vocabulary as it{k+1}. One distinct-word frame, one "
+    "vocabulary-bounded fold per point; k=0 = character baseline.",
+    tags=("llm", "text", "ml", "scale"),
+)
+def bpe_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ms = _bpe_trained(spark, sf_dir, docs)
+    return TX.bpe_vocab_size_curve(docs, "text", ms, ks=(0, 2, 4, 6))

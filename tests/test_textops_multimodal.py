@@ -807,3 +807,26 @@ def test_tokenizer_store_roundtrip_and_guards(spark, tmp_path):
     ).write.mode("overwrite").parquet(empty)
     with _pytest.raises(ValueError, match="sentinel"):
         load_tokenizer(spark, empty)
+
+
+def test_bpe_vocab_size_curve_monotone_compression(spark):
+    from employee_activity_etl_poc_spark.operators.textops import (
+        bpe_merge_table,
+        bpe_vocab_size_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the the the cat cat sat sat on on the the mat") for i in range(4)],
+        "doc_id long, text string",
+    )
+    merges = bpe_merge_table(docs, "text", n_merges=4)
+    out = {
+        r["n_merges"]: (r["n_bpe_tokens"], r["tokens_per_char"])
+        for r in bpe_vocab_size_curve(docs, "text", merges, ks=(0, 2, 4)).collect()
+    }
+    toks = [out[k][0] for k in (0, 2, 4)]
+    # every extra merge can only reduce (or keep) corpus token mass
+    assert toks == sorted(toks, reverse=True) and toks[0] > toks[-1]
+    # k=0 is the character baseline: tokens == chars
+    base = out[0]
+    assert base[1] == 1.0

@@ -118,6 +118,9 @@ HEAVY_ORACLE_QUERIES = [
     "kmeans_reload_stats",
     "embedding_pca_top_component",
     "classifier_calibration_bins",
+    # the curve shares the unrolled-merge oracle scaffolding with
+    # bpe_merges (the 491 s full-sf1 class)
+    "bpe_vocab_size_curve",
 ]
 
 

@@ -74,6 +74,7 @@ PLAN_BUILD_JOBS_OK = {
     "classifier_calibration_bins": "first-in-process shared memoized classifier fit (weight literals, r12c2)",
     "bpe_merges": "in-engine tokenizer induction: per-merge argmax collects (1 row each) ARE the training; merges ship as plan literals (r12)",
     "bpe_token_counts": "first-in-process shared memoized BPE train (merge-list literal, r12)",
+    "bpe_vocab_size_curve": "first-in-process shared memoized BPE train (merge-list literal, r12c2)",
     "bpe_reload_token_counts": "full tokenizer-artifact lifecycle: train, save, reload — the gate IS the side effect (r12)",
     "dedup_minhash_df_pruned": "document-frequency prune: frequent-shingle set materialized before the anti-join",
     "kmeans_cluster_stats": "in-engine grid Lloyd's: per-iteration k x (dim+1) bigint centroid collects ARE the training; centroids ship as plan literals (r12c2)",

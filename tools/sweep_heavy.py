@@ -183,6 +183,9 @@ DOCS_LIGHT_QUERIES = [
     "bpe_merges",
     "bpe_token_counts",
     "bpe_reload_token_counts",
+    # round 12 continuation #2: fertility-vs-vocab-size curve (one
+    # vocabulary-bounded fold per point over the shared memoized fit)
+    "bpe_vocab_size_curve",
     "corpus_divergence_by_source",
     "quality_ensemble_report",
     "badwords_filter",
