@@ -147,6 +147,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_triplet_mining",
     "dedup_lsh_parameter_report",
     "bpe_vocab_size_curve",
+    "quality_bootstrap_ci",
     # quality_classifier_scores changed plan this round (it now trains
     # via the per-fixture memo shared with the reload gate — judge ask
     # #5 — and scores via score_quality_classifier): output is

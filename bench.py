@@ -232,6 +232,9 @@ HEADLINE = [
     # round 12 continuation #2: fertility-vs-vocab-size curve (rides
     # the shared BPE fit memo; one bounded fold per curve point)
     "bpe_vocab_size_curve",
+    # round 12 continuation #2: Poisson-bootstrap quality CI (32
+    # deterministic resamples in one map-side-combinable aggregate)
+    "quality_bootstrap_ci",
 ]
 
 # The round-1 headline (BENCH_r01's 26 queries), VERBATIM — no longer a

@@ -61,6 +61,46 @@ def train_val_test_split(
     )
 
 
+# Poisson(1) inverse-CDF thresholds (cumulative e⁻¹/k!, 9dp literals —
+# identical doubles in any engine); weight = #thresholds below u
+POISSON1_CDF = (
+    0.367879441,
+    0.735758882,
+    0.919698603,
+    0.981011843,
+    0.996340153,
+    0.999405815,
+    0.999916759,
+)
+
+
+def poisson_bootstrap_weight(salt: str, id_col: Column, rep: Column) -> Column:
+    """Deterministic Poisson(1) bootstrap weight for ``id`` in resample
+    ``rep``: the keyed-md5 uniform mapped through the inverse CDF. The
+    Poisson bootstrap (Chamandy et al. 2012, 'Estimating Uncertainty
+    for Massive Data Streams' — the standard at-scale bootstrap) needs
+    no global row count and no coordinated multinomial draw: each row
+    decides its own weight per resample locally, so the whole resample
+    ensemble is one map-side-combinable aggregate."""
+    u = uniform(salt, F.concat(rep.cast("string"), F.lit("|"), id_col.cast("string")))
+    w = F.lit(0)
+    for t in POISSON1_CDF:
+        w = w + (u >= F.lit(t)).cast("int")
+    return w
+
+
+def poisson_bootstrap_ci_sql_weight(salt: str, id_expr: str, rep_expr: str) -> str:
+    """DuckDB expression replaying :func:`poisson_bootstrap_weight`."""
+    u = (
+        f"(CAST('0x' || substr(md5('{salt}|' || {rep_expr}::VARCHAR || '|' "
+        f"|| {id_expr}::VARCHAR), 1, 8) AS BIGINT) / 4294967296.0)"
+    )
+    terms = " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in POISSON1_CDF
+    )
+    return f"({terms})"
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -5619,3 +5619,122 @@ def bpe_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ms = _bpe_trained(spark, sf_dir, docs)
     return TX.bpe_vocab_size_curve(docs, "text", ms, ks=(0, 2, 4, 6))
+
+
+def _bootstrap_ci_oracle(b: int = 32) -> str:
+    from ..operators.sampling import poisson_bootstrap_ci_sql_weight
+
+    tq = REGISTRY["text_quality"].oracle
+    w = poisson_bootstrap_ci_sql_weight("boot", "q.doc_id", "r.b")
+    return f"""
+    WITH tq AS ({tq}),
+    q AS (
+      SELECT d.source, tq.doc_id,
+             CAST(floor(tq.quality * 10000 + 0.5) AS BIGINT) AS q4
+      FROM tq JOIN documents d ON tq.doc_id = d.doc_id
+    ),
+    reps AS (SELECT b FROM generate_series(1, {b}) AS s(b)),
+    wm AS (
+      SELECT q.source, r.b,
+             CAST(sum({w} * q.q4) AS BIGINT) AS swq,
+             CAST(sum({w}) AS BIGINT) AS sw
+      FROM q, reps r GROUP BY q.source, r.b
+    ),
+    means AS (
+      SELECT source, b,
+             CAST(floor(swq * 1.0 / sw + 0.5) AS BIGINT) AS m4
+      FROM wm WHERE sw > 0
+    ),
+    ranked AS (
+      SELECT source, m4,
+             row_number() OVER (PARTITION BY source ORDER BY m4, b) AS rk,
+             count(*) OVER (PARTITION BY source) AS nb
+      FROM means
+    ),
+    ci AS (
+      SELECT source,
+             min(CASE WHEN rk = 2 THEN m4 END) AS lo4,
+             min(CASE WHEN rk = nb - 1 THEN m4 END) AS hi4
+      FROM ranked GROUP BY source
+    ),
+    pt AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sum(q4) * 1.0 / count(*) + 0.5) AS BIGINT) AS mean4
+      FROM q GROUP BY source
+    )
+    SELECT p.source, p.n_docs,
+           p.mean4 / 10000.0 AS mean_quality,
+           c.lo4 / 10000.0 AS ci_lo,
+           c.hi4 / 10000.0 AS ci_hi
+    FROM pt p JOIN ci c USING (source)
+    """
+
+
+@register(
+    "quality_bootstrap_ci",
+    _bootstrap_ci_oracle(32),
+    doc="Per-source mean quality with POISSON-BOOTSTRAP confidence "
+    "bounds (Chamandy et al. 2012, the at-scale bootstrap — "
+    "sampling.poisson_bootstrap_weight): 32 deterministic resamples "
+    "where each (row, resample) draws its own Poisson(1) weight from a "
+    "keyed hash through 9dp inverse-CDF literals — no global row "
+    "count, no coordinated multinomial, the whole ensemble is ONE "
+    "map-side-combinable (source x 32) aggregate; CI = the 2nd/31st "
+    "order statistics of the resample means. The error bar that says "
+    "whether two sources' quality means actually differ — point "
+    "estimates alone routinely lie at small-source granularity. "
+    "Engine-exact: quality rides the registered text_quality grid, "
+    "weighted sums are exact bigints, each resample mean re-pins to "
+    "the 1e-4 grid before ranking; the oracle nests text_quality's "
+    "SQL verbatim.",
+    tags=("llm", "quality", "profiling", "scale"),
+)
+def quality_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.sampling import poisson_bootstrap_weight
+
+    docs = load(spark, sf_dir, "documents")
+    tq = REGISTRY["text_quality"].fn(spark, sf_dir).select(
+        "doc_id", F.floor(F.col("quality") * 10000 + 0.5).cast("long").alias("q4")
+    )
+    q = tq.join(docs.select("doc_id", "source"), "doc_id")
+    reps = spark.range(1, 33).select(F.col("id").cast("int").alias("b"))
+    w = poisson_bootstrap_weight("boot", F.col("doc_id"), F.col("b"))
+    wm = (
+        q.crossJoin(F.broadcast(reps))
+        .groupBy("source", "b")
+        .agg(
+            F.sum(w * F.col("q4")).alias("swq"),
+            F.sum(w).cast("long").alias("sw"),
+        )
+        .where(F.col("sw") > 0)
+        .select(
+            "source",
+            "b",
+            F.floor(F.col("swq") / F.col("sw") + 0.5).cast("long").alias("m4"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy("m4", "b")
+    wn = Window.partitionBy("source")
+    ranked = wm.select(
+        "source",
+        "m4",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("nb"),
+    )
+    ci = ranked.groupBy("source").agg(
+        F.min(F.when(F.col("rk") == 2, F.col("m4"))).alias("lo4"),
+        F.min(F.when(F.col("rk") == F.col("nb") - 1, F.col("m4"))).alias("hi4"),
+    )
+    pt = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.floor(F.sum("q4") / F.count("*") + 0.5).cast("long").alias("mean4"),
+    )
+    return pt.join(ci, "source").select(
+        "source",
+        "n_docs",
+        (F.col("mean4") / 10000.0).alias("mean_quality"),
+        (F.col("lo4") / 10000.0).alias("ci_lo"),
+        (F.col("hi4") / 10000.0).alias("ci_hi"),
+    )

@@ -262,3 +262,40 @@ def test_repetition_struct_zip_matches_string_reference(spark, toks):
         grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
         want = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
         assert got[name] == pytest.approx(want), (k, toks)
+
+
+def test_poisson_bootstrap_weight_distribution_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from employee_activity_etl_poc_spark.operators.sampling import (
+        poisson_bootstrap_weight,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id"), F.lit(1).alias("b")
+    )
+    w = poisson_bootstrap_weight("boot", F.col("id"), F.col("b"))
+    agg = df.select(w.alias("w")).groupBy("w").count().collect()
+    dist = {r["w"]: r["count"] for r in agg}
+    n = 20000
+    # Poisson(1): P(0)=P(1)=e^-1~0.368, P(2)~0.184 — loose 3-sigma bands
+    assert abs(dist.get(0, 0) / n - 0.368) < 0.02
+    assert abs(dist.get(1, 0) / n - 0.368) < 0.02
+    assert abs(dist.get(2, 0) / n - 0.184) < 0.02
+    # mean weight ~ 1: resample size is unbiased
+    mean_w = sum(k * c for k, c in dist.items()) / n
+    assert abs(mean_w - 1.0) < 0.02
+    # deterministic: same (salt, id, b) -> same weight
+    again = {r["w"]: r["count"] for r in df.select(w.alias("w")).groupBy("w").count().collect()}
+    assert again == dist
+
+
+def test_quality_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    from employee_activity_etl_poc_spark.plans.registry import REGISTRY
+    import employee_activity_etl_poc_spark.plans.llm_queries  # noqa: F401
+
+    out = REGISTRY["quality_bootstrap_ci"].fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["ci_lo"] <= r["mean_quality"] <= r["ci_hi"], r
+        assert r["ci_hi"] - r["ci_lo"] < 0.2  # bounded-width sanity

@@ -189,6 +189,9 @@ DOCS_LIGHT_QUERIES = [
     "corpus_divergence_by_source",
     "quality_ensemble_report",
     "badwords_filter",
+    # round 12 continuation #2: Poisson-bootstrap CI over the quality
+    # grid (one (source x 32) map-side-combinable aggregate)
+    "quality_bootstrap_ci",
     # round 12 continuation #2: cross-source n-gram novelty (distinct
     # gram aggregate + gram-keyed source count — tfidf-class cost) and
     # the pairwise overlap matrix (gram-keyed pair join, <= C(sources,2)
