@@ -125,6 +125,9 @@ NESTED_LOOP_OK = {
     ),
     "embedding_topk": "exact baseline: corpus × 10 broadcast queries",
     "embedding_hard_negatives": "exact contrastive-mining baseline: corpus x 10 broadcast queries, label filter under the join (r12c2)",
+    "quality_bootstrap_ci": "32-row literal resample frame broadcast-crossed onto the aggregate path — the Poisson-bootstrap ensemble is BY DESIGN a bounded 32x row expansion feeding one map-side-combinable aggregate (r12c2)",
+    "dedup_lsh_parameter_report": "input-free parameter sweep: range(1000) grid crossed with the 5-row literal (bands, rows) frame — bounded 5x expansion, no table involved (r12c2)",
+    "embedding_triplet_mining": "exact mining baseline: corpus x 10 broadcast anchors (the embedding_topk class), rank-split into positives and negatives (r12c2)",
     "embedding_mmr_rerank": "shortlist stage: corpus × 8 broadcast queries (exact-baseline class); cc sims are an equi-join",
     "bm25_scores": "1-row broadcast avgdl aggregate cross-joined (r10)",
     "lm_quality_nll": "1-row broadcast T/V totals aggregate cross-joined (r10)",
