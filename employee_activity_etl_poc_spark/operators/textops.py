@@ -772,6 +772,49 @@ def token_entropy(df, text_col: str, id_col: str):
     )
 
 
+def dsir_doc_bucket(
+    df,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    n_buckets: int = 1024,
+):
+    """(id, _tgt, _b, _c): the per-(doc, hashed-bucket) feature counts —
+    the shared substrate of :func:`dsir_importance` and (via
+    projection: ``_tgt`` is doc-constant, so each (id, _b) appears
+    exactly once) the classifier's x frame. One explode + ONE
+    map-side-combined groupBy; _tgt rides the explode for free. The
+    model side of DSIR derives FROM this aggregate rather than a
+    second pass over the raw explode: an A/B vs the two-pass form
+    measured a NULL at sf1 (medians 31.7/29.1 vs 31.5/29.8 s — AQE's
+    runtime exchange reuse already collapses the duplicate explode,
+    the r9 tokenize-once lesson again); the shape is kept because it
+    states the reuse structurally instead of relying on the optimizer
+    finding it."""
+    t = F.col(text_col)
+    ws = tokens(t)
+    bigrams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.array_join(F.slice(ws, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        F.col(id_col),
+        target.cast("int").alias("_tgt"),
+        F.explode(F.concat(ws, bigrams)).alias("_f"),
+    ).select(
+        id_col,
+        "_tgt",
+        (F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
+         % n_buckets).alias("_b"),
+    )
+    return feats.groupBy(id_col, "_tgt", "_b").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+
+
 def dsir_importance(
     df,
     text_col: str,
@@ -779,6 +822,7 @@ def dsir_importance(
     target: Column,
     n_buckets: int = 1024,
     alpha: float = 0.5,
+    doc_bucket=None,
 ):
     """DSIR data-selection importance weights (Xie et al. 2023,
     arXiv:2302.03169): per-document log importance weight
@@ -801,36 +845,15 @@ def dsir_importance(
     add-``alpha`` smoothing so never-in-target buckets stay finite.
 
     Returns (id, n_feats, logw); every raw doc is scored (target ⊆
-    raw)."""
-    t = F.col(text_col)
-    ws = tokens(t)
-    bigrams = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.array_join(F.slice(ws, i, 2), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    feats = df.select(
-        F.col(id_col),
-        target.cast("int").alias("_tgt"),
-        F.explode(F.concat(ws, bigrams)).alias("_f"),
-    ).select(
-        id_col,
-        "_tgt",
-        (F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
-         % n_buckets).alias("_b"),
-    )
-    # _tgt is doc-constant, so grouping by it too is free; the model
-    # derives FROM this aggregate rather than a second pass over the
-    # raw explode. A/B vs the two-pass form measured a NULL at sf1
-    # (medians 31.7/29.1 vs 31.5/29.8 s — AQE's runtime exchange reuse
-    # already collapses the duplicate explode, the r9 tokenize-once
-    # lesson again); this shape is kept because it states the reuse
-    # structurally instead of relying on the optimizer finding it.
-    doc_bucket = feats.groupBy(id_col, "_tgt", "_b").agg(
-        F.count("*").cast("long").alias("_c")
-    )
+    raw).
+
+    ``doc_bucket`` (optional) injects a prebuilt
+    :func:`dsir_doc_bucket` frame so a caller composing several
+    hashed-ngram consumers (the ensemble gate: DSIR + the classifier
+    share the identical md5/bucket formula) pays the explode + count
+    aggregate ONCE — guide §2.4, one exchange shared structurally."""
+    if doc_bucket is None:
+        doc_bucket = dsir_doc_bucket(df, text_col, id_col, target, n_buckets)
     model = doc_bucket.groupBy("_b").agg(
         F.sum("_c").cast("long").alias("_cr"),
         F.sum(F.col("_c") * F.col("_tgt")).cast("long").alias("_ct"),
@@ -1016,7 +1039,8 @@ def zipf_fit(df, text_col: str, id_col: str):
 
 
 def _classifier_feature_frame(
-    df, text_col: str, id_col: str, label: Column, n_buckets: int
+    df, text_col: str, id_col: str, label: Column, n_buckets: int,
+    doc_bucket=None,
 ):
     """(x, y): the hashed-feature substrate both training and
     artifact-reload scoring consume, in LONG form —
@@ -1030,10 +1054,10 @@ def _classifier_feature_frame(
     collect_list feature arrays and died of object-aggregation heap
     pressure at 5M docs (GCLocker OOM at both 128 and 512 shuffle
     partitions): ~700-struct arrays per doc are JVM objects the
-    aggregation buffer cannot spill. The label rides the explode
-    (doc-constant — the dsir _tgt pattern) and explode_outer keeps
-    NULL/featureless docs alive as a NULL-bucket row, so no post-hoc
-    join re-attaches them."""
+    aggregation buffer cannot spill. _nf rides the explode as a
+    doc-constant (the dsir _tgt pattern); y is a pure scan projection,
+    which keeps NULL/featureless docs alive (they score at the bias
+    via the margins left join) without a second feature pass."""
     t = F.col(text_col)
     ws = tokens(t)
     bigrams = F.when(
@@ -1043,36 +1067,60 @@ def _classifier_feature_frame(
             lambda i: F.array_join(F.slice(ws, i, 2), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = df.select(
-        F.col(id_col),
-        label.cast("int").alias("_y"),
-        F.explode_outer(F.concat(ws, bigrams)).alias("_f"),
-    ).select(
-        id_col,
-        "_y",
-        (F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10).cast("long")
-         % n_buckets).alias("_b"),
+    # _nf (the per-doc total feature count the L1 normalization divides
+    # by) equals size(ws ++ bigrams) — a doc-constant scan projection.
+    # r12 optimization (guide §2.4): it was previously recovered AFTER
+    # the explode via sum(count) over Window.partitionBy(id), which (a)
+    # cost an Exchange(id)+Sort+Window over the exploded aggregate and
+    # (b) forced y to be a SECOND explode pass (the join's pushed
+    # IsNotNull filter made the subtrees non-canonical, so AQE exchange
+    # reuse never collapsed them — the md5-over-every-token pass ran
+    # twice per scoring query). Computing _nf on the SCAN side makes y
+    # a pure projection (no explode, no shuffle); x re-attaches it with
+    # one id-keyed equi-join against y AFTER the (id, bucket) aggregate
+    # — at that point rows are per-(doc, bucket), so the join input is
+    # already small. _nf must NOT ride the explode itself: Catalyst
+    # collapses doc-constant projections ABOVE the Generate, and an
+    # O(tokens) expression (size(split(..))) evaluated once per
+    # EXPLODED row is O(tokens²) per document — measured 375 s for the
+    # sf0.1 x-pass vs ~2 s for this shape. Values are identical by
+    # construction (explode emits one row per array element, every
+    # element hashes to a non-NULL bucket; NULL text ⇒ NULL array ⇒
+    # _nf=0 and no x rows, the old explode_outer/NULL-bucket
+    # semantics). Assumes ids are unique per input row (every caller
+    # passes document frames).
+    allf = F.concat(ws, bigrams)
+    nf = F.when(allf.isNull(), F.lit(0)).otherwise(F.size(allf)).cast("long")
+    y = df.select(
+        F.col(id_col), label.cast("int").alias("_y"), nf.alias("_nf")
     )
-    doc_bucket = feats.groupBy(id_col, "_y", "_b").agg(
-        F.count("*").cast("long").alias("_c")
-    )
-    from pyspark.sql import Window
-
-    nf = F.sum(
-        F.when(F.col("_b").isNotNull(), F.col("_c")).otherwise(F.lit(0))
-    ).over(Window.partitionBy(id_col))
-    with_nf = doc_bucket.select(
-        id_col, "_y", "_b", "_c", nf.cast("long").alias("_nf")
-    )
-    x = with_nf.where(F.col("_b").isNotNull()).select(
-        id_col,
-        "_b",
-        F.floor(F.col("_c") * F.lit(1e6) / F.col("_nf") + F.lit(0.5))
-        .cast("long")
-        .alias("_x6"),
-    )
-    y = with_nf.groupBy(id_col, "_y").agg(
-        F.max("_nf").cast("long").alias("_nf")
+    if doc_bucket is not None:
+        # prebuilt dsir_doc_bucket frame (same md5/bucket formula, same
+        # n_buckets — the ensemble asserts this): _tgt is doc-constant,
+        # so each (id, _b) appears exactly once and the projection IS
+        # the (id, _b) count aggregate — the explode is shared with the
+        # DSIR consumer structurally (guide §2.4).
+        counts = doc_bucket.select(id_col, "_b", "_c")
+    else:
+        counts = (
+            df.select(F.col(id_col), F.explode(allf).alias("_f"))
+            .select(
+                id_col,
+                (F.conv(F.substring(F.md5(F.col("_f")), 1, 15), 16, 10)
+                 .cast("long") % n_buckets).alias("_b"),
+            )
+            .groupBy(id_col, "_b")
+            .agg(F.count("*").cast("long").alias("_c"))
+        )
+    x = (
+        counts.join(y.select(id_col, "_nf"), id_col)
+        .select(
+            id_col,
+            "_b",
+            F.floor(F.col("_c") * F.lit(1e6) / F.col("_nf") + F.lit(0.5))
+            .cast("long")
+            .alias("_x6"),
+        )
     )
     return x, y
 
@@ -1132,15 +1180,20 @@ def score_quality_classifier(
     label: Column,
     w6: list[int],
     b6: int,
+    doc_bucket=None,
 ):
     """Score a corpus under an ALREADY-TRAINED weight vector (e.g. one
     reloaded from a :mod:`..operators.model_store` artifact) — the
     train-once / score-many path a 100 TB pipeline actually runs: one
     feature pass + a codegen'd projection, no training actions, no
     persist. ``label`` rides along for evaluation parity with
-    :func:`quality_classifier` output columns."""
+    :func:`quality_classifier` output columns. ``doc_bucket`` injects a
+    prebuilt :func:`dsir_doc_bucket` frame (identical hash formula,
+    n_buckets == len(w6)) so composed consumers share the feature
+    explode."""
     x, y = _classifier_feature_frame(
-        df, text_col, id_col, label, n_buckets=len(w6)
+        df, text_col, id_col, label, n_buckets=len(w6),
+        doc_bucket=doc_bucket,
     )
     return _classifier_score_frame(x, y, id_col, w6, b6)
 

@@ -4514,12 +4514,23 @@ def quality_ensemble_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "bucket", F.col("keep").alias("ppx_vote")
     )
     model = _qc_trained_model(spark, sf_dir)
+    # r12 optimization (guide §2.4): the classifier and DSIR hash
+    # features with the IDENTICAL md5/bucket formula at the identical
+    # bucket count, so both votes derive from ONE explode + count
+    # aggregate (dsir_doc_bucket) instead of two full feature passes —
+    # shared structurally, not left to AQE exchange reuse (which the
+    # previously-differing projections below the exchange defeated).
+    assert len(model["w6"]) == 1024  # == dsir_doc_bucket's n_buckets
+    bucket_counts = TX.dsir_doc_bucket(
+        docs, "text", "doc_id", target=F.col("lang") == "en", n_buckets=1024
+    )
     clf = TX.score_quality_classifier(
         docs, "text", "doc_id", label=F.col("lang") == "en",
-        w6=model["w6"], b6=model["b6"],
+        w6=model["w6"], b6=model["b6"], doc_bucket=bucket_counts,
     ).select("doc_id", "score", F.col("pred").alias("clf_vote"))
     dsir = TX.dsir_importance(
-        docs, "text", "doc_id", target=F.col("lang") == "en"
+        docs, "text", "doc_id", target=F.col("lang") == "en",
+        doc_bucket=bucket_counts,
     ).select(
         "doc_id", "logw", (F.col("logw") >= 0).cast("int").alias("dsir_vote")
     )

@@ -82,6 +82,98 @@ def clear_table_cache() -> None:
     _COUNT_CACHE.clear()
 
 
+def _parse_bytes_conf(v: str) -> int:
+    """'128m' / '1g' / '134217728' / '4194304b' -> bytes."""
+    v = v.strip().lower()
+    mult = {"b": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if v and v[-1] in mult:
+        return int(float(v[:-1]) * mult[v[-1]])
+    return int(v)
+
+
+# Fan-out floor: tables smaller than this stay on their natural scan
+# layout — they are broadcast-side dims (region, nation, supplier,
+# part) where an extra exchange buys nothing.
+_FAN_OUT_MIN_BYTES = 256 * 1024
+
+# Row floor: below this, splitting to N cores leaves so few rows per
+# task that per-task overhead and shrunken Arrow/BLAS batches cost more
+# than the parallelism buys (guide §4.2 — keep batches large enough for
+# vectorization; measured: the 2000-row embeddings table fanned to 32
+# partitions made embedding_ann_lsh 2.8 → 3.8 s and
+# semantic_dedup_incremental 1.9 → 2.8 s, while 5000-row documents
+# fanned is a 2× win for every text operator).
+_FAN_OUT_MIN_ROWS = 4096
+
+
+def _scan_fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan fan-out (guide §2.5 input skew / §2.6 idle
+    capacity): the driver's testdata tables are ONE parquet file with
+    ONE row group, so every scan — and with it the whole first narrow
+    stage (tokenize, shingle, md5, explode) of every text/dedup/
+    embedding operator — executes as a single task while the other
+    cores idle (measured: the sf0.1 minhash shingle pass 3.4 s on 1
+    task vs 1.4 s repartitioned; the classifier feature pass 6.7 s vs
+    3.6 s). When the file layout cannot reach the session's
+    parallelism (row-group-bounded pieces < cores), repartition the
+    scan once — a round-robin exchange of the raw rows, a few hundred
+    KB here. When the input is big enough that the scan parallelizes
+    itself (ceil(bytes / maxPartitionBytes) >= cores — any real corpus,
+    certainly 100 TB), this is a NO-OP by construction: no extra
+    exchange ever reaches a production plan. The decision reads file
+    metadata only (no Spark job — the plan census stays compile-only).
+    ``SPARK_GRAFT_SCAN_FANOUT=0`` disables it outright."""
+    if os.environ.get("SPARK_GRAFT_SCAN_FANOUT", "1") == "0":
+        return df
+    try:
+        sizes: list[tuple[str, int]]
+        if os.path.isdir(path):
+            sizes = []
+            for root, _dirs, files in os.walk(path):
+                sizes += [
+                    (os.path.join(root, f), os.path.getsize(os.path.join(root, f)))
+                    for f in files
+                    if f.endswith(".parquet")
+                ]
+        else:
+            sizes = [(path, os.path.getsize(path))]
+        total = sum(s for _, s in sizes)
+        if total < _FAN_OUT_MIN_BYTES:
+            return df
+        try:
+            mpb = _parse_bytes_conf(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+            )
+        except Exception:
+            mpb = 128 * 1024**2
+        # pieces the scan can actually run in parallel: byte-range splits,
+        # but a parquet piece with no row-group midpoint is an empty task,
+        # so per-file parallelism is additionally bounded by its row-group
+        # count (footer read, driver-side, cheap at this file count).
+        par = spark.sparkContext.defaultParallelism
+        pieces = 0
+        rows = 0
+        rows_known = True
+        for p, s in sizes:
+            by_bytes = max(1, -(-s // mpb))
+            try:
+                import pyarrow.parquet as pq
+
+                meta = pq.ParquetFile(p).metadata
+                rows += meta.num_rows
+                by_bytes = min(by_bytes, max(1, meta.num_row_groups))
+            except Exception:
+                rows_known = False  # fall through on the byte rule alone
+            pieces += by_bytes
+            if pieces >= par:
+                return df
+        if rows_known and rows < _FAN_OUT_MIN_ROWS:
+            return df
+        return df.repartition(par)
+    except OSError:
+        return df
+
+
 def _read_table_raw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized RAW parquet read (no ts normalization) — the incremental
     loader filters the raw int64 ns column BEFORE conversion so the
@@ -116,6 +208,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    df = _scan_fan_out(spark, df, os.path.join(sf_dir, f"{name}.parquet"))
     _TABLE_CACHE[key] = df
     return df
 
