@@ -33,7 +33,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = [n for n in sys.argv[2].split(",") if n]
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
-    out_dir = os.path.join(REPO, "plans", "r12")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLAN_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-dump")
     with plan_audit_mode():
