@@ -1901,10 +1901,17 @@ def recall_gate(
     Hit count and denominator come from ONE marker left-join aggregate,
     so they can never drift apart (a literal denominator would silently
     loosen the gate if the query set ever grew)."""
+    # the approx side is a top-k result — ≤ |queries|·k rows by the
+    # gate's own contract — but it hangs below windows/joins whose size
+    # the planner cannot estimate, so without the hint this 50-row left
+    # join planned as SortMergeJoin with two Exchange+Sort stages
+    # (r13 plan audit; broadcast-right is valid for a left-outer join)
     marked = exact.select("query_id", "neighbor_id").join(
-        approx.select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("_hit", F.lit(1)),
+        F.broadcast(
+            approx.select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("_hit", F.lit(1))
+        ),
         ["query_id", "neighbor_id"],
         "left",
     )
