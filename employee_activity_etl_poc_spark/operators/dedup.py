@@ -212,6 +212,28 @@ def _positioned_grams(
     )
 
 
+def _positioned_grams_from_ws(base: DataFrame, k: int) -> DataFrame:
+    """:func:`_positioned_grams` over a pre-tokenized (doc, ws) frame —
+    lets a caller that already holds (and persists) the token arrays
+    derive grams without a second tokenize pass (r13). Identical
+    values: ``tokens`` is deterministic, the gram windows and 60-bit
+    fingerprints are the same expressions."""
+    idx = F.sequence(F.lit(1), F.size(F.col("ws")) - (k - 1))
+    make = lambda i: F.array_join(F.slice(F.col("ws"), i, k), " ")  # noqa: E731
+    return (
+        base.where(F.size(F.col("ws")) >= k)
+        .select(
+            "doc",
+            F.posexplode(F.transform(idx, make)).alias("pos", "gram"),
+        )
+        .select(
+            "doc",
+            F.col("pos").cast("long").alias("pos"),
+            _hash_long60(F.col("gram")).alias("g"),
+        )
+    )
+
+
 def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
     """Per-document run-merge of duplicated gram positions into maximal
     spans: positions whose gap <= k-1 produce overlapping gram windows
@@ -477,6 +499,25 @@ def minhash_near_duplicates(
     )
 
 
+def shingle_hash_frame(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(doc, hs: array<long>): the tokenize → shingle → md5 → distinct
+    base frame every LSH consumer derives from — extracted (r13) so a
+    caller running SEVERAL monitors/joins over the same corpus can build
+    and persist it ONCE and pass it through ``hashed=``."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+        .where(F.size(tokens(F.col("t"))) >= shingle_k)
+        .select(
+            "doc",
+            F.array_distinct(
+                F.transform(shingles("t", shingle_k), _hash_long)
+            ).alias("hs"),
+        )
+    )
+
+
 def lsh_banded_frame(
     df: DataFrame,
     text_col: str,
@@ -487,6 +528,7 @@ def lsh_banded_frame(
     persist: bool = True,
     max_bucket_size: int | None = None,
     max_doc_frequency: int | None = None,
+    hashed: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The candidate-generation half of :func:`minhash_near_duplicates`:
     ``(hashed, banded)`` where ``hashed`` is (doc, hs: array<long>) and
@@ -494,7 +536,14 @@ def lsh_banded_frame(
     self-equi-join produces LSH candidate pairs. Public so skew
     monitoring (:func:`lsh_bucket_stats`) and the adversarial-corpus
     stress tests measure EXACTLY the candidate space the dedup join
-    pays for, not a reimplementation of it."""
+    pays for, not a reimplementation of it.
+
+    ``hashed``: a caller-provided :func:`shingle_hash_frame` of ``df``
+    (same text/id/shingle_k) — the shingle pass is then skipped and the
+    caller OWNS the frame's cache lifecycle (this function will neither
+    persist nor unpersist it). For callers running several monitors
+    over one corpus (the two-mode gated monitor query), this turns N
+    tokenize+md5 passes into one."""
     rows_per_band = num_perm // bands
     # Hash shingles to 32-bit longs IMMEDIATELY (one md5 pass), distinct,
     # and persist the LONG arrays — signatures, band keys, and the verify
@@ -503,24 +552,21 @@ def lsh_banded_frame(
     # SQL oracle computes the identical hashes, both engines agree exactly
     # by construction. Long arrays also persist ~5× smaller than strings
     # and intersect/union faster in the verify join.
-    hashed = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
-        .where(F.size(tokens(F.col("t"))) >= shingle_k)
-        .select(
-            "doc",
-            F.array_distinct(
-                F.transform(shingles("t", shingle_k), _hash_long)
-            ).alias("hs"),
-        )
-    )
+    external_hashed = hashed is not None
+    if not external_hashed:
+        hashed = shingle_hash_frame(df, text_col, id_col, shingle_k)
     if max_doc_frequency is not None:
         # hs is already per-doc distinct, so count(*) per hash == document
         # frequency. The anti-join keeps everything NOT in the frequent
         # set; broadcast is safe because shingles shared by > cap docs are
         # rare kinds even when their occurrences are not. Persist the
         # pre-prune frame: the DF aggregate AND the prune join both read
-        # it — one tokenize+md5 pass, not two.
-        pre_prune = hashed.persist() if persist else hashed
+        # it — one tokenize+md5 pass, not two (an external ``hashed`` is
+        # the caller's cache — reuse it as-is).
+        pre_prune = (
+            hashed if external_hashed
+            else (hashed.persist() if persist else hashed)
+        )
         exploded = pre_prune.select("doc", F.explode("hs").alias("h"))
         frequent = (
             exploded.groupBy("h")
@@ -539,8 +585,9 @@ def lsh_banded_frame(
             # cached copy of the un-pruned shingle frame in executor storage.
             hashed = hashed.persist()
             hashed.count()
-            pre_prune.unpersist()
-    elif persist:
+            if not external_hashed:
+                pre_prune.unpersist()
+    elif persist and not external_hashed:
         hashed = hashed.persist()
     sigs = hashed.select(
         "doc", minhash_from_hashes(F.col("hs"), num_perm).alias("sig")
@@ -2190,7 +2237,17 @@ def remove_duplicated_spans_incremental(
     retroactively."""
     from pyspark.sql import Window
 
-    grams_b = _positioned_grams(batch, text_col, id_col, k)
+    # Tokenize the batch ONCE (r13, guide §2.4): base feeds gram
+    # extraction, span location, the rewrite explode AND the untouched
+    # branch — four tokenize passes before; persisted (with removals,
+    # below) it is one. Lifecycle matches the removals cache: released
+    # by the caller's clearCache / persist=False contract.
+    base = batch.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("ws")
+    )
+    if persist:
+        base = base.persist()
+    grams_b = _positioned_grams_from_ws(base, k)
     # batch-side gram frequency as a window (one shuffle by g, no
     # broadcast — the distinct-gram set is ~|batch tokens|, never
     # broadcast-sized); the store join then reuses the g-partitioning
@@ -2201,22 +2258,39 @@ def remove_duplicated_spans_incremental(
         .withColumn("_ns", F.coalesce(F.col("_ns"), F.lit(0)))
         .where(F.col("_ns") + F.col("_nb") >= min_occurrences)
     )
-    # NOT persisted: the two removal-class filters sit on an identical
-    # g-shuffled subtree (window + store join), which exchange reuse
-    # already computes once — a cache here measured 75% slower cold at
-    # the sf10 fixture (see the detect variant's note).
-    seen_hits = with_counts.where(F.col("_ns") >= 1).select("doc", "pos")
-    fresh_hits = with_counts.where(F.col("_ns") == 0).select("doc", "pos")
+    # NOT persisted: the removal-class split sits on one g-shuffled
+    # subtree (window + store join), which exchange reuse already
+    # computes once — a cache here measured 75% slower cold at the sf10
+    # fixture (see the detect variant's note). r13: the two classes
+    # (seen-before / batch-internal) used to run _spans_from_hits each —
+    # two Exchange(doc)+Sort+lag+sum+agg chains over disjoint row sets;
+    # partitioning ONE pass by (doc, class) reproduces each class's
+    # ordered position sequence exactly (the classes never interact
+    # before the removals union), halving the span-derivation stages.
+    hits = with_counts.select(
+        "doc", "pos", (F.col("_ns") >= 1).alias("_seen")
+    )
+    w = Window.partitionBy("doc", "_seen").orderBy("pos")
+    runs = hits.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "_grp",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = runs.groupBy("doc", "_seen", "_grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+    ).select(F.col("doc").alias("doc_id"), "_seen", "span_start", "span_end")
     # seen-before: every occurrence in the batch goes — the store holds
     # the canonical copy
-    seen_removals = _spans_from_hits(seen_hits, k).select(
+    seen_removals = spans.where(F.col("_seen")).select(
         "doc_id", "span_start", "span_end"
     )
     # batch-internal: the batch operator's keeper election over content
-    base = batch.select(
-        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("ws")
-    )
-    fresh_spans = _spans_from_hits(fresh_hits, k)
+    fresh_spans = spans.where(~F.col("_seen"))
     located = fresh_spans.join(base, fresh_spans.doc_id == base.doc).select(
         "doc_id",
         "span_start",
